@@ -1,0 +1,109 @@
+"""Cluster-robust-standard-error OLS for a binary treatment — the reference's
+*recommended* switchback inference method (``method_evaluation.ipynb:303-325``
+``CRSE_significance``: ``smf.ols('KPI ~ group').fit(cov_type='cluster',
+cov_kwds={'groups': time_unit})``; conclusion markdown selects CRSE).
+
+With a single binary regressor x ∈ {0,1} the OLS fit is closed-form:
+
+    β = ȳ_treat − ȳ_control,  α = ȳ_control
+    e_i = y_i − α − β·x_i,     x̃_i = x_i − x̄
+    Var(β) = c · Σ_g (Σ_{i∈g} x̃_i e_i)² / (Σ_i x̃_i²)²
+    c = G/(G−1) · (N−1)/(N−K),  K = 2      (statsmodels' default CR1 correction)
+    t = β / se,  dof = G − 1               (statsmodels uses the t distribution
+                                            with n_clusters − 1 dof for cluster cov)
+
+so the whole fit is two groupBys plus a broadcast join — no statsmodels in the hot
+path, validated against statsmodels in tests/test_stats_scipy.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from switchback_test_dag_spark.stats.distributions import t_two_sided_p_udf
+
+
+def crse_ols(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    control,
+    treatment,
+    cluster_col: str,
+    by: Sequence[str] = (),
+    with_p: bool = True,
+) -> DataFrame:
+    """OLS ``value ~ 1 + 1[group==treatment]`` with CR1 cluster-robust SEs.
+
+    Returns per-``by`` rows: beta (mean_treat − mean_control), se, t_stat, dof
+    (= clusters − 1), n, n_clusters (+ p_value unless disabled).
+    """
+    by = list(by)
+    v = F.col(value_col).cast("double")
+    clean = df.filter(
+        v.isNotNull() & ~F.isnan(v) & F.col(group_col).isin([control, treatment])
+    ).select(
+        *by,
+        F.col(cluster_col).alias("_cluster"),
+        v.alias("_y"),
+        F.when(F.col(group_col) == F.lit(treatment), 1.0).otherwise(0.0).alias("_x"),
+    )
+
+    glob = clean.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_x").alias("_xbar"),
+        F.avg(F.when(F.col("_x") == 0.0, F.col("_y"))).alias("_alpha"),
+        F.avg(F.when(F.col("_x") == 1.0, F.col("_y"))).alias("_beta_plus_alpha"),
+    )
+    glob = glob.withColumn("_beta", F.col("_beta_plus_alpha") - F.col("_alpha"))
+
+    joined = (
+        clean.join(broadcast(glob), on=by) if by else clean.crossJoin(broadcast(glob))
+    )
+    # per-cluster score sums  h_g = Σ x̃ e
+    per_cluster = (
+        joined.withColumn(
+            "_score",
+            (F.col("_x") - F.col("_xbar"))
+            * (F.col("_y") - F.col("_alpha") - F.col("_beta") * F.col("_x")),
+        )
+        .groupBy(*by, "_cluster")
+        .agg(F.sum("_score").alias("_h"))
+    )
+    meat = per_cluster.groupBy(*by).agg(
+        F.sum(F.pow("_h", 2)).alias("_meat"),
+        F.count(F.lit(1)).alias("n_clusters"),
+    )
+
+    res = glob.join(broadcast(meat), on=by) if by else glob.crossJoin(broadcast(meat))
+    n, g = F.col("_n"), F.col("n_clusters")
+    # guard degenerate partitions (ANSI mode: unguarded x/0 throws)
+    valid = (
+        (g > 1) & (n > 2) & (F.col("_xbar") > 0) & (F.col("_xbar") < 1)
+    )
+    bread = n * F.col("_xbar") * (1 - F.col("_xbar"))  # Σ x̃² for binary x
+    correction = (g / (g - 1)) * ((n - 1) / (n - 2))
+    var = F.when(valid, correction * F.col("_meat") / F.pow(bread, 2))
+    se = F.sqrt(var)
+    out = res.select(
+        *by,
+        F.col("_beta").alias("beta"),
+        se.alias("se"),
+        F.when(valid & (se > 0), F.col("_beta") / se).alias("t_stat"),
+        F.when(valid, (g - 1).cast("double")).alias("dof"),
+        n.alias("n"),
+        "n_clusters",
+    )
+    if with_p:
+        out = out.withColumn(
+            "p_value",
+            F.when(
+                F.col("t_stat").isNotNull(),
+                t_two_sided_p_udf()(F.col("t_stat"), F.col("dof")),
+            ),
+        )
+    return out

@@ -1,0 +1,105 @@
+"""Cross-validate the distributed stats engine against independent single-node
+numpy reference implementations (tests/reference_impls.py; SURVEY §5 — tolerance
+1e-6 on p-values/SEs). The t/normal tail functions themselves are pinned against
+exact closed forms in test_special.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.reference_impls import crse_matrix, mwu_two_sided, ttest_ind
+
+from switchback_test_dag_spark.stats import (
+    crse_ols,
+    mann_whitney_u,
+    t_test,
+    welch_t_test,
+)
+
+TOL = 1e-6
+
+
+@pytest.fixture(scope="module")
+def sample_pdf():
+    rng = np.random.default_rng(42)
+    n = 4000
+    group = np.where(rng.random(n) < 0.5, "On", "Off")
+    kpi = rng.lognormal(3.0, 0.6, n) + np.where(group == "On", 0.3, 0.0)
+    kpi_tied = np.round(kpi, 0)  # heavy ties
+    kpi_nulls = kpi.copy()
+    kpi_nulls[rng.random(n) < 0.05] = np.nan
+    bucket = rng.integers(0, 48, n)
+    return pd.DataFrame(
+        {
+            "group": group,
+            "kpi": kpi,
+            "kpi_tied": kpi_tied,
+            "kpi_nulls": kpi_nulls,
+            "bucket": bucket,
+            "test_name": np.where(rng.random(n) < 0.5, "t1", "t2"),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def sample_df(spark, sample_pdf):
+    return spark.createDataFrame(sample_pdf).repartition(4)
+
+
+def _split(pdf, col):
+    on = pdf.loc[pdf.group == "On", col].to_numpy()
+    off = pdf.loc[pdf.group == "Off", col].to_numpy()
+    return on, off
+
+
+@pytest.mark.parametrize("col", ["kpi", "kpi_tied", "kpi_nulls"])
+def test_mwu_matches_reference(sample_pdf, sample_df, col):
+    on, off = _split(sample_pdf, col)
+    u_exp, _z_exp, p_exp = mwu_two_sided(on, off)
+    row = mann_whitney_u(sample_df, col, "group", "On", "Off").collect()[0]
+    assert row["n_a"] == np.count_nonzero(~np.isnan(on))
+    assert row["u_stat"] == pytest.approx(u_exp, abs=1e-6)
+    assert row["p_value"] == pytest.approx(p_exp, abs=TOL)
+
+
+def test_mwu_by_partitions(sample_pdf, sample_df):
+    rows = {
+        r["test_name"]: r
+        for r in mann_whitney_u(
+            sample_df, "kpi", "group", "On", "Off", by=["test_name"]
+        ).collect()
+    }
+    assert set(rows) == {"t1", "t2"}
+    for name, sub in sample_pdf.groupby("test_name"):
+        on, off = _split(sub, "kpi")
+        _, _, p_exp = mwu_two_sided(on, off)
+        assert rows[name]["p_value"] == pytest.approx(p_exp, abs=TOL)
+
+
+def test_student_t_matches_reference(sample_pdf, sample_df):
+    on, off = _split(sample_pdf, "kpi")
+    t_exp, p_exp = ttest_ind(on, off, equal_var=True)
+    row = t_test(sample_df, "kpi", "group", "On", "Off").collect()[0]
+    assert row["t_stat"] == pytest.approx(t_exp, rel=1e-9)
+    assert row["p_value"] == pytest.approx(p_exp, abs=TOL)
+
+
+def test_welch_matches_reference(sample_pdf, sample_df):
+    on, off = _split(sample_pdf, "kpi_nulls")
+    t_exp, p_exp = ttest_ind(on, off, equal_var=False)
+    row = welch_t_test(sample_df, "kpi_nulls", "group", "On", "Off").collect()[0]
+    assert row["t_stat"] == pytest.approx(t_exp, rel=1e-9)
+    assert row["p_value"] == pytest.approx(p_exp, abs=TOL)
+
+
+def test_crse_matches_matrix_reference(sample_pdf, sample_df):
+    y = sample_pdf["kpi"].to_numpy()
+    x = (sample_pdf["group"] == "On").to_numpy(float)
+    beta_exp, se_exp, t_exp, p_exp = crse_matrix(y, x, sample_pdf["bucket"].to_numpy())
+    row = crse_ols(sample_df, "kpi", "group", "Off", "On", "bucket").collect()[0]
+    assert row["beta"] == pytest.approx(beta_exp, rel=1e-9)
+    assert row["se"] == pytest.approx(se_exp, rel=1e-9)
+    assert row["t_stat"] == pytest.approx(t_exp, rel=1e-8)
+    assert row["p_value"] == pytest.approx(p_exp, abs=TOL)
