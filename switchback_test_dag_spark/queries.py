@@ -1,0 +1,151 @@
+"""Oracle-checked query registry — one entry per implemented SURVEY §2 operator.
+
+Each query is a callable ``(spark, sf_dir) -> DataFrame`` with a DuckDB oracle in
+``ORACLES`` under the same key (omitted only for non-SQL-expressible ops, which the
+driver then checks rows-only). Aggregate/computed columns are aliased identically
+on both sides; counts are cast to BIGINT in the oracle (DuckDB sums promote to
+HUGEINT otherwise); p-value-ish doubles are rounded on both sides so cross-engine
+IEEE noise cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from switchback_test_dag_spark.operators.domain import (
+    ORACLE_FACT_CTE,
+    domain_configs_df,
+    synthesize_orders_fact,
+)
+from switchback_test_dag_spark.pipeline import (
+    KPI_COLS,
+    MONETARY_KPI_COLS,
+    label_orders,
+    p_values,
+    per_order_metrics,
+    total_metrics,
+)
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = synthesize_orders_fact(spark, sf_dir)
+    return label_orders(fact, domain_configs_df(spark))
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return QUERIES["sb_mwu_pvalues"](spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Production pipeline (SURVEY §2: P5, P9, A1, A2, T1 over the synthesized fact)
+# ---------------------------------------------------------------------------
+
+_PER_ORDER_ORACLE = (
+    ORACLE_FACT_CTE
+    + "SELECT test_name, on_or_off_day, "
+    + ", ".join(f"round(avg({c}), 2) AS {c}" for c in KPI_COLS)
+    + " FROM sb_labeled GROUP BY test_name, on_or_off_day"
+)
+
+
+@query("sb_per_order_metrics", _PER_ORDER_ORACLE)
+def sb_per_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: 13-KPI means by (test, arm) — automated_...py:124-125."""
+    return per_order_metrics(_labeled(spark, sf_dir))
+
+
+_TOTALS_ORACLE = (
+    ORACLE_FACT_CTE
+    + "SELECT test_name, on_or_off_day, "
+    + ", ".join(f"round(sum({c}), 2) AS {c}" for c in MONETARY_KPI_COLS)
+    + " FROM sb_labeled GROUP BY test_name, on_or_off_day"
+)
+
+
+@query("sb_total_metrics", _TOTALS_ORACLE)
+def sb_total_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: monetary-KPI sums by (test, arm) — automated_...py:128-129."""
+    return total_metrics(_labeled(spark, sf_dir))
+
+
+_MWU_ORACLE = (
+    ORACLE_FACT_CTE
+    + """
+, melted AS (
+  SELECT test_name, on_or_off_day, kpi, value
+  FROM sb_labeled
+  UNPIVOT (value FOR kpi IN ("""
+    + ", ".join(KPI_COLS)
+    + """))
+), per_value AS (
+  SELECT test_name, kpi, value, count(*) AS n,
+         sum(CASE WHEN on_or_off_day = 'On' THEN 1 ELSE 0 END) AS na
+  FROM melted GROUP BY test_name, kpi, value
+), ranked AS (
+  SELECT *, sum(n) OVER (PARTITION BY test_name, kpi ORDER BY value) AS cum
+  FROM per_value
+), agg AS (
+  SELECT test_name, kpi,
+         CAST(sum(na) AS BIGINT) AS n_a,
+         CAST(sum(n) - sum(na) AS BIGINT) AS n_b,
+         sum(na * (cum - n + (n + 1) / 2.0)) AS r_a,
+         sum(CAST(n AS DOUBLE) * n * n - n) AS tie_term,
+         CAST(sum(n) AS BIGINT) AS n_tot
+  FROM ranked GROUP BY test_name, kpi
+)
+SELECT test_name, kpi, n_a, n_b,
+       round(r_a - n_a * (n_a + 1) / 2.0, 4) AS u_stat,
+       round((greatest(r_a - n_a * (n_a + 1) / 2.0,
+                       CAST(n_a AS DOUBLE) * n_b - (r_a - n_a * (n_a + 1) / 2.0))
+              - CAST(n_a AS DOUBLE) * n_b / 2.0 - 0.5)
+             / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                    * ((n_tot + 1) - tie_term / (CAST(n_tot AS DOUBLE) * (n_tot - 1)))), 6) AS z
+FROM agg"""
+)
+
+
+@query("sb_mwu_ustat", _MWU_ORACLE)
+def sb_mwu_ustat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 (statistic half): distributed tie-corrected MWU U and z per (test, KPI).
+
+    The z→p normal tail is not DuckDB-expressible, so the oracle pins the exact
+    rank/tie machinery via U and z; the p-value path is covered by
+    tests/test_stats_reference.py and the rows-only `sb_mwu_pvalues` query.
+    """
+    from switchback_test_dag_spark.stats.mwu import mann_whitney_u
+    from switchback_test_dag_spark.stats.util import melt_kpis
+
+    long = melt_kpis(
+        _labeled(spark, sf_dir), KPI_COLS, id_cols=("test_name", "on_or_off_day")
+    )
+    res = mann_whitney_u(
+        long, "value", "on_or_off_day", "On", "Off", by=["test_name", "kpi"]
+    )
+    return res.select(
+        "test_name",
+        "kpi",
+        "n_a",
+        "n_b",
+        F.round("u_stat", 4).alias("u_stat"),
+        F.round("z", 6).alias("z"),
+    )
+
+
+@query("sb_mwu_pvalues")  # p-values: no SQL oracle (normal tail) → rows-only check
+def sb_mwu_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: the production p-value table (flagship output)."""
+    return p_values(_labeled(spark, sf_dir))
