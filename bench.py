@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced with a count() (full evaluation, no driver transfer cost);
+a warmup query amortizes JVM/codegen startup so timings reflect plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from switchback_test_dag_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: the flagship switchback battery plus the heaviest relational
+# operators (big joins, window ranks, IQR two-scan, range join). Keys must exist
+# in the QUERIES registry.
+HEADLINE = [
+    "sb_mwu_pvalues",
+    "sb_per_order_metrics",
+    "revenue_by_segment",
+    "filters_conjunctive",
+    "iqr_filtered_stats",
+    "temporal_range_join",
+    "latest_event_per_user",
+    "bucket_means_two_level",
+    "topk_customers",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="switchback-bench", cpus=CPUS, shuffle_partitions=CPUS)
+    queries = entry_mod.queries()
+    names = [n for n in HEADLINE if n in queries]
+    # include any opt-in extras tagged by modules (e.g. dedup/similarity headliners)
+    for n in sorted(queries):
+        if n.startswith("bench_") and n not in names:
+            names.append(n)
+
+    # warmup: JVM, parquet footer reads, codegen
+    queries[names[0]](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

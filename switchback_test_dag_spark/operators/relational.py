@@ -1,0 +1,151 @@
+"""Relational ELT primitives — Spark-first re-expressions of the reference's
+BigQuery operators (SURVEY §2.2-§2.7). Each function cites the statement it
+re-expresses in ``/root/reference/sql_queries/data_extraction_queries_automated_script.sql``
+(abbreviated ``ELT.sql``).
+
+Design notes for scale:
+- semi-joins are expressed on real key tuples (never CONCAT'd strings, which break
+  column statistics and pushdown — SURVEY §4 anti-pattern note on ELT.sql:140,337);
+- small dimensions are broadcast-hinted;
+- QUALIFY is window-column + filter (Catalyst prunes the extra column).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def explode_keep_empty(df: DataFrame, array_col: str, out_col: str) -> DataFrame:
+    """J2: ``LEFT JOIN UNNEST(array)`` — rows with empty/NULL arrays survive with a
+    NULL element (ELT.sql:15,52-53,159-161)."""
+    return df.withColumn(out_col, F.explode_outer(array_col))
+
+
+def explode_drop_empty(df: DataFrame, array_col: str, out_col: str) -> DataFrame:
+    """J1: ``CROSS JOIN UNNEST(array)`` — empty/NULL arrays drop the row
+    (ELT.sql:14,51,107-108)."""
+    return df.withColumn(out_col, F.explode(array_col))
+
+
+def dense_rank_name(
+    partition_cols: Sequence[str], order_col: str, prefix: str = "TG"
+) -> Column:
+    """W1: target-group naming ``'TG' || DENSE_RANK() OVER (PARTITION BY entity,
+    test ORDER BY vendor_group_id)`` (ELT.sql:36)."""
+    w = Window.partitionBy(*partition_cols).orderBy(order_col)
+    return F.concat(F.lit(prefix), F.dense_rank().over(w).cast("string"))
+
+
+def qualify_latest(
+    df: DataFrame, partition_cols: Sequence[str], version_col: str
+) -> DataFrame:
+    """W3: ``MAX(version) OVER (PARTITION BY keys) ... QUALIFY version = max`` —
+    keep only the newest config version per key (propagation_effect notebook
+    surge-config query). QUALIFY ≈ window column + filter in Spark."""
+    w = Window.partitionBy(*partition_cols)
+    return (
+        df.withColumn("_max_version", F.max(version_col).over(w))
+        .filter(F.col(version_col) == F.col("_max_version"))
+        .drop("_max_version")
+    )
+
+
+def string_agg_sorted(col: str, distinct: bool = True, sep: str = ", ") -> Column:
+    """A7: ``ARRAY_TO_STRING(ARRAY_AGG(DISTINCT x ORDER BY x), ', ')`` — sorted
+    CSV aggregation (ELT.sql:61,140,395). Deterministic under any partitioning
+    because the collected set is sorted before joining."""
+    collected = F.collect_set(col) if distinct else F.collect_list(col)
+    return F.array_join(F.array_sort(collected), sep)
+
+
+def semi_join_on_keys(
+    df: DataFrame, keys_df: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """J6: the reference filters facts with ``CONCAT(k1,'|',k2) IN (SELECT DISTINCT
+    CONCAT(...))`` (ELT.sql:337-352); re-expressed as a broadcast left-semi join on
+    the actual key tuple so pushdown/statistics survive."""
+    return df.join(broadcast(keys_df.select(*keys).distinct()), on=list(keys), how="left_semi")
+
+
+def anti_join_on_keys(
+    df: DataFrame, keys_df: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Complement of J6 (NOT IN exclusion lists, ELT.sql:345-346)."""
+    return df.join(broadcast(keys_df.select(*keys).distinct()), on=list(keys), how="left_anti")
+
+
+def iqr_bounds(
+    df: DataFrame, value_cols: Sequence[str], by: Sequence[str] = ()
+) -> DataFrame:
+    """P7 (half 1): per-group [q1 − 1.5·IQR, q3 + 1.5·IQR] bounds per KPI
+    (deep_dive_analyses.ipynb:2410-2414). Uses exact ``percentile`` (one shuffle
+    for all columns); swap to ``percentile_approx`` at warehouse scale where the
+    t-digest error is acceptable."""
+    aggs = []
+    for c in value_cols:
+        q1 = F.expr(f"percentile(`{c}`, 0.25)")
+        q3 = F.expr(f"percentile(`{c}`, 0.75)")
+        aggs += [
+            (q1 - 1.5 * (q3 - q1)).alias(f"{c}_lo"),
+            (q3 + 1.5 * (q3 - q1)).alias(f"{c}_hi"),
+        ]
+    return df.groupBy(*by).agg(*aggs)
+
+
+def iqr_filter(
+    df: DataFrame, value_cols: Sequence[str], by: Sequence[str] = ()
+) -> DataFrame:
+    """P7: drop rows outside the IQR fence on *every* KPI (NULLs survive, matching
+    pandas comparison semantics). Bounds are broadcast back — one extra scan, no
+    row-level sort."""
+    bounds = iqr_bounds(df, value_cols, by)
+    joined = df.join(broadcast(bounds), on=list(by)) if by else df.crossJoin(
+        broadcast(bounds)
+    )
+    cond = F.lit(True)
+    for c in value_cols:
+        in_fence = F.col(c).between(F.col(f"{c}_lo"), F.col(f"{c}_hi"))
+        cond = cond & F.coalesce(in_fence, F.lit(True))
+    drop_cols = [f"{c}_{s}" for c in value_cols for s in ("lo", "hi")]
+    return joined.filter(cond).drop(*drop_cols)
+
+
+def minmax_normalize(col: str, by: Sequence[str] = ()) -> Column:
+    """F24 (grouped): ``(x − min)/(max − min)`` per group as a window expression
+    (deep_dive_analyses.ipynb:~2739). For the global (ungrouped) case use
+    :func:`minmax_normalize_global` — an empty-partition window would move ALL
+    rows to a single partition."""
+    if not by:
+        raise ValueError("use minmax_normalize_global for the ungrouped case")
+    w = Window.partitionBy(*by)
+    lo, hi = F.min(col).over(w), F.max(col).over(w)
+    return F.when(hi != lo, (F.col(col) - lo) / (hi - lo)).otherwise(F.lit(0.0))
+
+
+def minmax_normalize_global(df: DataFrame, col: str, out_col: str) -> DataFrame:
+    """F24 (global): two-phase — tiny min/max aggregate broadcast back onto the
+    frame. Scales: the agg is a map-side-combined reduce, the join is a broadcast
+    nested-loop of a 1-row table (no shuffle of the fact)."""
+    bounds = df.agg(F.min(col).alias("_lo"), F.max(col).alias("_hi"))
+    norm = F.when(
+        F.col("_hi") != F.col("_lo"),
+        (F.col(col) - F.col("_lo")) / (F.col("_hi") - F.col("_lo")),
+    ).otherwise(F.lit(0.0))
+    return df.crossJoin(broadcast(bounds)).withColumn(out_col, norm).drop("_lo", "_hi")
+
+
+def pivot_matrix(
+    df: DataFrame,
+    row_col: str,
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    agg: Column,
+) -> DataFrame:
+    """A12: ``groupBy(row).pivot(col, values).agg(...)`` — zone×weekday matrices
+    (propagation_effect_analysis.ipynb:483-484). Explicit ``pivot_values`` avoids
+    the extra distinct-scan job and keeps the output schema stable."""
+    return df.groupBy(row_col).pivot(pivot_col, list(pivot_values)).agg(agg)

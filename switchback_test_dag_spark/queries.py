@@ -149,3 +149,10 @@ def sb_mwu_ustat(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sb_mwu_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: the production p-value table (flagship output)."""
     return p_values(_labeled(spark, sf_dir))
+
+
+# Register the relational / document / vector query families (each module adds its
+# entries to QUERIES/ORACLES via the @query decorator on import). Bottom-of-module
+# imports: these modules import `query` from here, so they must load after the
+# registry exists.
+from switchback_test_dag_spark import queries_relational  # noqa: E402,F401
