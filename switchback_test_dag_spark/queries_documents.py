@@ -1,0 +1,259 @@
+"""Document / embedding operator queries (training-data pipeline extensions:
+dedup, similarity search, text analysis, multimodal plumbing), each with a
+DuckDB oracle where SQL-expressible. Registered into ``queries.QUERIES`` on
+import (see bottom of ``queries.py``).
+
+Oracle parity notes:
+- tokenization is pinned on both engines as: lowercase → split on ``\\s+`` →
+  drop empties; shingles are space-joined word 3-grams, distinct;
+- Jaccard/cosine are rounded to 4 decimals on both sides;
+- MinHash/SimHash signatures use xxhash64, which DuckDB lacks → those queries'
+  oracles are the *brute-force exact* equivalent (the LSH result must equal the
+  exact result at these similarity margins) or rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from switchback_test_dag_spark.io import load_table
+from switchback_test_dag_spark.queries import query
+from switchback_test_dag_spark.text import analysis as TA
+from switchback_test_dag_spark.text import dedup as TD
+from switchback_test_dag_spark.vectors import similarity as VS
+
+# DuckDB-side token/shingle builders (kept in one place so every oracle agrees)
+_DUCK_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+_DUCK_SH3 = (
+    "list_distinct([array_to_string(toks[i:i+2], ' ') "
+    "for i in generate_series(1, len(toks) - 2)])"
+)
+_DUCK_JACCARD_PAIRS = f"""
+WITH tk AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {_DUCK_SH3} AS sh FROM tk WHERE len(toks) >= 3
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh)) AS i,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(i * 1.0 / u, 4) AS jaccard
+FROM pairs WHERE u > 0 AND i * 1.0 / u >= 0.85
+"""
+
+
+# --------------------------------------------------------------------------- #
+# text analysis
+# --------------------------------------------------------------------------- #
+
+
+@query(
+    "doc_token_stats",
+    f"""SELECT source,
+              CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS total_tokens,
+              CAST(sum(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]'))) AS BIGINT) AS total_bpe_tokens,
+              round(avg(len({_DUCK_TOKS})), 4) AS avg_tokens
+       FROM documents GROUP BY source""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) per source — corpus budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(TA.token_count("text")).cast("long").alias("total_tokens"),
+        F.sum(TA.bpe_token_count("text")).cast("long").alias("total_bpe_tokens"),
+        F.round(F.avg(TA.token_count("text")), 4).alias("avg_tokens"),
+    )
+
+
+def _duck_profile_score(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_DUCK_TOKS}, x -> list_contains([{lst}], x)))"
+
+
+def _duck_lang_case() -> str:
+    scores = {lang: _duck_profile_score(ws) for lang, ws in TA.LANG_PROFILES.items()}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(f"WHEN {e} = {best} THEN '{lang}'" for lang, e in scores.items())
+    return f"CASE WHEN {best} < 1 THEN 'und' ELSE CASE {cases} END END"
+
+
+@query(
+    "doc_lang_id",
+    f"""SELECT {_duck_lang_case()} AS predicted_lang, count(*) AS n
+       FROM documents GROUP BY predicted_lang""",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-profile argmax) — predicted-language
+    histogram."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(TA.lang_id("text").alias("predicted_lang")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_DUCK_SW = _duck_profile_score(TA.LANG_PROFILES["en"])
+_DUCK_NTOK = f"len({_DUCK_TOKS})"
+_DUCK_QUALITY = f"""(
+    0.25 * least(1.0, length(text) / 500.0)
+  + 0.25 * least(1.0, (CASE WHEN {_DUCK_NTOK} = 0 THEN 0.0 ELSE CAST({_DUCK_SW} AS DOUBLE) / {_DUCK_NTOK} END) * 4)
+  + 0.25 * (1 - least(1.0, (CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END) * 5))
+  + 0.25 * (CASE WHEN {_DUCK_NTOK} > 0
+                  AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / {_DUCK_NTOK} BETWEEN 3 AND 10
+            THEN 1.0 ELSE 0.0 END)
+)"""
+
+
+@query(
+    "doc_quality_scores",
+    f"""SELECT source, round(avg({_DUCK_QUALITY}), 6) AS avg_quality,
+              count(CASE WHEN {_DUCK_QUALITY} >= 0.75 THEN 1 END) AS n_high
+       FROM documents GROUP BY source""",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length/stopword/punctuation/word-length composite) per
+    source — the cheap pre-filter of a pretraining pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    qs = TA.quality_score("text")
+    return docs.groupBy("source").agg(
+        F.round(F.avg(qs), 6).alias("avg_quality"),
+        F.count(F.when(qs >= 0.75, 1)).alias("n_high"),
+    )
+
+
+@query(
+    "doc_fingerprint_dups",
+    """WITH u AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+       )
+       SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+              count(*) AS n_docs, min(doc_id) AS keeper_id
+       FROM u GROUP BY fingerprint HAVING count(*) > 1""",
+)
+def doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint (md5 of normalized text): the corpus
+    unioned with a shifted copy of every 50th doc — duplicate groups found by
+    hash-groupBy (one shuffle keyed on the fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return TD.exact_duplicate_groups(docs.unionByName(copies), "doc_id", "text")
+
+
+# --------------------------------------------------------------------------- #
+# dedup
+# --------------------------------------------------------------------------- #
+
+
+@query("doc_minhash_lsh_pairs", _DUCK_JACCARD_PAIRS)
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified at threshold 0.85.
+
+    Oracle is the brute-force all-pairs Jaccard: at the fixture's similarity
+    margins (planted dups ≥ 0.9) the LSH miss probability is < 1e-7, so the
+    approximate path must reproduce the exact result."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TD.minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_n=3, k=64, bands=16, threshold=0.85
+    )
+
+
+@query("doc_ngram_jaccard_pairs", _DUCK_JACCARD_PAIRS)
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force n-gram Jaccard near-dup pairs (the exact verification path —
+    direct parity with the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TD.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.85)
+
+
+@query("doc_simhash_pairs")  # xxhash64 signatures: not DuckDB-expressible → rows-only
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 12 of 64 bits via 16-bit chunk
+    pigeonhole candidates). Recall against planted dups is pytest-verified
+    (tests/test_text_dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TD.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "emb_near_dup_pairs",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Fixture embeddings are cluster-sampled
+    (max pair cosine ≈ 0.51), so the demo threshold is 0.4; production
+    near-dup removal uses ≥ 0.95 with LSH candidate generation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return TD.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+# --------------------------------------------------------------------------- #
+# similarity search
+# --------------------------------------------------------------------------- #
+
+
+@query(
+    "emb_cosine_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       scored AS (
+         SELECT q.query_id, e.vec_id AS neighbor_id,
+                round(list_cosine_similarity(qv, e.embedding), 4) AS cosine
+         FROM embeddings e, q WHERE e.vec_id != q.query_id
+       )
+       SELECT query_id, neighbor_id, cosine,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       FROM scored
+       QUALIFY rank <= 10""",
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 query vectors: broadcast queries,
+    one corpus scan, window top-k keyed on query_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return VS.cosine_topk_bruteforce(emb, queries_df, "vec_id", "embedding", k=10)
+
+
+@query("emb_lsh_topk")  # approximate (recall < 1 by design) → rows-only check
+def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-10 (multi-probe). Recall vs brute force is
+    pytest-verified; the driver checks rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return VS.hyperplane_lsh_topk(
+        emb, queries_df, "vec_id", "embedding", k=10, n_planes=4
+    )
+
+
+# --------------------------------------------------------------------------- #
+# multimodal plumbing
+# --------------------------------------------------------------------------- #
+
+
+@query(
+    "media_payload_stats",
+    """SELECT source, count(*) AS n,
+              CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+              CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+       FROM documents GROUP BY source""",
+)
+def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: payloads synthesized from text (utf-8
+    encode), per-source byte accounting. The decode/feature-extract path for
+    real image/audio payloads lives in multimodal/media.py (Pandas-UDF over
+    mapInPandas with stubbed codecs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length(payload)).cast("long").alias("total_bytes"),
+        F.max(F.octet_length(payload)).cast("long").alias("max_bytes"),
+    )

@@ -1,0 +1,122 @@
+"""Similarity search over an embedding column — brute-force cosine top-k as the
+exact baseline, hyperplane-LSH bucketing as the approximate scale path.
+
+Scale design:
+- **brute force**: query set is broadcast (it is small by definition); the corpus
+  is scanned once, cosine is a zip_with/aggregate expression in codegen, and
+  top-k per query is a window over (query, cosine) — shuffle keyed on query_id.
+  Exact, O(corpus × queries); right whenever queries ≪ corpus.
+- **hyperplane LSH**: vectors are bucketed by the sign pattern of dot products
+  with ``n_planes`` pseudo-random hyperplanes (deterministic: plane components
+  are xxhash64(plane, dim) mapped to ±1 — no stored model, reproducible on any
+  cluster). Probing compares each query only against its bucket (plus
+  multi-probe neighbors at distance 1), turning O(corpus) per query into
+  O(corpus / 2^planes) expected — the classic ANN recall/cost dial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from switchback_test_dag_spark.text.dedup import cosine_sim
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank), self-matches excluded.
+    Ranking is by cosine rounded to 4 with id tiebreak — coarse enough that
+    cross-engine float-summation noise (~1e-7) cannot flip the order, fine
+    enough that genuine neighbors stay ranked; deterministic for the oracle
+    gate.
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_sim("qv", "cv"), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(vec_col: str, n_planes: int = 8) -> Column:
+    """LSH bucket id: sign pattern of ⟨v, hₚ⟩ for ``n_planes`` pseudo-random
+    ±1-component hyperplanes, packed into a bigint. Plane p's component for
+    dimension d is sign(xxhash64(p, d)) — deterministic, no stored model, and
+    the whole signature is one codegen expression."""
+    return F.expr(
+        f"""aggregate(
+              transform(sequence(0, {n_planes - 1}),
+                p -> CASE WHEN aggregate(
+                         zip_with({vec_col}, sequence(0, size({vec_col}) - 1),
+                                  (x, d) -> CAST(x AS DOUBLE) * CASE WHEN xxhash64(p, d) % 2 = 0 THEN 1.0 ELSE -1.0 END),
+                         0D, (acc, v) -> acc + v) > 0
+                     THEN shiftleft(1L, p) ELSE 0L END),
+              0L, (acc, x) -> acc + x)"""
+    )
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe: bool = True,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: compare each query only against corpus vectors in its
+    hyperplane bucket (and, with ``multiprobe``, buckets at Hamming distance 1 —
+    recall↑ at (n_planes+1)× probe cost). Join is keyed on bucket id: the probe
+    side explodes its probe list, the corpus side is bucketed once."""
+    query_id_col = query_id_col or id_col
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        hyperplane_signature(vec_col, n_planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        hyperplane_signature(vec_col, n_planes).alias("sig"),
+    )
+    if multiprobe:
+        probes = F.expr(
+            f"array_union(array(sig), transform(sequence(0, {n_planes - 1}), p -> sig ^ shiftleft(1L, p)))"
+        )
+    else:
+        probes = F.expr("array(sig)")
+    q = q.withColumn("bucket", F.explode(probes)).drop("sig")
+    scored = (
+        c.join(broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_sim("qv", "cv"), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
