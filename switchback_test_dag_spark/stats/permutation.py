@@ -1,0 +1,269 @@
+"""Randomization-inference engine — multi-seed vectorized permutation tests,
+FPR / power simulation and CI coverage (SURVEY §2 T5, T7, T8, T10, T18).
+
+The reference runs these as **serial driver loops**: N re-randomizations ×
+window sizes × KPIs, each iteration re-assigning a pandas column and re-running
+scipy (``method_evaluation.ipynb:269-360``; ``switchback_analysis.ipynb:779-798``).
+That design is the reference's known bottleneck (SURVEY §3.3).
+
+Spark-first design — the seed dimension lives in the *plan*, not in a loop:
+
+1. ONE pass over the fact table reduces it to per-(by, bucket) moments
+   (``n, Σy, Σy²``). At 100 TB this is the only big shuffle, and it is the same
+   aggregation the switchback analysis already needs.
+2. The tiny moment table is crossed with ``explode(sequence(0, n_seeds−1))`` —
+   buckets × seeds rows (e.g. 1k × 1k = 1M), trivially parallel.
+3. The seeded arm of (bucket, seed) is a **portable deterministic hash**:
+   ``substring(md5(concat(bucket, '|', seed)), 1, 4) < '8000'`` — exactly
+   Bernoulli(p) for a 4-hex-digit threshold, reproducible on any cluster size
+   AND expressible verbatim in DuckDB, so the whole engine is oracle-diffable
+   (xxhash64, Spark's fast path, has no DuckDB twin; md5 costs a few ns more
+   per *bucket×seed*, not per order — irrelevant after step 1).
+4. Every statistic (permutation mean-difference, bucket-level t, injected-effect
+   power, CI coverage) is closed-form column math over those moments — one
+   ``groupBy(seed)`` on step-2's output computes all N iterations at once.
+
+Effect injection (power) is exact on moments: adding δ to every treated order
+shifts ``Σy`` by δ·n and ``Σy²`` by 2δΣy + δ²n.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ON, OFF = "On", "Off"
+
+
+def hex_threshold(p: float) -> str:
+    """4-hex-digit threshold with P(md5-prefix < threshold) = round(p·65536)/65536."""
+    return format(max(0, min(65536, round(p * 65536))), "04x")
+
+
+def portable_arm_sql(unit_sql: str, seed_sql: str, p: float = 0.5) -> str:
+    """Engine-portable seeded assignment as a SQL fragment (valid in Spark SQL
+    *and* DuckDB): 'On' iff the md5 prefix of ``unit|seed`` falls below the
+    p-threshold. Lowercase-hex string comparison equals numeric comparison
+    because hex digits 0-9a-f are ASCII-ordered."""
+    return (
+        f"CASE WHEN substring(md5(concat(cast({unit_sql} as string), '|', "
+        f"cast({seed_sql} as string))), 1, 4) < '{hex_threshold(p)}' "
+        f"THEN '{ON}' ELSE '{OFF}' END"
+    )
+
+
+def portable_arm(unit_col: str, seed_col: str, p: float = 0.5) -> Column:
+    return F.expr(portable_arm_sql(unit_col, seed_col, p))
+
+
+def bucket_moments(
+    df: DataFrame, value_col: str, bucket_col: str | Column, by: Sequence[str] = ()
+) -> DataFrame:
+    """Step 1: reduce the fact table to per-(by, bucket) moments — the single
+    big-data shuffle of the whole engine. NaN/NULL rows are dropped (scipy
+    ``nan_policy='omit'`` parity)."""
+    v = F.col(value_col).cast("double")
+    bucket = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    return (
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .groupBy(*by, bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum(v * v).alias("s2"),
+        )
+    )
+
+
+def with_seeds(moments: DataFrame, n_seeds: int, p: float = 0.5) -> DataFrame:
+    """Step 2+3: cross the moment table with the seed range and attach the
+    seeded arm. Output grain: (by, bucket, seed, arm)."""
+    return moments.withColumn(
+        "seed", F.explode(F.sequence(F.lit(0), F.lit(n_seeds - 1)))
+    ).withColumn("arm", portable_arm("bucket", "seed", p))
+
+
+def permutation_mean_diffs(
+    df: DataFrame,
+    value_col: str,
+    bucket_col: str | Column,
+    n_seeds: int,
+    by: Sequence[str] = (),
+    p: float = 0.5,
+) -> DataFrame:
+    """T5/T18: the permutation distribution of the order-level mean difference
+    under re-randomized bucket assignment — one row per (by, seed)."""
+    by = list(by)
+    m = with_seeds(bucket_moments(df, value_col, bucket_col, by), n_seeds, p)
+    on_n = F.sum(F.when(F.col("arm") == ON, F.col("n")))
+    off_n = F.sum(F.when(F.col("arm") == OFF, F.col("n")))
+    on_s = F.sum(F.when(F.col("arm") == ON, F.col("s1")))
+    off_s = F.sum(F.when(F.col("arm") == OFF, F.col("s1")))
+    return (
+        m.groupBy(*by, "seed")
+        .agg(on_n.alias("n_on"), off_n.alias("n_off"),
+             on_s.alias("s_on"), off_s.alias("s_off"))
+        .filter((F.col("n_on") > 0) & (F.col("n_off") > 0))
+        .select(
+            *by,
+            "seed",
+            "n_on",
+            "n_off",
+            (F.col("s_on") / F.col("n_on") - F.col("s_off") / F.col("n_off")).alias(
+                "mean_diff"
+            ),
+        )
+    )
+
+
+def permutation_thresholds(
+    diffs: DataFrame, by: Sequence[str] = (), alpha: float = 0.05
+) -> DataFrame:
+    """T5: the reference's 'adjusted p-value' significance bounds — the
+    (α/2, 1−α/2) percentiles of the permutation distribution
+    (``method_evaluation.ipynb:269-300``)."""
+    lo, hi = alpha / 2, 1 - alpha / 2
+    return diffs.groupBy(*by).agg(
+        F.expr(f"percentile(mean_diff, {lo})").alias("lower"),
+        F.expr(f"percentile(mean_diff, {hi})").alias("upper"),
+        F.count(F.lit(1)).alias("n_seeds"),
+    )
+
+
+def permutation_p_value(
+    diffs: DataFrame, observed: DataFrame, by: Sequence[str]
+) -> DataFrame:
+    """Permutation p-value: share of re-randomized |diffs| ≥ |observed diff|
+    (add-one smoothed). ``observed`` carries (by, mean_diff AS observed_diff)."""
+    joined = diffs.join(observed, on=list(by))
+    return joined.groupBy(*by).agg(
+        (
+            (F.sum(F.when(F.abs("mean_diff") >= F.abs("observed_diff"), 1).otherwise(0)) + 1)
+            / (F.count(F.lit(1)) + 1)
+        ).alias("p_value")
+    )
+
+
+def _bucket_level_t(seeded: DataFrame, by: Sequence[str]) -> DataFrame:
+    """Bucket-mean two-sample t statistic per (by, seed) — T3 semantics (t-test
+    over time-unit means), closed-form from bucket moments."""
+    bm = F.col("s1") / F.col("n")  # bucket mean
+    g = seeded.withColumn("bm", bm)
+    on_ = F.when(F.col("arm") == ON, F.col("bm"))
+    off = F.when(F.col("arm") == OFF, F.col("bm"))
+    agg = g.groupBy(*by, "seed").agg(
+        F.count(on_).alias("g_on"),
+        F.count(off).alias("g_off"),
+        F.avg(on_).alias("m_on"),
+        F.avg(off).alias("m_off"),
+        F.coalesce(F.var_samp(on_), F.lit(0.0)).alias("v_on"),
+        F.coalesce(F.var_samp(off), F.lit(0.0)).alias("v_off"),
+    )
+    g_on, g_off = F.col("g_on"), F.col("g_off")
+    valid = (g_on > 1) & (g_off > 1)
+    sp2 = ((g_on - 1) * F.col("v_on") + (g_off - 1) * F.col("v_off")) / (
+        g_on + g_off - 2
+    )
+    se = F.when(valid & (sp2 > 0), F.sqrt(sp2 * (1 / g_on + 1 / g_off)))
+    return agg.select(
+        *by,
+        "seed",
+        "g_on",
+        "g_off",
+        (F.col("m_on") - F.col("m_off")).alias("mean_diff"),
+        se.alias("se"),
+        F.when(se.isNotNull(), (F.col("m_on") - F.col("m_off")) / se).alias("t_stat"),
+        F.when(valid, (g_on + g_off - 2).cast("double")).alias("dof"),
+    )
+
+
+def fpr_simulation(
+    df: DataFrame,
+    value_col: str,
+    bucket_col: str | Column,
+    n_seeds: int,
+    critical_value: float,
+    by: Sequence[str] = (),
+    p: float = 0.5,
+) -> DataFrame:
+    """T7: false-positive rate of the bucket-level t-test under the null — the
+    share of N re-randomizations whose |t| exceeds ``critical_value``. On A/A
+    (null) data this must come out ≈ α: the reference's own acceptance
+    criterion for an inference method (SURVEY §5).
+
+    ``critical_value`` is the t critical point for the (fixed) dof; compute it
+    driver-side once via ``stats.special.t_ppf_two_sided`` — keeping the
+    distributed plan free of special functions (and the oracle SQL-pure).
+    """
+    by = list(by)
+    seeded = with_seeds(bucket_moments(df, value_col, bucket_col, by), n_seeds, p)
+    t = _bucket_level_t(seeded, by)
+    return t.groupBy(*by).agg(
+        F.avg(
+            F.when(F.abs("t_stat") > critical_value, 1.0).otherwise(0.0)
+        ).alias("fpr"),
+        F.count(F.lit(1)).alias("n_sims"),
+    )
+
+
+def power_simulation(
+    df: DataFrame,
+    value_col: str,
+    bucket_col: str | Column,
+    n_seeds: int,
+    effect: float,
+    critical_value: float,
+    by: Sequence[str] = (),
+    p: float = 0.5,
+) -> DataFrame:
+    """T8: detection power for an injected additive effect δ on the treated arm.
+    Injection is exact on moments (s1 += δ·n; s2 += 2δ·s1 + δ²·n), so no second
+    pass over the fact table is needed."""
+    by = list(by)
+    seeded = with_seeds(bucket_moments(df, value_col, bucket_col, by), n_seeds, p)
+    d = F.lit(float(effect))
+    injected = seeded.withColumns(
+        {
+            "s2": F.when(
+                F.col("arm") == ON,
+                F.col("s2") + 2 * d * F.col("s1") + d * d * F.col("n"),
+            ).otherwise(F.col("s2")),
+            "s1": F.when(F.col("arm") == ON, F.col("s1") + d * F.col("n")).otherwise(
+                F.col("s1")
+            ),
+        }
+    )
+    t = _bucket_level_t(injected, by)
+    return t.groupBy(*by).agg(
+        F.avg(
+            F.when(F.abs("t_stat") > critical_value, 1.0).otherwise(0.0)
+        ).alias("power"),
+        F.count(F.lit(1)).alias("n_sims"),
+    )
+
+
+def ci_coverage(
+    df: DataFrame,
+    value_col: str,
+    bucket_col: str | Column,
+    n_seeds: int,
+    critical_value: float,
+    by: Sequence[str] = (),
+    p: float = 0.5,
+) -> DataFrame:
+    """T10: share of re-randomizations whose (mean_diff ± crit·se) interval
+    covers 0 — on null data must ≈ the nominal level (the reference checks 68%
+    for 1-σ intervals, ``method_evaluation.ipynb:883-895``)."""
+    by = list(by)
+    seeded = with_seeds(bucket_moments(df, value_col, bucket_col, by), n_seeds, p)
+    t = _bucket_level_t(seeded, by)
+    covered = (
+        (F.col("mean_diff") - critical_value * F.col("se") <= 0)
+        & (F.col("mean_diff") + critical_value * F.col("se") >= 0)
+    )
+    return t.filter(F.col("se").isNotNull()).groupBy(*by).agg(
+        F.avg(F.when(covered, 1.0).otherwise(0.0)).alias("coverage"),
+        F.count(F.lit(1)).alias("n_sims"),
+    )

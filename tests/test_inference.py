@@ -1,0 +1,189 @@
+"""Calibration and property tests for the randomization-inference engine:
+statistical validity (FPR ≈ α, coverage ≈ nominal, power monotonicity) — the
+reference's own A/A acceptance criteria (SURVEY §5) — plus determinism and
+assignment-strategy invariants not covered by SQL oracles."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from switchback_test_dag_spark.io import load_table
+from switchback_test_dag_spark.plans import assignment as A
+from switchback_test_dag_spark.stats import permutation as P
+from switchback_test_dag_spark.stats.special import t_ppf_two_sided
+
+SF = "/root/testdata/sf0.001"
+BUCKET = "ts_ns div 3600000000000"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF, "events")
+
+
+def _binom_ci(p, n, z=3.0):
+    half = z * math.sqrt(p * (1 - p) / n)
+    return p - half, p + half
+
+
+def test_fpr_calibrated_at_exact_t_crit(events):
+    """A/A FPR of the bucket-level t-test must sit in the 3σ binomial band
+    around α = 5% when using the exact t critical value for the actual dof."""
+    n_seeds = 400
+    g = events.select(F.expr(BUCKET).alias("b")).distinct().count()
+    crit = float(t_ppf_two_sided(0.05, float(g - 2)))
+    fpr = P.fpr_simulation(events, "value", F.expr(BUCKET), n_seeds, crit).collect()[
+        0
+    ]["fpr"]
+    lo, hi = _binom_ci(0.05, n_seeds)
+    assert lo <= fpr <= hi, f"FPR {fpr} outside [{lo:.3f}, {hi:.3f}]"
+
+
+def test_coverage_calibrated(events):
+    n_seeds = 400
+    g = events.select(F.expr(BUCKET).alias("b")).distinct().count()
+    crit = float(t_ppf_two_sided(0.05, float(g - 2)))
+    cov = P.ci_coverage(events, "value", F.expr(BUCKET), n_seeds, crit).collect()[0][
+        "coverage"
+    ]
+    lo, hi = _binom_ci(0.95, n_seeds)
+    assert lo <= cov <= hi, f"coverage {cov} outside [{lo:.3f}, {hi:.3f}]"
+
+
+def test_power_monotone_in_effect(events):
+    """Bigger injected effects must not reduce detection power, and a huge
+    effect must be detected (power → 1)."""
+    powers = []
+    for effect in (0.0, 5.0, 50.0):
+        r = P.power_simulation(
+            events, "value", F.expr(BUCKET), 100, effect, 1.959964
+        ).collect()[0]["power"]
+        powers.append(r)
+    assert powers[0] <= powers[1] + 0.05
+    assert powers[1] <= powers[2] + 0.05
+    assert powers[2] > 0.95
+    assert powers[0] < 0.15  # effect 0 ⇒ FPR-level detection
+
+
+def test_permutation_distribution_centered(events):
+    """Null permutation mean-differences center on 0: |mean of diffs| ≪ sd."""
+    d = P.permutation_mean_diffs(events, "value", F.expr(BUCKET), 200).collect()
+    diffs = [r["mean_diff"] for r in d]
+    n = len(diffs)
+    mu = sum(diffs) / n
+    sd = math.sqrt(sum((x - mu) ** 2 for x in diffs) / (n - 1))
+    assert abs(mu) < 4 * sd / math.sqrt(n)
+
+
+def test_permutation_deterministic(events):
+    a = P.permutation_mean_diffs(events, "value", F.expr(BUCKET), 50).collect()
+    b = P.permutation_mean_diffs(events, "value", F.expr(BUCKET), 50).collect()
+    assert sorted((r["seed"], r["mean_diff"]) for r in a) == sorted(
+        (r["seed"], r["mean_diff"]) for r in b
+    )
+
+
+def test_permutation_p_value_detects_planted_effect(events):
+    """Inject a large effect with a REAL (seed-0) assignment; the permutation
+    p-value against re-randomizations must be small."""
+    labeled = events.withColumn("arm", P.portable_arm(BUCKET, "0")).withColumn(
+        "value", F.when(F.col("arm") == "On", F.col("value") + 50).otherwise(
+            F.col("value")
+        )
+    )
+    obs_row = (
+        labeled.groupBy()
+        .agg(
+            (
+                F.avg(F.when(F.col("arm") == "On", F.col("value")))
+                - F.avg(F.when(F.col("arm") == "Off", F.col("value")))
+            ).alias("observed_diff")
+        )
+        .withColumn("k", F.lit(1))
+    )
+    diffs = P.permutation_mean_diffs(
+        labeled.filter(F.col("arm").isNotNull()), "value", F.expr(BUCKET), 200
+    ).withColumn("k", F.lit(1))
+    p = P.permutation_p_value(diffs, obs_row, by=["k"]).collect()[0]["p_value"]
+    assert p < 0.02
+
+
+def test_hex_threshold_bounds():
+    assert P.hex_threshold(0.0) == "0000"
+    assert P.hex_threshold(0.5) == "8000"
+    assert P.hex_threshold(1.0) == "10000"  # no 4-hex string sorts ≥ this
+    assert P.hex_threshold(0.25) == "4000"
+
+
+def test_portable_arm_proportion(spark):
+    """P(On) tracks the requested proportion within 3σ."""
+    n = 20_000
+    units = spark.range(n)
+    for p in (0.25, 0.5, 0.75):
+        share = (
+            units.withColumn("arm", P.portable_arm("id", "1", p))
+            .agg(F.avg(F.when(F.col("arm") == "On", 1.0).otherwise(0.0)))
+            .collect()[0][0]
+        )
+        lo, hi = _binom_ci(p, n)
+        assert lo <= share <= hi
+
+
+# ------------------------- assignment strategies ---------------------------- #
+
+
+def test_balanced_assignment_deterministic_and_balanced(spark):
+    buckets = spark.range(100).select(
+        (F.col("id") % 7).cast("string").alias("day"), F.col("id").alias("unit")
+    )
+    a = A.balanced_assignment(buckets, "unit", "day", seed=3).collect()
+    b = A.balanced_assignment(buckets, "unit", "day", seed=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = A.balanced_assignment(buckets, "unit", "day", seed=4).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # seed changes draw
+    per_day = {}
+    for r in a:
+        per_day.setdefault(r["day"], []).append(r["assignment"])
+    for day, arms in per_day.items():
+        n_on = sum(1 for x in arms if x == "On")
+        assert abs(n_on - (len(arms) - n_on)) <= 1
+
+
+def test_counterpart_inverts_only_partner(spark):
+    df = spark.createDataFrame(
+        [(1, "A", "On"), (1, "B", "On"), (2, "A", "Off"), (2, "B", "Off")],
+        ["unit", "city", "arm"],
+    )
+    out = df.withColumn(
+        "arm2", A.counterpart_assignment("arm", "city", counterpart_city="B")
+    ).collect()
+    for r in out:
+        if r["city"] == "B":
+            assert r["arm2"] != r["arm"]
+        else:
+            assert r["arm2"] == r["arm"]
+
+
+def test_zone_flip_and_invert(spark):
+    df = spark.createDataFrame(
+        [("z1", "On"), ("z2", "On"), ("z1", "Off")], ["zone", "arm"]
+    )
+    out = df.withColumn("f", A.zone_flip("arm", "zone", flip_zone="z1")).collect()
+    for r in out:
+        expected = ("Off" if r["arm"] == "On" else "On") if r["zone"] == "z1" else r["arm"]
+        assert r["f"] == expected
+
+
+def test_time_city_assignment_varies_by_city(spark):
+    df = spark.range(200).select(
+        F.col("id").alias("unit"), F.lit("X").alias("cx"), F.lit("Y").alias("cy")
+    )
+    out = df.select(
+        A.time_city_assignment("unit", "cx", seed=1).alias("ax"),
+        A.time_city_assignment("unit", "cy", seed=1).alias("ay"),
+    ).collect()
+    diff = sum(1 for r in out if r["ax"] != r["ay"])
+    assert 40 < diff < 160  # independent-ish across cities
