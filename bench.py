@@ -36,6 +36,11 @@ HEADLINE = [
     "latest_event_per_user",
     "bucket_means_two_level",
     "topk_customers",
+    "perm_mean_diff_dist",
+    "fpr_simulation",
+    "doc_minhash_lsh_pairs",
+    "emb_cosine_topk",
+    "doc_token_stats",
 ]
 
 

@@ -52,34 +52,38 @@ def bpe_token_count(text_col: str) -> Column:
     return F.expr(f"size(regexp_extract_all({text_col}, '{BPE_TOKEN_RE}', 0))")
 
 
+def _array_ngrams_sql(arr_sql: str, n: int, sep: str = " ") -> str:
+    """n-gram array over an array expression via a zip_with chain of slices.
+
+    Performance-critical shape: every occurrence of ``arr_sql`` sits at
+    *argument* level (evaluated once per row per occurrence, ~n+1 total), never
+    inside a lambda body — a lambda-body reference is re-evaluated per element,
+    turning an O(len) projection into O(len²) (64×+ slowdowns measured when the
+    array is itself a split/filter expression).
+    """
+    ln = f"size({arr_sql}) - {n - 1}"
+    acc = f"slice({arr_sql}, 1, {ln})"
+    for k in range(2, n + 1):
+        acc = (
+            f"zip_with({acc}, slice({arr_sql}, {k}, {ln}), "
+            f"(a, b) -> concat(a, '{sep}', b))"
+        )
+    return f"CASE WHEN size({arr_sql}) >= {n} THEN array_distinct({acc}) ELSE array() END"
+
+
 def word_shingles(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles (space-joined), the MinHash input unit.
-
-    ``transform(sequence(1, ntok-n+1), i -> array_join(slice(toks, i, n)))`` is
-    O(len) per row with no explode; documents shorter than ``n`` words yield an
-    empty array (callers must guard any division by |shingles| — ANSI mode).
-    """
-    return F.expr(
-        f"""CASE WHEN size(filter(split(lower({text_col}), '{TOKEN_SPLIT_RE}'), x -> x != '')) >= {n}
-            THEN array_distinct(transform(
-                sequence(1, size(filter(split(lower({text_col}), '{TOKEN_SPLIT_RE}'), x -> x != '')) - {n - 1}),
-                i -> array_join(slice(filter(split(lower({text_col}), '{TOKEN_SPLIT_RE}'), x -> x != ''), i, {n}), ' ')))
-            ELSE array()
-            END"""
-    )
+    Documents shorter than ``n`` words yield an empty array (callers must guard
+    any division by |shingles| — ANSI mode)."""
+    toks = f"filter(split(lower({text_col}), '{TOKEN_SPLIT_RE}'), x -> x != '')"
+    return F.expr(_array_ngrams_sql(toks, n, " "))
 
 
 def char_ngrams(text_col: str, n: int = 3) -> Column:
     """Distinct character n-grams of the lowercased text (SimHash/lang-ID
     features)."""
-    return F.expr(
-        f"""CASE WHEN length(lower({text_col})) >= {n}
-            THEN array_distinct(transform(
-                sequence(1, length(lower({text_col})) - {n - 1}),
-                i -> substring(lower({text_col}), i, {n})))
-            ELSE array()
-            END"""
-    )
+    chars = f"split(lower({text_col}), '')"
+    return F.expr(_array_ngrams_sql(chars, n, ""))
 
 
 def _profile_score(text_col: str, words: tuple[str, ...]) -> str:
@@ -167,15 +171,9 @@ def rolling_fingerprint(text_col: str, window: int = 8, keep_every: int = 16) ->
     words, keep hashes ≡ 0 (mod ``keep_every``) — a sorted sketch of the
     document usable for containment / partial-overlap detection. Pure expression
     (no UDF): transform + filter over the shingle array."""
+    toks = f"filter(split(lower({text_col}), '{TOKEN_SPLIT_RE}'), x -> x != '')"
+    grams = _array_ngrams_sql(toks, window, " ")
     return F.expr(
-        f"""array_sort(filter(
-              transform(
-                CASE WHEN size(filter(split(lower({text_col}), '{TOKEN_SPLIT_RE}'), x -> x != '')) >= {window}
-                THEN transform(
-                    sequence(1, size(filter(split(lower({text_col}), '{TOKEN_SPLIT_RE}'), x -> x != '')) - {window - 1}),
-                    i -> array_join(slice(filter(split(lower({text_col}), '{TOKEN_SPLIT_RE}'), x -> x != ''), i, {window}), ' '))
-                ELSE array()
-                END,
-                s -> xxhash64(s)),
-              h -> pmod(h, {keep_every}) = 0))"""
+        f"""array_sort(filter(transform({grams}, s -> xxhash64(s)),
+                              h -> pmod(h, {keep_every}) = 0))"""
     )
