@@ -155,6 +155,7 @@ def sb_mwu_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries to QUERIES/ORACLES via the @query decorator on import). Bottom-of-module
 # imports: these modules import `query` from here, so they must load after the
 # registry exists.
+from switchback_test_dag_spark import queries_design  # noqa: E402,F401
 from switchback_test_dag_spark import queries_documents  # noqa: E402,F401
 from switchback_test_dag_spark import queries_geo  # noqa: E402,F401
 from switchback_test_dag_spark import queries_inference  # noqa: E402,F401
