@@ -1,0 +1,106 @@
+"""Structured-Streaming ingestion of the events fact with switchback-bucket
+tumbling windows.
+
+The reference is batch-only (its DAG runs ``@daily`` —
+`dags/switchback_test_dag.py:29`), so this is the Spark-native extension SURVEY
+§2.9 sketches: the switchback "time unit" (orders floored to a window,
+`notebooks/switchback_analysis.ipynb:158`) maps 1:1 onto a tumbling
+``window(ts, ...)`` aggregation, and the watermark bounds state for late orders.
+The same aggregation expression tree is shared with the batch path, so a
+micro-batch ``availableNow`` run over a parquet directory must produce exactly
+the batch answer — which is what tests/test_streaming.py asserts.
+
+Scale notes: the streaming agg is keyed by (window, group-cols) — state size is
+O(active windows × groups), independent of row volume; the watermark evicts
+closed windows. File-source ingestion lists new files per micro-batch, so a
+100 TB backfill is bounded by ``maxFilesPerTrigger``, not memory.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``readStream`` over the events parquet (file or directory path).
+
+    Schema comes from a batch read of the same path (file streams require an
+    explicit schema). ``ts`` arrives as ns-since-epoch BIGINT
+    (``spark.sql.legacy.parquet.nanosAsLong`` — see ``io.load_table``) and is
+    exposed µs-truncated as a proper timestamp plus the exact ``ts_ns``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(path):
+        # file-stream sources need a directory; narrow a single-file fixture
+        # path to its parent + glob filter
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def windowed_bucket_metrics(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    by: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(switchback-bucket, segment) KPI aggregation, streaming-safe.
+
+    Emits bucket start/end, row count and mean/sum of the KPI — the streaming
+    twin of the batch time-unit aggregation (SURVEY §2.4 A5). Works on batch
+    DataFrames too (watermark is a no-op there), which is how the differential
+    test pins equivalence.
+    """
+    v = F.col(value_col).cast("double")
+    with_wm = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        with_wm.groupBy(F.window("ts", window).alias("bucket"), *by)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(v), 6).alias("mean_value"),
+            F.round(F.sum(v), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("bucket.start").alias("bucket_start"),
+            F.col("bucket.end").alias("bucket_end"),
+            *by,
+            "n_events",
+            "mean_value",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, query_name: str, checkpoint_dir: str, timeout_sec: int = 300
+) -> None:
+    """Drain a streaming DataFrame into the in-memory sink with one
+    ``availableNow`` pass (complete mode: windowed aggs re-emit full state)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream {query_name} did not finish in {timeout_sec}s")
