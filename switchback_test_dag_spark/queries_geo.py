@@ -67,7 +67,8 @@ def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM customer
        )
        SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
-              round(avg(c_acctbal), 2) AS avg_acctbal
+              round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*), 2) AS avg_acctbal
        FROM pts JOIN zones
          ON px >= x0 AND px < x0 + 10 AND py >= y0 AND py < y0 + 10
        GROUP BY n_name""",
@@ -96,7 +97,14 @@ def geo_zone_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+            # money is 2-decimal: exact decimal sum makes the aggregate
+            # order-independent, so the rounded mean can't flip on a boundary
+            # ulp between engines (doubles sum in shuffle order otherwise)
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_acctbal"),
         )
     )
 
