@@ -65,14 +65,25 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signature(shingle_col: str, k: int = 64) -> Column:
-    """k-permutation MinHash signature as ``array<bigint>``: hash function j is
-    ``xxhash64(shingle, j)``; signature[j] = min over shingles. One expression,
-    O(|shingles|·k) per row inside codegen. Empty shingle sets → array of NULLs
-    (callers drop them)."""
+    """k-permutation MinHash signature as ``array<bigint>`` over an
+    *integer-hashed* shingle column (``array<bigint>``, see
+    :func:`hashed_shingles`): hash function j is ``xxhash64(h, j)``;
+    signature[j] = min over shingles. Hashing each shingle string once and
+    deriving the k permutations from the 8-byte hash (instead of k full string
+    hashes) is the standard MinHash trick — O(|shingles|·k) fixed-width int
+    mixing inside codegen, independent of shingle length."""
     return F.expr(
         f"""transform(sequence(0, {k - 1}),
-                      j -> array_min(transform({shingle_col}, s -> xxhash64(s, j))))"""
+                      j -> array_min(transform({shingle_col}, h -> xxhash64(h, j))))"""
     )
+
+
+def hashed_shingles(shingle_col: str) -> Column:
+    """Shingle strings → distinct ``array<bigint>`` ids (one xxhash64 per
+    shingle). Set semantics survive hashing (collision probability ~|sh|²/2⁶⁴),
+    so Jaccard on the hashed arrays equals Jaccard on the strings while
+    intersections compare 8-byte ints instead of variable-length text."""
+    return F.expr(f"transform({shingle_col}, s -> xxhash64(s))")
 
 
 def lsh_band_keys(sig_col: str, bands: int, rows: int) -> Column:
@@ -117,12 +128,17 @@ def minhash_lsh_pairs(
     # boundary CollapseProject inlines the O(tokens) shingle expression into the
     # signature lambda and it is re-evaluated k times per row (64× slowdown
     # measured). The shingle set is also reused by the verification join.
+    # repartition: a few big parquet files would otherwise serialize the
+    # CPU-heavy shingling/hashing onto as few cores; spread rows first.
+    par = df.sparkSession.sparkContext.defaultParallelism
     shingled = (
         df.select(
             F.col(id_col).alias("doc"),
-            word_shingles(text_col, shingle_n).alias("sh"),
+            word_shingles(text_col, shingle_n).alias("sh_str"),
         )
-        .filter(F.size("sh") > 0)
+        .filter(F.size("sh_str") > 0)
+        .repartition(par, "doc")
+        .select("doc", hashed_shingles("sh_str").alias("sh"))
         .persist()
     )
     sig = shingled.select(
@@ -168,21 +184,28 @@ def minhash_dedup(
 # --------------------------------------------------------------------------- #
 
 
-def simhash(token_col: str, bits: int = 64) -> Column:
-    """SimHash signature of a token array: per-bit sum of ±1 votes from each
-    token's xxhash64, sign-folded into a ``bits``-wide bigint.
-
-    Expressed as ``aggregate`` over tokens with a ``zip_with`` bit-vector
-    accumulator — stays in codegen; no UDF, no explode.
-    """
+def simhash_from_hashes(hash_col: str, bits: int = 64) -> Column:
+    """SimHash signature from *pre-hashed* tokens (``array<bigint>``): per-bit
+    sum of ±1 votes read straight off each 64-bit token hash, sign-folded into
+    a ``bits``-wide bigint. The per-row cost is O(tokens·bits) integer shifts —
+    no string hashing inside the bit loop. Callers must materialize the hashed
+    array behind a persist/shuffle boundary, or CollapseProject re-inlines the
+    hashing into all ``bits`` lambda iterations."""
     return F.expr(
         f"""aggregate(
               transform(sequence(0, {bits - 1}),
-                        i -> CASE WHEN aggregate({token_col}, 0L,
-                                    (acc, t) -> acc + CASE WHEN shiftright(xxhash64(t), i) % 2 != 0 THEN 1 ELSE -1 END) > 0
+                        i -> CASE WHEN aggregate({hash_col}, 0L,
+                                    (acc, h) -> acc + CASE WHEN shiftright(h, i) % 2 != 0 THEN 1 ELSE -1 END) > 0
                              THEN shiftleft(1L, i) ELSE 0L END),
               0L, (acc, x) -> acc + x)"""
     )
+
+
+def simhash(token_col: str, bits: int = 64) -> Column:
+    """SimHash signature of a (string) token array — convenience form of
+    :func:`simhash_from_hashes`; prefer the pre-hashed variant in pipelines
+    (hashing once per token instead of once per token per bit)."""
+    return simhash_from_hashes(f"transform({token_col}, t -> xxhash64(t))", bits)
 
 
 def hamming64(a_col: str, b_col: str) -> Column:
@@ -204,14 +227,17 @@ def simhash_pairs(
     from switchback_test_dag_spark.text.analysis import tokens
 
     n_chunks = 64 // prefix_bits
-    # persist boundary: stops CollapseProject from inlining the tokenization
-    # into the 64-iteration bit lambda (see minhash_lsh_pairs)
+    # persist boundary: stops CollapseProject from inlining the tokenization +
+    # hashing into the 64-iteration bit lambda (see minhash_lsh_pairs)
+    par = df.sparkSession.sparkContext.defaultParallelism
     toks = (
         df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__toks"))
         .filter(F.size("__toks") > 0)
+        .repartition(par, "doc")
+        .select("doc", F.expr("transform(__toks, t -> xxhash64(t))").alias("__th"))
         .persist()
     )
-    sigs = toks.select("doc", simhash("__toks").alias("sig"))
+    sigs = toks.select("doc", simhash_from_hashes("__th").alias("sig"))
     chunks = sigs.select(
         "doc",
         "sig",
@@ -253,24 +279,77 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.85,
 ) -> DataFrame:
-    """All-pairs exact n-gram Jaccard ≥ threshold. O(docs²) — the verification/
-    oracle path; production uses :func:`minhash_lsh_pairs` for candidates."""
-    shingled = df.select(
-        F.col(id_col).alias("doc"), word_shingles(text_col, shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    a = shingled.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = shingled.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    """Exact n-gram Jaccard pairs (jaccard ≥ threshold > 0) via an inverted
+    index: explode (doc, shingle-hash), self-join on the shingle, count shared
+    shingles per doc pair, then ``|A∩B| / (|A|+|B|-|A∩B|)``.
+
+    Equivalent to all-pairs set intersection but the shuffle is keyed on
+    shingle hashes and the join output is Σ_s df(s)² — proportional to actual
+    shingle sharing, not docs². A pair with no shared shingle never materializes
+    (it cannot pass any threshold > 0). Worst case is a shingle present in most
+    docs; n-word shingles (n ≥ 3) make that vanishingly rare in real corpora."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    shingled = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            word_shingles(text_col, shingle_n).alias("sh_str"),
+        )
+        .filter(F.size("sh_str") > 0)
+        .repartition(par, "doc")
+        # int-hashed shingles: Jaccard-identical sets (collisions ~|sh|²/2⁶⁴),
+        # 8-byte join keys instead of variable-length text
+        .select("doc", hashed_shingles("sh_str").alias("sh"))
+        .persist()
+    )
+    sizes = shingled.select("doc", F.size("sh").alias("sz"))
+    ex = shingled.select("doc", F.explode("sh").alias("h"))
+    common = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("jaccard", exact_jaccard("sh_a", "sh_b"))
+        common.join(sizes.withColumnRenamed("doc", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b"), "doc_b")
+        .withColumnRenamed("sz", "sz_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
 
 
+def vec_dot(a_col: str, b_col: str) -> Column:
+    """Dot product of two float-array columns (zip_with/aggregate, codegen)."""
+    return F.expr(
+        f"aggregate(zip_with({a_col}, {b_col}, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "0D, (acc, v) -> acc + v)"
+    )
+
+
+def vec_norm(col: str) -> Column:
+    """L2 norm of a float-array column."""
+    return F.expr(
+        f"sqrt(aggregate({col}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
+    )
+
+
 def cosine_sim(a_col: str, b_col: str) -> Column:
     """Cosine similarity of two float-array columns via zip_with/aggregate dot
-    products (JVM-side; no UDF). 0.0 for zero-norm inputs (ANSI-safe)."""
+    products (JVM-side; no UDF). 0.0 for zero-norm inputs (ANSI-safe).
+
+    Per-pair cost is O(dim) for the dot *and* both norms; in all-pairs flows
+    precompute per-row norm columns behind a shuffle/persist boundary and
+    combine :func:`vec_dot` with them instead (norms once per row, not per
+    pair)."""
     dot = f"aggregate(zip_with({a_col}, {b_col}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
     na = f"sqrt(aggregate({a_col}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
     nb = f"sqrt(aggregate({b_col}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
@@ -282,15 +361,55 @@ def cosine_sim(a_col: str, b_col: str) -> Column:
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
-    Brute-force all-pairs — correct for ≤10⁵ vectors / verification; at corpus
-    scale generate candidates with :func:`vectors.similarity.hyperplane_lsh_topk`
-    buckets first."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_sim("va", "vb"))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold), exact.
+
+    Dense all-pairs similarity is the one operator where Spark's built-in array
+    expressions genuinely lose: ``zip_with``/``aggregate`` evaluate interpreted
+    per element, so pairs × dim interpreted steps (measured ~100× slower than
+    BLAS). This is the sanctioned Pandas-UDF case — one side is L2-normalized
+    into a dense float64 matrix and broadcast (all-pairs is only feasible when
+    one side fits in memory *by definition*; beyond that, generate candidates
+    with :func:`vectors.similarity.hyperplane_lsh_topk` buckets first), the
+    other side streams through ``mapInPandas`` in Arrow batches doing one
+    blocked matmul per batch. Scales linearly across executors in the streamed
+    side; no shuffle beyond the initial spread."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    id_type = df.schema[id_col].dataType.simpleString()
+    side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    pdf = side.toPandas()
+    ids_b = pdf["id"].to_numpy()
+    mat_b = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat_b, axis=1)
+    norms[norms == 0] = np.inf  # zero-norm rows score cosine 0 with everything
+    bc = spark.sparkContext.broadcast((ids_b, mat_b / norms[:, None]))
+    thr = float(threshold)
+
+    def score(batches):
+        all_ids, normed = bc.value
+        for batch in batches:
+            if batch.empty:
+                continue
+            ids_a = batch["id"].to_numpy()
+            mat_a = np.stack(batch["v"].to_numpy()).astype(np.float64)
+            na = np.linalg.norm(mat_a, axis=1)
+            na[na == 0] = np.inf
+            sims = (mat_a / na[:, None]) @ normed.T
+            ia, ib = np.nonzero(
+                (sims >= thr) & (ids_a[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": ids_a[ia],
+                    "id_b": all_ids[ib],
+                    "cosine": np.round(sims[ia, ib], 4),
+                }
+            )
+
+    return side.repartition(par, "id").mapInPandas(
+        score, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
     )
