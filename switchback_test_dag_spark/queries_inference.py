@@ -343,3 +343,143 @@ def crse_beta_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("n_clusters").cast("long").alias("n_clusters"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# assignment-strategy variants T15-T17 + split-balance T21
+# --------------------------------------------------------------------------- #
+
+_DUCK_BASE_ARM = P.portable_arm_sql("bucket", "0", 0.5)
+
+
+@query(
+    "assign_counterpart",
+    f"""WITH b AS (SELECT DISTINCT {_DUCK_BUCKET} AS bucket, event_type AS city FROM events),
+       a AS (SELECT city,
+                    CASE WHEN city = 'error'
+                         THEN (CASE WHEN {_DUCK_BASE_ARM} = 'On' THEN 'Off' ELSE 'On' END)
+                         ELSE {_DUCK_BASE_ARM} END AS arm
+             FROM b)
+       SELECT city, arm, count(*) AS n_buckets FROM a GROUP BY city, arm""",
+)
+def assign_counterpart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15: counterpart (mirrored) assignment — the designated counterpart city
+    runs the inverted arm of the shared per-bucket assignment
+    (counterpart_method.ipynb:358-373). Value-diffed per (city, arm)."""
+    from switchback_test_dag_spark.plans.assignment import counterpart_assignment
+
+    ev = load_table(spark, sf_dir, "events")
+    units = ev.select(
+        F.expr(_SPARK_BUCKET).alias("bucket"), F.col("event_type").alias("city")
+    ).distinct()
+    arm = counterpart_assignment(P.portable_arm("bucket", "0", 0.5), "city", "error")
+    return (
+        units.withColumn("arm", arm)
+        .groupBy("city", "arm")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+    )
+
+
+_TC_UNIT = "concat(cast(bucket as string), '#', city)"
+
+
+@query(
+    "assign_time_city",
+    f"""WITH b AS (SELECT DISTINCT {_DUCK_BUCKET} AS bucket, event_type AS city FROM events),
+       a AS (SELECT city, {P.portable_arm_sql(_TC_UNIT, "0", 0.5)} AS arm FROM b)
+       SELECT city, arm, count(*) AS n_buckets FROM a GROUP BY city, arm""",
+)
+def assign_time_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16: independent assignment per (time unit, city) pair
+    (counterpart_method.ipynb:376-383) — the seeded hash keys on the composite
+    unit, so two cities in the same bucket draw independently."""
+    ev = load_table(spark, sf_dir, "events")
+    units = ev.select(
+        F.expr(_SPARK_BUCKET).alias("bucket"), F.col("event_type").alias("city")
+    ).distinct()
+    return (
+        units.withColumn("arm", F.expr(P.portable_arm_sql(_TC_UNIT, "0", 0.5)))
+        .groupBy("city", "arm")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+    )
+
+
+@query(
+    "assign_zone_flip",
+    f"""WITH lab AS (
+         SELECT event_type AS zone, value,
+                CASE WHEN event_type = 'click'
+                     THEN (CASE WHEN ({_DUCK_BUCKET}) % 2 = 0 THEN 'Off' ELSE 'On' END)
+                     ELSE (CASE WHEN ({_DUCK_BUCKET}) % 2 = 0 THEN 'On' ELSE 'Off' END)
+                END AS arm
+         FROM events WHERE value IS NOT NULL
+       )
+       SELECT zone, arm, CAST(count(*) AS BIGINT) AS n_events,
+              round(avg(value), 6) AS mean_value
+       FROM lab GROUP BY zone, arm""",
+)
+def assign_zone_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17: 2-zone switchback flip — the designated zone runs the inverted
+    status of the alternating bucket assignment, applied at fact-row grain
+    (df_calc_func, deep_dive_analyses.ipynb:519-534)."""
+    from switchback_test_dag_spark.plans.assignment import (
+        alternating_assignment,
+        zone_flip,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = alternating_assignment(F.expr(_SPARK_BUCKET))
+    return (
+        ev.select(
+            F.col("event_type").alias("zone"),
+            "value",
+            zone_flip(base, F.col("event_type"), "click").alias("arm"),
+        )
+        .groupBy("zone", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+        )
+    )
+
+
+@query(
+    "split_balance_check",
+    """WITH w AS (SELECT unnest([1, 4, 24]) AS window_hours),
+       b AS (SELECT DISTINCT window_hours,
+                    epoch_ns(ts) // (window_hours * 3600000000000) AS bucket
+             FROM events, w),
+       c AS (SELECT window_hours,
+                    count(*) FILTER (bucket % 2 = 0) AS n_on,
+                    count(*) FILTER (bucket % 2 != 0) AS n_off
+             FROM b GROUP BY window_hours)
+       SELECT window_hours, CAST(n_on AS BIGINT) AS n_on,
+              CAST(n_off AS BIGINT) AS n_off,
+              CAST(abs(n_on - n_off) AS BIGINT) AS imbalance
+       FROM c""",
+)
+def split_balance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21: split-balance check — On vs Off bucket counts (and their imbalance)
+    per switchback window size under the alternating assignment
+    (split_check_func, deep_dive_analyses.ipynb:2619). One scan: window sizes
+    exploded against the event stream, buckets deduped per size."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "ts_ns",
+            F.explode(F.array(F.lit(1), F.lit(4), F.lit(24))).alias("window_hours"),
+        )
+        .select(
+            "window_hours",
+            F.expr("ts_ns div (window_hours * 3600000000000)").alias("bucket"),
+        )
+        .distinct()
+    )
+    n_on = F.count(F.when(F.pmod("bucket", F.lit(2)) == 0, 1)).alias("n_on")
+    n_off = F.count(F.when(F.pmod("bucket", F.lit(2)) != 0, 1)).alias("n_off")
+    return b.groupBy("window_hours").agg(n_on, n_off).select(
+        "window_hours",
+        "n_on",
+        "n_off",
+        F.abs(F.col("n_on") - F.col("n_off")).alias("imbalance"),
+    )

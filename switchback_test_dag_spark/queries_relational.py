@@ -150,24 +150,36 @@ def orders_anti_join_poor_customers(spark: SparkSession, sf_dir: str) -> DataFra
 
 @query(
     "temporal_range_join",
-    """SELECT e.event_type, count(*) AS n_pairs,
+    """WITH e AS (
+         SELECT event_type, user_id,
+                DATE '1995-01-01' + CAST((epoch_ns(ts) // 86400000000000) % 2400 AS INT) AS ev_date
+         FROM events
+       )
+       SELECT e.event_type, count(*) AS n_pairs,
               round(sum(o.o_totalprice), 2) AS total
-       FROM events e JOIN orders o
+       FROM e JOIN orders o
          ON o.o_custkey % 15 = e.user_id
-        AND CAST(o.o_orderdate AS DATE)
-            BETWEEN CAST(e.ts AS DATE) - 2 AND CAST(e.ts AS DATE) + 2
+        AND CAST(o.o_orderdate AS DATE) BETWEEN e.ev_date - 2 AND e.ev_date + 2
        GROUP BY e.event_type""",
 )
 def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: mixed equi + BETWEEN join (orders ↔ target-group schedule semantics,
     ELT.sql:313-326). The equi key keeps it a hash join; the range predicate is
-    applied post-probe."""
-    ev = load_table(spark, sf_dir, "events")
+    applied post-probe. Event days are mapped into the orders era (the fixtures'
+    eras are disjoint) so the range predicate genuinely selects."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.date_add(
+            F.lit("1995-01-01").cast("date"),
+            (F.expr("ts_ns div 86400000000000") % 2400).cast("int"),
+        ).alias("ev_date"),
+    )
     orders = load_table(spark, sf_dir, "orders")
     cond = (
         (orders.o_custkey % 15 == ev.user_id)
         & F.to_date(orders.o_orderdate).between(
-            F.date_sub(F.to_date(ev.ts), 2), F.date_add(F.to_date(ev.ts), 2)
+            F.date_sub(ev.ev_date, 2), F.date_add(ev.ev_date, 2)
         )
     )
     return (
@@ -644,3 +656,107 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
     return ev.groupBy("event_type").agg(F.round(F.avg(k), 6).alias("avg_k"))
+
+
+# --- S2/P2/P8/F21: script runner, * EXCEPT, keep/drop flag, number format ------
+
+
+_SCRIPT = """
+DECLARE status_var ARRAY<STRING>;
+SET status_var = ['F', 'O'];
+-- stage 1: filtered projection (pushdown-friendly)
+CREATE OR REPLACE TABLE stage_filtered AS
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE o_orderstatus IN UNNEST(status_var);
+-- stage 2: aggregate over stage 1
+CREATE OR REPLACE TABLE stage_agg AS
+  SELECT o_orderpriority, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_price
+  FROM stage_filtered GROUP BY o_orderpriority;
+SELECT * FROM stage_agg
+"""
+
+
+@query(
+    "sql_script_stages",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+              round(sum(o_totalprice), 2) AS total_price
+       FROM orders WHERE o_orderstatus IN ('F', 'O')
+       GROUP BY o_orderpriority""",
+)
+def sql_script_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S6: multi-statement script runner with DECLARE/SET array variables and
+    staged CREATE OR REPLACE TABLE materialization (run_sql_queries.py:5-18,
+    ELT.sql:3-4). The oracle is the fused single-statement equivalent — Catalyst
+    collapses the temp-view chain to the same plan."""
+    from switchback_test_dag_spark.sql_script import run_script
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return run_script(spark, _SCRIPT)
+
+
+@query(
+    "region_except_comment",
+    """SELECT r_regionkey, r_name FROM region""",
+)
+def region_except_comment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: SELECT * EXCEPT(...) — re-materialize minus excluded columns
+    (ELT.sql:60,427-430)."""
+    return load_table(spark, sf_dir, "region").drop("r_comment")
+
+
+@query(
+    "keep_drop_flag_clean",
+    """WITH valid AS (
+         SELECT string_agg(DISTINCT o_orderpriority || ' | ' || CAST(o_custkey % 400 AS VARCHAR), ', '
+                           ORDER BY o_orderpriority || ' | ' || CAST(o_custkey % 400 AS VARCHAR)) AS combos
+         FROM orders WHERE o_totalprice > 400000
+       ), flagged AS (
+         SELECT CASE WHEN v.combos LIKE '%' || (o.o_orderpriority || ' | ' || CAST(o.o_custkey % 400 AS VARCHAR)) || '%'
+                     THEN 'Keep' ELSE 'Drop' END AS keep_drop_flag
+         FROM orders o, valid v
+       )
+       SELECT keep_drop_flag, CAST(count(*) AS BIGINT) AS n_orders
+       FROM flagged GROUP BY keep_drop_flag""",
+)
+def keep_drop_flag_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/A7: keep/drop flag built by LIKE-matching each row's composite key
+    against a sorted string-agg of valid combos (ELT.sql:295,436-442 — the
+    CONCAT-hack preserved for parity; the semi-join re-expression is
+    orders_semi_join_rich_customers)."""
+    orders = load_table(spark, sf_dir, "orders")
+    combo = F.concat_ws(
+        " | ", F.col("o_orderpriority"), (F.col("o_custkey") % 400).cast("string")
+    )
+    valid = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.array_join(
+            F.array_sort(F.collect_set(combo)), ", "
+        ).alias("combos")
+    )
+    return (
+        orders.crossJoin(broadcast(valid))
+        .select(
+            F.when(F.col("combos").contains(combo), F.lit("Keep"))
+            .otherwise(F.lit("Drop"))
+            .alias("keep_drop_flag")
+        )
+        .groupBy("keep_drop_flag")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "totals_formatted",
+    """SELECT o_orderpriority,
+              format('{:,}', CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)) AS BIGINT)) AS total_fmt
+       FROM orders GROUP BY o_orderpriority""",
+)
+def totals_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21: thousands-separator display formatting of grouped totals
+    (automated_...py:152-153 '{:,}'.format). Exact decimal sum keeps the
+    rounded total order-independent across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+    return orders.groupBy("o_orderpriority").agg(
+        F.format_number(F.round(total, 0), 0).alias("total_fmt")
+    )
