@@ -39,8 +39,13 @@ HEADLINE = [
     "perm_mean_diff_dist",
     "fpr_simulation",
     "doc_minhash_lsh_pairs",
+    "doc_ngram_jaccard_pairs",
+    "doc_simhash_pairs",
     "emb_cosine_topk",
+    "emb_near_dup_pairs",
     "doc_token_stats",
+    "geo_zone_containment",
+    "sql_script_stages",
 ]
 
 

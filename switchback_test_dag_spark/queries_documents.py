@@ -184,9 +184,11 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "emb_near_dup_pairs",
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4) AS cosine
        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) >= 0.4""",
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs. Fixture embeddings are cluster-sampled
@@ -203,10 +205,11 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_cosine_topk",
-    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 5),
        scored AS (
          SELECT q.query_id, e.vec_id AS neighbor_id,
-                round(list_cosine_similarity(qv, e.embedding), 4) AS cosine
+                round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 4) AS cosine
          FROM embeddings e, q WHERE e.vec_id != q.query_id
        )
        SELECT query_id, neighbor_id, cosine,

@@ -377,11 +377,15 @@ def embedding_near_dup_pairs(
     import pandas as pd
 
     spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
     id_type = df.schema[id_col].dataType.simpleString()
     side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
     pdf = side.toPandas()
+    # One Arrow batch per ~2k rows keeps each task a real blocked matmul;
+    # 32 near-empty tasks would pay Python-worker overhead per task instead.
+    par = max(
+        1, min(spark.sparkContext.defaultParallelism, len(pdf) // 2048 + 1)
+    )
     ids_b = pdf["id"].to_numpy()
     mat_b = np.stack(pdf["v"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(mat_b, axis=1)
