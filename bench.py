@@ -60,8 +60,14 @@ def main() -> None:
         if n.startswith("bench_") and n not in names:
             names.append(n)
 
-    # warmup: JVM, parquet footer reads, codegen
+    # warmup: JVM, parquet footer reads, codegen, and Python/Arrow UDF workers
+    # (first mapInPandas call spawns 32 workers importing pandas/numpy — that
+    # one-time cost belongs to session startup, not whichever query hits it
+    # first)
     queries[names[0]](spark, SF_DIR).count()
+    spark.range(0, 1 << 10, 1, CPUS).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in names:
