@@ -1,0 +1,70 @@
+"""Physical-plan audits: pin the scale-critical properties of headline plans.
+
+These guard the 100 TB design contract, not correctness: dimension joins must
+broadcast (no shuffle of the fact side), parquet scans must receive pushed
+filters and pruned schemas, and JVM-path queries must stay out of Python
+(no ArrowEvalPython / BatchEvalPython nodes). A refactor that silently turns a
+broadcast join into a sort-merge shuffle or drops pushdown fails here long
+before it shows up in a benchmark.
+"""
+
+from __future__ import annotations
+
+from switchback_test_dag_spark import queries as q
+
+
+def _plan(spark, name, sf_dir):
+    df = q.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, "revenue_by_segment", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_stays_hash_join(spark, sf_dir):
+    # J5: equi keys must keep the temporal-range join a hash join, never a
+    # cartesian/nested-loop over the fact table
+    plan = _plan(spark, "temporal_range_join", sf_dir)
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, "filters_conjunctive", sf_dir)
+    assert "PushedFilters: [" in plan
+    # at least one concrete predicate reached the parquet reader
+    assert "PushedFilters: []" not in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    # 2-column projection must not scan all 9 orders columns
+    plan = _plan(spark, "topk_customers", sf_dir)
+    start = plan.index("ReadSchema")
+    read_schema = plan[start : plan.index("\n", start)]
+    assert "o_comment" not in read_schema
+    assert "o_orderdate" not in read_schema
+
+
+def test_jvm_path_queries_have_no_python_nodes(spark, sf_dir):
+    # Everything except the sanctioned Pandas-UDF operators must run entirely
+    # JVM-side (whole-stage codegen territory)
+    for name in [
+        "sb_per_order_metrics",
+        "revenue_by_segment",
+        "iqr_filtered_stats",
+        "perm_mean_diff_dist",
+        "doc_token_stats",
+        "doc_minhash_lsh_pairs",
+    ]:
+        plan = _plan(spark, name, sf_dir)
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_aggregations_are_partial(spark, sf_dir):
+    # map-side combine: two HashAggregate nodes (partial + final) around the
+    # exchange, so the shuffle moves group aggregates, not raw rows
+    plan = _plan(spark, "revenue_by_segment", sf_dir)
+    assert plan.count("HashAggregate") >= 2
