@@ -236,6 +236,18 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("emb_ivf_topk")  # approximate (recall < 1 by design) → rows-only check
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: spherical-k-means coarse quantizer (trained on a
+    deterministic sample), cell-keyed candidate join, n_probe=4 of 8 cells.
+    Recall vs brute force is pytest-verified; the driver checks rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return VS.ivf_topk(
+        emb, queries_df, "vec_id", "embedding", k=10, n_cells=8, n_probe=4
+    )
+
+
 # --------------------------------------------------------------------------- #
 # multimodal plumbing
 # --------------------------------------------------------------------------- #

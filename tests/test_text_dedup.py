@@ -107,3 +107,31 @@ def test_cosine_topk_self_excluded_and_ranked(emb):
         assert [x[0] for x in rs] == [1, 2, 3, 4, 5]
         cosines = [x[1] for x in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_topk_recall_vs_bruteforce(emb):
+    """IVF with n_probe=4 of 8 cells must recover most exact neighbors, and
+    probing every cell must be exhaustive (recall 1.0) — the n_probe dial's
+    two endpoints."""
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = VS.cosine_topk_bruteforce(emb, queries_df, "vec_id", "embedding", k=10)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    approx = VS.ivf_topk(
+        emb, queries_df, "vec_id", "embedding", k=10, n_cells=8, n_probe=4
+    )
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
+
+    full = VS.ivf_topk(
+        emb, queries_df, "vec_id", "embedding", k=10, n_cells=8, n_probe=8
+    )
+    full_set = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert full_set == exact_set, "probing all cells must equal brute force"
+
+
+def test_ivf_centroids_deterministic(emb):
+    c1 = VS.train_ivf_centroids(emb, "vec_id", "embedding", n_cells=8)
+    c2 = VS.train_ivf_centroids(emb, "vec_id", "embedding", n_cells=8)
+    assert (c1 == c2).all()
