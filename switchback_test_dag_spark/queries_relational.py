@@ -760,3 +760,33 @@ def totals_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").agg(
         F.format_number(F.round(total, 0), 0).alias("total_fmt")
     )
+
+
+@query(
+    "orders_rollup_counts",
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+              coalesce(o_orderstatus, 'ALL') AS status,
+              count(*) AS n,
+              CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+       FROM orders
+       GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+)
+def orders_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotal rollup (priority → status → grand total) — the
+    grouping-sets extension SURVEY §2.4 flags as available beyond the
+    reference. One shuffle computes all three levels; NULL grouping keys are
+    labeled 'ALL' so the output is oracle-comparable."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "n_customers",
+        )
+    )
