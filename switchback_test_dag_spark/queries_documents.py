@@ -272,3 +272,59 @@ def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length(payload)).cast("long").alias("total_bytes"),
         F.max(F.octet_length(payload)).cast("long").alias("max_bytes"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# composed corpus-cleaning pipeline
+# --------------------------------------------------------------------------- #
+
+_DUCK_CLEAN = f"""
+WITH q AS (
+  SELECT doc_id, source, text, {_DUCK_QUALITY} AS qs
+  FROM documents WHERE {_DUCK_QUALITY} >= 0.5
+), fp AS (
+  SELECT doc_id, source, qs, text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM q
+), k1 AS (
+  SELECT * FROM fp WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)
+), tk AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM k1
+), sh AS (
+  SELECT doc_id, {_DUCK_SH3} AS sh FROM tk WHERE len(toks) >= 3
+), near AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+    AND len(list_intersect(a.sh, b.sh)) * 1.0
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.85
+), k2 AS (
+  SELECT * FROM k1 WHERE doc_id NOT IN (SELECT doc_id FROM near)
+)
+SELECT source, count(*) AS n_kept, round(avg(qs), 4) AS avg_quality
+FROM k2 GROUP BY source
+"""
+
+
+@query("corpus_clean_stats", _DUCK_CLEAN)
+def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data cleaning pipeline — the operators chained the way
+    a production corpus job runs them: quality filter (score ≥ 0.5) → exact
+    dedup (md5 fingerprint, min-id keeper) → near-dup removal (exact n-gram
+    Jaccard ≥ 0.85, higher id dropped) → per-source survivor stats. Each stage
+    is a shuffle keyed on its own key (fingerprint, shingle hash, source);
+    nothing is collected driver-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    qs = TA.quality_score("text")
+    filtered = docs.withColumn("qs", qs).filter(F.col("qs") >= 0.5)
+    kept1 = TD.exact_dedup(filtered, "doc_id", "text")
+    near = (
+        TD.ngram_jaccard_pairs(kept1, "doc_id", "text", shingle_n=3, threshold=0.85)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept2 = kept1.join(near, "doc_id", "left_anti")
+    return kept2.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("qs"), 4).alias("avg_quality"),
+    )
