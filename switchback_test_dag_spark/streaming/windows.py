@@ -104,3 +104,55 @@ def run_stream_to_memory(
     if q.isActive:
         q.stop()
         raise TimeoutError(f"stream {query_name} did not finish in {timeout_sec}s")
+
+
+def running_group_moments(
+    events: DataFrame,
+    by: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator: running (count, mean, M2) per group via
+    ``applyInPandasWithState`` — the cumulative-moment monitor a live
+    switchback test needs (sequential looks at the KPI without re-scanning
+    history).
+
+    Each micro-batch folds its rows into the group's Welford state with the
+    parallel-merge recurrence (numerically stable, associative), then emits
+    the updated cumulative row. State per group is three scalars — O(groups),
+    independent of stream volume — and is the exact quantity the batch
+    t/Welch tests (stats/ttests.py) consume, so a drained stream's final
+    emission must equal the batch aggregation (tests/test_streaming.py)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    by = list(by)
+    out_schema = ", ".join(f"{c} string" for c in by) + ", n bigint, mean double, m2 double"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, mean, m2 = state.get
+        else:
+            n, mean, m2 = 0, 0.0, 0.0
+        for pdf in pdfs:
+            vals = pd.to_numeric(pdf[value_col], errors="coerce").dropna()
+            nb = int(len(vals))
+            if nb == 0:
+                continue
+            mb = float(vals.mean())
+            m2b = float(((vals - mb) ** 2).sum())
+            delta = mb - mean
+            tot = n + nb
+            mean = mean + delta * nb / tot
+            m2 = m2 + m2b + delta * delta * n * nb / tot
+            n = tot
+        state.update((n, mean, m2))
+        yield pd.DataFrame([dict(zip(by, key)) | {"n": n, "mean": mean, "m2": m2}])
+
+    return events.groupBy(*by).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n bigint, mean double, m2 double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -46,3 +46,66 @@ def test_streaming_multiple_microbatches(spark, sf_dir, tmp_path):
         windowed_bucket_metrics(load_table(spark, sf_dir, "events"), window="4 hours")
     )
     assert got == expected
+
+
+def test_stateful_running_moments_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: cumulative Welford moments folded across
+    micro-batches must equal the batch aggregation exactly (to float noise)."""
+    import pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from switchback_test_dag_spark.streaming.windows import running_group_moments
+
+    # split the fixture into 3 files so maxFilesPerTrigger=1 forces the state
+    # to carry across micro-batches
+    src = str(tmp_path / "events_split")
+    load_table(spark, sf_dir, "events").repartition(3).write.parquet(src)
+
+    stream = stream_events(spark, src, max_files_per_trigger=1)
+    moments = running_group_moments(stream, by=("event_type",), value_col="value")
+    q = (
+        moments.writeStream.format("memory")
+        .queryName("running_moments")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    # memory sink in update mode holds one row per (group, micro-batch);
+    # the cumulative final state is the row with max n per group
+    final = {
+        r["event_type"]: r
+        for r in spark.table("running_moments")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(F.desc("n"))
+            ),
+        )
+        .filter("rk = 1")
+        .collect()
+    }
+
+    expected = {
+        r["event_type"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.avg(F.col("value").cast("double")).alias("mean"),
+            (F.var_samp(F.col("value").cast("double"))
+             * (F.count("value") - 1)).alias("m2"),
+        )
+        .collect()
+    }
+
+    assert set(final) == set(expected) and len(final) > 0
+    for k, r in expected.items():
+        assert final[k]["n"] == r["n"]
+        assert final[k]["mean"] == pytest.approx(r["mean"], rel=1e-9)
+        assert final[k]["m2"] == pytest.approx(r["m2"], rel=1e-6)
