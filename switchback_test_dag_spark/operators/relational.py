@@ -149,3 +149,40 @@ def pivot_matrix(
     (propagation_effect_analysis.ipynb:483-484). Explicit ``pivot_values`` avoids
     the extra distinct-scan job and keeps the output schema stable."""
     return df.groupBy(row_col).pivot(pivot_col, list(pivot_values)).agg(agg)
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join (backward): attach to each left row the right row with the
+    greatest ``right_time`` ≤ ``left_time`` within the same ``on`` key.
+
+    Spark has no ASOF JOIN; the naive range join explodes to every earlier
+    right row per left row before aggregating. This composition is the
+    scalable form: tag both inputs, ``unionByName`` them, and carry right
+    values forward with ``last(ignorenulls)`` over one (key, time)-sorted
+    window — a single shuffle on the key, O(n log n) sort per key partition,
+    no pair blow-up. At equal timestamps the right row sorts first, making the
+    match at-or-before inclusive. Right input must be unique per (key, time)
+    for deterministic output (pre-aggregate if not)."""
+    r = right.select(
+        F.col(on).alias(on),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in right_cols],
+    )
+    l = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in right_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("_side") == 1).drop("_t", "_side")

@@ -790,3 +790,55 @@ def orders_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
         )
     )
+
+
+@query(
+    "events_asof_latest_order",
+    """WITH o AS (
+         SELECT o_custkey, epoch_us(o_orderdate) AS o_us,
+                max(o_orderkey) AS o_orderkey,
+                round(arg_max(o_totalprice, o_orderkey), 2) AS o_totalprice
+         FROM orders GROUP BY o_custkey, o_us
+       ), e AS (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+       )
+       SELECT e.event_id, e.user_id, e.ts_us, o.o_orderkey, o.o_totalprice
+       FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts_us >= o.o_us""",
+)
+def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the issuing customer's most recent order
+    at-or-before the event time — the operator the brief's custom-op list
+    names (Spark lacks ASOF JOIN; DuckDB's native ASOF is the oracle).
+    Implemented as the union + sort-window composition
+    (operators/relational.asof_join_backward): one shuffle on the key, no
+    range-join pair explosion. Right side pre-deduped per (key, time) with a
+    max-orderkey keeper so both engines' tie handling is pinned."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id"),
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey"),
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+            ).alias("o_us"),
+        )
+        .agg(
+            F.max(F.struct("o_orderkey", "o_totalprice")).alias("_m"),
+        )
+        .select(
+            "o_custkey",
+            "o_us",
+            F.col("_m.o_orderkey").alias("o_orderkey"),
+            F.round("_m.o_totalprice", 2).alias("o_totalprice"),
+        )
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    joined = R.asof_join_backward(
+        ev, orders, on="user_id", left_time="ts_us", right_time="o_us",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select("event_id", "user_id", "ts_us", "o_orderkey", "o_totalprice")
