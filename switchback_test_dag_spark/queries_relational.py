@@ -842,3 +842,41 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["o_orderkey", "o_totalprice"],
     )
     return joined.select("event_id", "user_id", "ts_us", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "event_sessions",
+    """WITH e AS (
+         SELECT user_id, epoch_us(ts) AS us FROM events
+       ), m AS (
+         SELECT user_id, us,
+                CASE WHEN us - lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+       ), s AS (
+         SELECT user_id,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+         FROM m
+       ), per_session AS (
+         SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY user_id, sid
+       )
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+              CAST(max(n_events) AS BIGINT) AS max_session_events
+       FROM per_session GROUP BY user_id""",
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: events within a 30-minute inactivity gap merge
+    into one session (``session_window`` — dynamic-length windows merged by the
+    aggregation itself, the streaming-ready form). The oracle is the classic
+    gaps-and-islands lag/cumsum SQL; a new session starts when the gap is
+    ≥ 30 min, matching session_window's [start, last+gap) close rule. One
+    shuffle keyed on user; session merge is per-key sort logic."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+    )
