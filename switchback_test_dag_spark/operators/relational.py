@@ -169,12 +169,21 @@ def asof_join_backward(
     window — a single shuffle on the key, O(n log n) sort per key partition,
     no pair blow-up. At equal timestamps the right row sorts first, making the
     match at-or-before inclusive. Right input must be unique per (key, time)
-    for deterministic output (pre-aggregate if not)."""
+    for deterministic output (pre-aggregate if not). The right columns travel
+    as ONE struct through the window — a single ``last(ignorenulls)`` — so every
+    output row's right values come from the same matched right row even when
+    individual right columns are NULL (no cross-row tearing). ``left`` must not
+    already contain any of ``right_cols`` (checked)."""
+    overlap = set(right_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"asof_join_backward: left already contains right_cols {sorted(overlap)}"
+        )
     r = right.select(
         F.col(on).alias(on),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.col(c) for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rvals"),
     )
     l = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
@@ -183,6 +192,8 @@ def asof_join_backward(
         .orderBy("_t", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("_rvals", F.last("_rvals", ignorenulls=True).over(w))
+    out = u.filter(F.col("_side") == 1)
     for c in right_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("_side") == 1).drop("_t", "_side")
+        out = out.withColumn(c, F.col("_rvals")[c])
+    return out.drop("_t", "_side", "_rvals")

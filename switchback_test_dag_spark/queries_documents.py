@@ -174,7 +174,7 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("doc_simhash_pairs")  # xxhash64 signatures: not DuckDB-expressible → rows-only
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 12 of 64 bits via 16-bit chunk
+    """SimHash near-dup pairs (Hamming ≤ 3 of 64 bits via 16-bit chunk
     pigeonhole candidates). Recall against planted dups is pytest-verified
     (tests/test_text_dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")

@@ -13,7 +13,7 @@ With a single binary regressor x ∈ {0,1} the OLS fit is closed-form:
                                             with n_clusters − 1 dof for cluster cov)
 
 so the whole fit is two groupBys plus a broadcast join — no statsmodels in the hot
-path, validated against statsmodels in tests/test_stats_scipy.py.
+path, validated against statsmodels in tests/test_stats_reference.py.
 """
 
 from __future__ import annotations

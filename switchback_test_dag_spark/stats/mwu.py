@@ -19,7 +19,7 @@ Spark-first design (no per-group pandas):
    z = (max(U_A, U_B) − μ − 0.5)/σ, p = min(1, 2·sf(z)).
 
 All arithmetic is JVM column math; the normal tail uses the A&S approximation
-(abs err ≤ 1.5e-7, validated against scipy in tests/test_stats_scipy.py).
+(abs err ≤ 1.5e-7, validated against scipy in tests/test_stats_reference.py).
 
 Scale note: the only shuffle beyond the pre-aggregation is the per-partition window;
 with ``by=('test_name','kpi')`` partitions the window parallelizes across tests × KPIs

@@ -38,15 +38,26 @@ ON, OFF = "On", "Off"
 
 
 def hex_threshold(p: float) -> str:
-    """4-hex-digit threshold with P(md5-prefix < threshold) = round(p·65536)/65536."""
-    return format(max(0, min(65536, round(p * 65536))), "04x")
+    """4-hex-digit threshold with P(md5-prefix < threshold) = round(p·65536)/65536.
+
+    Clamped to 'ffff': a 5-char '10000' would compare lexicographically *below*
+    any 4-hex prefix starting with '2'..'f'. Callers that need p ≈ 1 exactly must
+    special-case it (``portable_arm_sql`` does)."""
+    return format(max(0, min(65535, round(p * 65536))), "04x")
 
 
 def portable_arm_sql(unit_sql: str, seed_sql: str, p: float = 0.5) -> str:
     """Engine-portable seeded assignment as a SQL fragment (valid in Spark SQL
     *and* DuckDB): 'On' iff the md5 prefix of ``unit|seed`` falls below the
     p-threshold. Lowercase-hex string comparison equals numeric comparison
-    because hex digits 0-9a-f are ASCII-ordered."""
+    because hex digits 0-9a-f are ASCII-ordered. Degenerate p (rounding to 0 or
+    65536) short-circuits to a constant arm — a 4-hex threshold cannot express
+    P=1, and '10000' would break the lexicographic comparison."""
+    q = round(p * 65536)
+    if q <= 0:
+        return f"'{OFF}'"
+    if q >= 65536:
+        return f"'{ON}'"
     return (
         f"CASE WHEN substring(md5(concat(cast({unit_sql} as string), '|', "
         f"cast({seed_sql} as string))), 1, 4) < '{hex_threshold(p)}' "

@@ -26,6 +26,26 @@ from pyspark.sql import functions as F
 
 from switchback_test_dag_spark.text.analysis import content_fingerprint, word_shingles
 
+# Persisted intermediates pinned by this module's operators. The persist calls
+# are load-bearing CollapseProject barriers (see minhash_lsh_pairs), not
+# optional caches — but they must still be releasable: repeated invocations
+# (benchmark loops, long-lived services) would otherwise accumulate cached
+# blocks for the session's lifetime.
+_PINNED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    _PINNED.append(df)
+    return df.persist()
+
+
+def release_caches(blocking: bool = False) -> None:
+    """Unpersist every intermediate pinned by this module. Call after the plan
+    returned by a dedup operator has been materialized (collect/count/write);
+    the next invocation re-pins its own intermediates."""
+    while _PINNED:
+        _PINNED.pop().unpersist(blocking)
+
 
 # --------------------------------------------------------------------------- #
 # exact dedup
@@ -139,8 +159,8 @@ def minhash_lsh_pairs(
         .filter(F.size("sh_str") > 0)
         .repartition(par, "doc")
         .select("doc", hashed_shingles("sh_str").alias("sh"))
-        .persist()
     )
+    shingled = _persist(shingled)
     sig = shingled.select(
         "doc", "sh", minhash_signature("sh", k).alias("sig")
     )
@@ -235,8 +255,8 @@ def simhash_pairs(
         .filter(F.size("__toks") > 0)
         .repartition(par, "doc")
         .select("doc", F.expr("transform(__toks, t -> xxhash64(t))").alias("__th"))
-        .persist()
     )
+    toks = _persist(toks)
     sigs = toks.select("doc", simhash_from_hashes("__th").alias("sig"))
     chunks = sigs.select(
         "doc",
@@ -299,8 +319,8 @@ def ngram_jaccard_pairs(
         # int-hashed shingles: Jaccard-identical sets (collisions ~|sh|²/2⁶⁴),
         # 8-byte join keys instead of variable-length text
         .select("doc", hashed_shingles("sh_str").alias("sh"))
-        .persist()
     )
+    shingled = _persist(shingled)
     sizes = shingled.select("doc", F.size("sh").alias("sz"))
     ex = shingled.select("doc", F.explode("sh").alias("h"))
     common = (
@@ -359,7 +379,11 @@ def cosine_sim(a_col: str, b_col: str) -> Column:
 
 
 def embedding_near_dup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    max_broadcast_rows: int = 250_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold), exact.
 
@@ -368,11 +392,16 @@ def embedding_near_dup_pairs(
     per element, so pairs × dim interpreted steps (measured ~100× slower than
     BLAS). This is the sanctioned Pandas-UDF case — one side is L2-normalized
     into a dense float64 matrix and broadcast (all-pairs is only feasible when
-    one side fits in memory *by definition*; beyond that, generate candidates
-    with :func:`vectors.similarity.hyperplane_lsh_topk` buckets first), the
-    other side streams through ``mapInPandas`` in Arrow batches doing one
-    blocked matmul per batch. Scales linearly across executors in the streamed
-    side; no shuffle beyond the initial spread."""
+    one side fits in memory *by definition*), the other side streams through
+    ``mapInPandas`` in Arrow batches doing one blocked matmul per batch. Scales
+    linearly across executors in the streamed side; no shuffle beyond the
+    initial spread.
+
+    **Scale guard**: the broadcast side is the WHOLE input, so driver memory is
+    O(corpus). The collect is gated at ``max_broadcast_rows`` (default 250k ≈
+    256 MB at 128-dim float64) and raises with a pointer to
+    :func:`embedding_near_dup_pairs_lsh`, the bucketed path that never
+    materializes the corpus on the driver."""
     import numpy as np
     import pandas as pd
 
@@ -380,6 +409,15 @@ def embedding_near_dup_pairs(
     id_type = df.schema[id_col].dataType.simpleString()
     side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
+    n_rows = side.count()
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"embedding_near_dup_pairs: input has {n_rows} rows > "
+            f"max_broadcast_rows={max_broadcast_rows}; the exact all-pairs path "
+            "collects one full side to the driver. Use "
+            "embedding_near_dup_pairs_lsh (bucketed candidates, no driver "
+            "collect) for large corpora, or raise the cap explicitly."
+        )
     pdf = side.toPandas()
     # One Arrow batch per ~2k rows keeps each task a real blocked matmul;
     # 32 near-empty tasks would pay Python-worker overhead per task instead.
@@ -416,4 +454,60 @@ def embedding_near_dup_pairs(
 
     return side.repartition(par, "id").mapInPandas(
         score, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at corpus scale: hyperplane-LSH bucketed
+    candidate generation + exact cosine verification — no driver-side collect,
+    no O(n²) pair materialization.
+
+    Vectors sharing a sign pattern over ``n_planes`` pseudo-random hyperplanes
+    (``vectors.similarity.hyperplane_signature``) become candidates; with
+    ``multiprobe`` one side also probes every Hamming-1 neighbor bucket, so a
+    pair survives unless its members disagree on ≥ 2 planes. For cosine ≥ 0.95
+    (θ ≤ 18.2°) each plane splits the pair with prob θ/π ≤ 0.101, giving
+    expected recall ≥ 1 − C(8,2)·0.101² ≈ 0.81 per signature at n_planes=8 —
+    the production dial is n_planes/multiprobe depth (or OR-ing several
+    signature tables, as MinHash bands do). Shuffle is keyed on bucket ids;
+    per-bucket candidate cost is Σ_b |b|² — the classic LSH tradeoff, tuned so
+    buckets hold ~corpus/2^n_planes vectors."""
+    from switchback_test_dag_spark.vectors.similarity import hyperplane_signature
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_signature(vec_col, n_planes).alias("sig"),
+    )
+    base = _persist(base)  # signature is O(dim·planes); compute once per side
+    if multiprobe:
+        probes = F.expr(
+            f"array_union(array(sig), transform(sequence(0, {n_planes - 1}), "
+            "p -> sig ^ shiftleft(1L, p)))"
+        )
+    else:
+        probes = F.expr("array(sig)")
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.explode(probes).alias("bucket"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("sig").alias("bucket")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])  # multiprobe can hit a pair twice
+        .withColumn("cosine", F.round(cosine_sim("va", "vb"), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

@@ -114,8 +114,25 @@ def test_permutation_p_value_detects_planted_effect(events):
 def test_hex_threshold_bounds():
     assert P.hex_threshold(0.0) == "0000"
     assert P.hex_threshold(0.5) == "8000"
-    assert P.hex_threshold(1.0) == "10000"  # no 4-hex string sorts ≥ this
+    # p=1 cannot be a 4-hex threshold ('10000' would sort BELOW '2***'):
+    # clamped here, special-cased to a constant arm in portable_arm_sql
+    assert P.hex_threshold(1.0) == "ffff"
     assert P.hex_threshold(0.25) == "4000"
+
+
+def test_portable_arm_degenerate_p(spark):
+    """p rounding to 0 or 65536 short-circuits to a constant arm — the
+    lexicographic md5-prefix comparison cannot express P=1 ('ffff' < '10000'
+    is false for most prefixes)."""
+    units = spark.range(500)
+    for p, expected in ((1.0, "On"), (0.0, "Off"), (0.9999999, "On")):
+        arms = (
+            units.withColumn("arm", P.portable_arm("id", "0", p))
+            .select("arm")
+            .distinct()
+            .collect()
+        )
+        assert [r["arm"] for r in arms] == [expected], f"p={p}"
 
 
 def test_portable_arm_proportion(spark):

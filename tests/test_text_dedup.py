@@ -135,3 +135,43 @@ def test_ivf_centroids_deterministic(emb):
     c1 = VS.train_ivf_centroids(emb, "vec_id", "embedding", n_cells=8)
     c2 = VS.train_ivf_centroids(emb, "vec_id", "embedding", n_cells=8)
     assert (c1 == c2).all()
+
+
+def test_embedding_near_dup_cap_blocks_driver_collect(emb):
+    """Above max_broadcast_rows the exact path must refuse to collect the
+    corpus to the driver and point at the LSH path."""
+    with pytest.raises(ValueError, match="embedding_near_dup_pairs_lsh"):
+        TD.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, max_broadcast_rows=10
+        )
+
+
+def test_embedding_near_dup_lsh_recall_vs_exact(emb):
+    """The bucketed path (no driver collect) recovers the exact pair set at the
+    fixture's margins with high recall and introduces no false positives
+    (candidates are verified with exact cosine)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in TD.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    lsh_df = TD.embedding_near_dup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.4, n_planes=4
+    )
+    lsh = {(r["id_a"], r["id_b"]) for r in lsh_df.collect()}
+    TD.release_caches()
+    assert exact, "fixture should contain near-dup pairs at threshold 0.4"
+    assert lsh <= exact, f"false positives: {lsh - exact}"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_release_caches_unpins_intermediates(docs, spark):
+    TD.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.85).count()
+    assert len(TD._PINNED) > 0
+    TD.release_caches()
+    assert TD._PINNED == []
+    # nothing left cached in the Spark context
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
