@@ -23,8 +23,6 @@ from switchback_test_dag_spark.pipeline import (
     MONETARY_KPI_COLS,
     label_orders,
     p_values,
-    per_order_metrics,
-    total_metrics,
 )
 
 QUERIES: dict = {}
@@ -54,35 +52,30 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Production pipeline (SURVEY §2: P5, P9, A1, A2, T1 over the synthesized fact)
 # ---------------------------------------------------------------------------
 
-_PER_ORDER_ORACLE = (
+_METRICS_ORACLE = (
     ORACLE_FACT_CTE
     + "SELECT test_name, on_or_off_day, "
     + ", ".join(f"round(avg({c}), 2) AS {c}" for c in KPI_COLS)
+    + ", "
+    + ", ".join(f"round(sum({c}), 2) AS total_{c}" for c in MONETARY_KPI_COLS)
     + " FROM sb_labeled GROUP BY test_name, on_or_off_day"
 )
 
 
-@query("sb_per_order_metrics", _PER_ORDER_ORACLE)
-def sb_per_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: 13-KPI means by (test, arm) — automated_...py:124-125."""
-    return per_order_metrics(_labeled(spark, sf_dir))
+@query("sb_metrics", _METRICS_ORACLE)
+def sb_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + A2 in one shuffle: 13-KPI per-order means AND the monetary-KPI sums
+    by (test, arm) — automated_...py:124-129. One groupBy computes both; the
+    reference's two separate .agg() passes collapse into one plan (the scans
+    and shuffle are identical, only the aggregate list differs)."""
+    labeled = _labeled(spark, sf_dir)
+    return labeled.groupBy("test_name", "on_or_off_day").agg(
+        *[F.round(F.avg(c), 2).alias(c) for c in KPI_COLS],
+        *[F.round(F.sum(c), 2).alias(f"total_{c}") for c in MONETARY_KPI_COLS],
+    )
 
 
-_TOTALS_ORACLE = (
-    ORACLE_FACT_CTE
-    + "SELECT test_name, on_or_off_day, "
-    + ", ".join(f"round(sum({c}), 2) AS {c}" for c in MONETARY_KPI_COLS)
-    + " FROM sb_labeled GROUP BY test_name, on_or_off_day"
-)
-
-
-@query("sb_total_metrics", _TOTALS_ORACLE)
-def sb_total_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: monetary-KPI sums by (test, arm) — automated_...py:128-129."""
-    return total_metrics(_labeled(spark, sf_dir))
-
-
-_MWU_ORACLE = (
+_MWU_CORE = (
     ORACLE_FACT_CTE
     + """
 , melted AS (
@@ -106,15 +99,49 @@ _MWU_ORACLE = (
          sum(CAST(n AS DOUBLE) * n * n - n) AS tie_term,
          CAST(sum(n) AS BIGINT) AS n_tot
   FROM ranked GROUP BY test_name, kpi
+)"""
 )
-SELECT test_name, kpi, n_a, n_b,
-       round(r_a - n_a * (n_a + 1) / 2.0, 4) AS u_stat,
-       round((greatest(r_a - n_a * (n_a + 1) / 2.0,
+
+_MWU_Z = """(greatest(r_a - n_a * (n_a + 1) / 2.0,
                        CAST(n_a AS DOUBLE) * n_b - (r_a - n_a * (n_a + 1) / 2.0))
               - CAST(n_a AS DOUBLE) * n_b / 2.0 - 0.5)
              / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
-                    * ((n_tot + 1) - tie_term / (CAST(n_tot AS DOUBLE) * (n_tot - 1)))), 6) AS z
+                    * ((n_tot + 1) - tie_term / (CAST(n_tot AS DOUBLE) * (n_tot - 1))))"""
+
+_MWU_ORACLE = (
+    _MWU_CORE
+    + f"""
+SELECT test_name, kpi, n_a, n_b,
+       round(r_a - n_a * (n_a + 1) / 2.0, 4) AS u_stat,
+       round({_MWU_Z}, 6) AS z
 FROM agg"""
+)
+
+# p-value oracle: the SAME A&S 7.1.26 erfc polynomial the Spark engine uses
+# (stats/distributions.py — plain arithmetic, so DuckDB can evaluate it
+# verbatim); p = min(1, erfc(|z|/sqrt(2))), identical on both engines to well
+# below the 4-decimal rounding.
+_MWU_P_ORACLE = (
+    _MWU_CORE
+    + f"""
+, zc AS (
+  SELECT test_name, kpi,
+         CASE WHEN n_a > 0 AND n_b > 0 AND n_tot > 1
+                   AND ((n_tot + 1) - tie_term / (CAST(n_tot AS DOUBLE) * (n_tot - 1))) > 0
+              THEN {_MWU_Z} END AS z
+  FROM agg
+), xc AS (
+  SELECT test_name, kpi, z, abs(z) / sqrt(2.0) AS x,
+         1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM zc
+)
+SELECT test_name, kpi,
+       CASE WHEN z IS NULL THEN NULL  -- explicit: least() would swallow NULL
+            ELSE round(least(1.0,
+                t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                    + t * (-1.453152027 + t * 1.061405429)))) * exp(-(x * x))), 4)
+       END AS p_value
+FROM xc"""
 )
 
 
@@ -145,9 +172,11 @@ def sb_mwu_ustat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sb_mwu_pvalues")  # p-values: no SQL oracle (normal tail) → rows-only check
+@query("sb_mwu_pvalues", _MWU_P_ORACLE)
 def sb_mwu_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1: the production p-value table (flagship output)."""
+    """T1: the production p-value table (flagship output). Oracled end-to-end:
+    the normal tail is the A&S 7.1.26 polynomial on both engines (scipy parity
+    of that polynomial is pinned separately in tests/test_stats_reference.py)."""
     return p_values(_labeled(spark, sf_dir))
 
 
@@ -155,7 +184,6 @@ def sb_mwu_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries to QUERIES/ORACLES via the @query decorator on import). Bottom-of-module
 # imports: these modules import `query` from here, so they must load after the
 # registry exists.
-from switchback_test_dag_spark import queries_design  # noqa: E402,F401
 from switchback_test_dag_spark import queries_documents  # noqa: E402,F401
 from switchback_test_dag_spark import queries_geo  # noqa: E402,F401
 from switchback_test_dag_spark import queries_inference  # noqa: E402,F401

@@ -50,24 +50,6 @@ FROM pairs WHERE u > 0 AND i * 1.0 / u >= 0.85
 # --------------------------------------------------------------------------- #
 
 
-@query(
-    "doc_token_stats",
-    f"""SELECT source,
-              CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS total_tokens,
-              CAST(sum(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]'))) AS BIGINT) AS total_bpe_tokens,
-              round(avg(len({_DUCK_TOKS})), 4) AS avg_tokens
-       FROM documents GROUP BY source""",
-)
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + BPE-ish regex) per source — corpus budgeting."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
-        F.sum(TA.token_count("text")).cast("long").alias("total_tokens"),
-        F.sum(TA.bpe_token_count("text")).cast("long").alias("total_bpe_tokens"),
-        F.round(F.avg(TA.token_count("text")), 4).alias("avg_tokens"),
-    )
-
-
 def _duck_profile_score(words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter({_DUCK_TOKS}, x -> list_contains([{lst}], x)))"
@@ -78,20 +60,6 @@ def _duck_lang_case() -> str:
     best = "greatest(" + ", ".join(scores.values()) + ")"
     cases = " ".join(f"WHEN {e} = {best} THEN '{lang}'" for lang, e in scores.items())
     return f"CASE WHEN {best} < 1 THEN 'und' ELSE CASE {cases} END END"
-
-
-@query(
-    "doc_lang_id",
-    f"""SELECT {_duck_lang_case()} AS predicted_lang, count(*) AS n
-       FROM documents GROUP BY predicted_lang""",
-)
-def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic (stopword-profile argmax) — predicted-language
-    histogram."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy(TA.lang_id("text").alias("predicted_lang")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
 
 
 _DUCK_SW = _duck_profile_score(TA.LANG_PROFILES["en"])
@@ -108,19 +76,36 @@ _DUCK_QUALITY = f"""(
 
 
 @query(
-    "doc_quality_scores",
-    f"""SELECT source, round(avg({_DUCK_QUALITY}), 6) AS avg_quality,
-              count(CASE WHEN {_DUCK_QUALITY} >= 0.75 THEN 1 END) AS n_high
+    "doc_text_profile",
+    f"""SELECT source,
+              count(*) AS n_docs,
+              CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS total_tokens,
+              CAST(sum(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]'))) AS BIGINT) AS total_bpe_tokens,
+              round(avg(len({_DUCK_TOKS})), 4) AS avg_tokens,
+              round(avg({_DUCK_QUALITY}), 6) AS avg_quality,
+              count(CASE WHEN {_DUCK_QUALITY} >= 0.75 THEN 1 END) AS n_high,
+              count(CASE WHEN {_duck_lang_case()} = 'en' THEN 1 END) AS n_lang_en,
+              count(CASE WHEN {_duck_lang_case()} != 'en' THEN 1 END) AS n_lang_other
        FROM documents GROUP BY source""",
 )
-def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring (length/stopword/punctuation/word-length composite) per
-    source — the cheap pre-filter of a pretraining pipeline."""
+def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis suite per source, one documents scan: token counting
+    (whitespace + BPE-ish regex) for corpus budgeting, composite quality
+    scoring (length/stopword/punctuation/word-length — the cheap pre-filter of
+    a pretraining pipeline), and the language-ID heuristic (stopword-profile
+    argmax) folded into per-source language counts."""
     docs = load_table(spark, sf_dir, "documents")
     qs = TA.quality_score("text")
+    lang = TA.lang_id("text")
     return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TA.token_count("text")).cast("long").alias("total_tokens"),
+        F.sum(TA.bpe_token_count("text")).cast("long").alias("total_bpe_tokens"),
+        F.round(F.avg(TA.token_count("text")), 4).alias("avg_tokens"),
         F.round(F.avg(qs), 6).alias("avg_quality"),
         F.count(F.when(qs >= 0.75, 1)).alias("n_high"),
+        F.count(F.when(lang == "en", 1)).alias("n_lang_en"),
+        F.count(F.when(lang != "en", 1)).alias("n_lang_other"),
     )
 
 

@@ -78,108 +78,138 @@ def _duck_bucket_t(inject: float = 0.0) -> str:
 
 
 @query(
-    "perm_mean_diff_dist",
-    _DUCK_SEEDED
-    + """
-SELECT seed,
-       CAST(sum(n) FILTER (arm = 'On') AS BIGINT) AS n_on,
-       CAST(sum(n) FILTER (arm = 'Off') AS BIGINT) AS n_off,
-       round(sum(s1) FILTER (arm = 'On') / sum(n) FILTER (arm = 'On')
-             - sum(s1) FILTER (arm = 'Off') / sum(n) FILTER (arm = 'Off'), 6) AS mean_diff
-FROM s GROUP BY seed
-HAVING sum(n) FILTER (arm = 'On') > 0 AND sum(n) FILTER (arm = 'Off') > 0""",
-)
-def perm_mean_diff_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5/T18: permutation distribution of the order-level mean difference over
-    200 seeded re-randomizations of hourly buckets — the serial loop of
-    method_evaluation.ipynb:269-300 as one distributed plan."""
-    ev = load_table(spark, sf_dir, "events")
-    d = P.permutation_mean_diffs(ev, "value", F.expr(_SPARK_BUCKET), N_SEEDS)
-    return d.select("seed", "n_on", "n_off", F.round("mean_diff", 6).alias("mean_diff"))
-
-
-@query(
-    "perm_thresholds",
+    "perm_dist_thresholds",
     _DUCK_SEEDED
     + """
 , d AS (
   SELECT seed,
+         CAST(sum(n) FILTER (arm = 'On') AS BIGINT) AS n_on,
+         CAST(sum(n) FILTER (arm = 'Off') AS BIGINT) AS n_off,
          sum(s1) FILTER (arm = 'On') / sum(n) FILTER (arm = 'On')
          - sum(s1) FILTER (arm = 'Off') / sum(n) FILTER (arm = 'Off') AS mean_diff
   FROM s GROUP BY seed
   HAVING sum(n) FILTER (arm = 'On') > 0 AND sum(n) FILTER (arm = 'Off') > 0
+), th AS (
+  SELECT round(quantile_cont(mean_diff, 0.025), 6) AS lower,
+         round(quantile_cont(mean_diff, 0.975), 6) AS upper,
+         count(*) AS n_seeds
+  FROM d
 )
-SELECT round(quantile_cont(mean_diff, 0.025), 6) AS lower,
-       round(quantile_cont(mean_diff, 0.975), 6) AS upper,
-       count(*) AS n_seeds
-FROM d""",
+SELECT seed, n_on, n_off, round(mean_diff, 6) AS mean_diff, lower, upper, n_seeds
+FROM d, th""",
 )
-def perm_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5: adjusted-p significance thresholds = (2.5, 97.5) percentiles of the
-    permutation distribution."""
+def perm_dist_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 + T18: the permutation distribution of the order-level mean
+    difference over 200 seeded re-randomizations of hourly buckets (the serial
+    loop of method_evaluation.ipynb:269-300 as ONE distributed plan), with the
+    adjusted-p significance thresholds — the (2.5, 97.5) percentiles of that
+    same distribution — broadcast back onto every seed row."""
     ev = load_table(spark, sf_dir, "events")
     d = P.permutation_mean_diffs(ev, "value", F.expr(_SPARK_BUCKET), N_SEEDS)
-    t = P.permutation_thresholds(d)
-    return t.select(
+    t = P.permutation_thresholds(d).select(
         F.round("lower", 6).alias("lower"),
         F.round("upper", 6).alias("upper"),
         "n_seeds",
     )
+    from pyspark.sql.functions import broadcast
+
+    return d.select(
+        "seed", "n_on", "n_off", F.round("mean_diff", 6).alias("mean_diff")
+    ).crossJoin(broadcast(t))
 
 
 @query(
-    "fpr_simulation",
-    _DUCK_SEEDED
-    + _duck_bucket_t()
-    + f"""
-SELECT round(avg(CASE WHEN se IS NOT NULL AND abs(mean_diff / se) > {CRIT}
+    "fpr_by_window_size",
+    f"""WITH w AS (SELECT unnest([1, 4, 24]) AS window_hours),
+m AS (
+  SELECT window_hours,
+         epoch_ns(ts) // (window_hours * 3600000000000) AS bucket,
+         count(*) AS n, sum(value) AS s1
+  FROM events, w WHERE value IS NOT NULL GROUP BY window_hours, bucket
+), s AS (
+  SELECT m.*, seed, {_DUCK_ARM} AS arm
+  FROM m, (SELECT unnest(generate_series(0, {N_SEEDS - 1})) AS seed)
+), bm AS (
+  SELECT window_hours, seed, arm, s1 * 1.0 / n AS bmean FROM s
+), t AS (
+  SELECT window_hours, seed,
+         count(*) FILTER (arm = 'On') AS g_on,
+         count(*) FILTER (arm = 'Off') AS g_off,
+         avg(bmean) FILTER (arm = 'On') AS m_on,
+         avg(bmean) FILTER (arm = 'Off') AS m_off,
+         coalesce(var_samp(bmean) FILTER (arm = 'On'), 0.0) AS v_on,
+         coalesce(var_samp(bmean) FILTER (arm = 'Off'), 0.0) AS v_off
+  FROM bm GROUP BY window_hours, seed
+), tt AS (
+  SELECT window_hours, seed, m_on - m_off AS mean_diff,
+         CASE WHEN g_on > 1 AND g_off > 1
+                   AND ((g_on-1)*v_on + (g_off-1)*v_off) > 0
+              THEN sqrt(((g_on-1)*v_on + (g_off-1)*v_off) / (g_on + g_off - 2)
+                        * (1.0/g_on + 1.0/g_off))
+         END AS se
+  FROM t
+)
+SELECT window_hours,
+       round(avg(CASE WHEN se IS NOT NULL AND abs(mean_diff / se) > {CRIT}
                       THEN 1.0 ELSE 0.0 END), 6) AS fpr,
        count(*) AS n_sims
-FROM tt""",
+FROM tt GROUP BY window_hours""",
 )
-def fpr_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T7: A/A false-positive rate of the bucket-level t-test across 200
-    re-randomizations — the reference's acceptance criterion (≈ 5%) computed in
-    one plan instead of a serial scipy loop."""
-    ev = load_table(spark, sf_dir, "events")
-    r = P.fpr_simulation(ev, "value", F.expr(_SPARK_BUCKET), N_SEEDS, CRIT)
-    return r.select(F.round("fpr", 6).alias("fpr"), "n_sims")
+def fpr_by_window_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 + the reference's window-size sweep (method_evaluation.ipynb:389
+    ``evaluate_test``; README.md:36-44 'best window = 1 hour'): A/A
+    false-positive rate of the bucket-level t-test across 200
+    re-randomizations, per switchback window size ∈ {1h, 4h, 24h} — the sweep
+    the reference runs as nested serial loops is ONE plan here: the window
+    dimension is exploded onto the fact scan, the moments shuffle carries it
+    as a group key, and the seeds dimension rides the same moment table. Cost
+    is one fact pass for ALL (window, seed) combinations."""
+    ev = load_table(spark, sf_dir, "events").select("value", "ts_ns")
+    exploded = ev.withColumn(
+        "window_hours", F.explode(F.array(F.lit(1), F.lit(4), F.lit(24)))
+    )
+    bucket = F.expr("ts_ns div (window_hours * 3600000000000)")
+    r = P.fpr_simulation(
+        exploded, "value", bucket, N_SEEDS, CRIT, by=["window_hours"]
+    )
+    return r.select("window_hours", F.round("fpr", 6).alias("fpr"), "n_sims")
 
 
 @query(
-    "power_simulation",
-    _DUCK_SEEDED
+    "power_ci_sim",
+    "SELECT p.power, p.n_sims, c.coverage, c.n_sims_cov FROM ("
+    + _DUCK_SEEDED
     + _duck_bucket_t(inject=EFFECT)
     + f"""
 SELECT round(avg(CASE WHEN se IS NOT NULL AND abs(mean_diff / se) > {CRIT}
                       THEN 1.0 ELSE 0.0 END), 6) AS power,
        count(*) AS n_sims
-FROM tt""",
-)
-def power_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T8: detection power for an injected +3.0 effect on the treated arm;
-    injection is exact moment algebra (no second fact-table pass)."""
-    ev = load_table(spark, sf_dir, "events")
-    r = P.power_simulation(ev, "value", F.expr(_SPARK_BUCKET), N_SEEDS, EFFECT, CRIT)
-    return r.select(F.round("power", 6).alias("power"), "n_sims")
-
-
-@query(
-    "ci_coverage_sim",
-    _DUCK_SEEDED
+FROM tt) p, ("""
+    + _DUCK_SEEDED
     + _duck_bucket_t()
     + f"""
 SELECT round(avg(CASE WHEN mean_diff - {CRIT} * se <= 0 AND mean_diff + {CRIT} * se >= 0
                       THEN 1.0 ELSE 0.0 END), 6) AS coverage,
-       count(*) AS n_sims
-FROM tt WHERE se IS NOT NULL""",
+       count(*) AS n_sims_cov
+FROM tt WHERE se IS NOT NULL) c""",
 )
-def ci_coverage_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T10: CI coverage under the null across re-randomizations (≈ 95% at the
-    normal critical value)."""
+def power_ci_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 + T10 off the same moment table: detection power for an injected
+    +3.0 effect (exact moment algebra — no second fact pass) and CI coverage
+    under the null (≈ 95% at the normal critical value), one row."""
     ev = load_table(spark, sf_dir, "events")
-    r = P.ci_coverage(ev, "value", F.expr(_SPARK_BUCKET), N_SEEDS, CRIT)
-    return r.select(F.round("coverage", 6).alias("coverage"), "n_sims")
+    pw = P.power_simulation(ev, "value", F.expr(_SPARK_BUCKET), N_SEEDS, EFFECT, CRIT)
+    cv = P.ci_coverage(ev, "value", F.expr(_SPARK_BUCKET), N_SEEDS, CRIT)
+    from pyspark.sql.functions import broadcast
+
+    return pw.select(F.round("power", 6).alias("power"), "n_sims").crossJoin(
+        broadcast(
+            cv.select(
+                F.round("coverage", 6).alias("coverage"),
+                F.col("n_sims").alias("n_sims_cov"),
+            )
+        )
+    )
 
 
 # --------------------------------------------------------------------------- #
@@ -188,71 +218,75 @@ def ci_coverage_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "assign_random_portable",
+    "assignment_battery",
     f"""WITH b AS (SELECT DISTINCT {_DUCK_BUCKET} AS bucket FROM events),
-       a AS (SELECT bucket, {P.portable_arm_sql("bucket", "0", 0.5)} AS arm FROM b)
-       SELECT arm, count(*) AS n_buckets FROM a GROUP BY arm""",
-)
-def assign_random_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T12: seeded Bernoulli(½) assignment per time unit (portable hash),
-    value-diffed bucket-by-bucket via the arm histogram."""
-    ev = load_table(spark, sf_dir, "events")
-    buckets = ev.select(F.expr(_SPARK_BUCKET).alias("bucket")).distinct()
-    return (
-        buckets.withColumn("arm", P.portable_arm("bucket", "0", 0.5))
-        .groupBy("arm")
-        .agg(F.count(F.lit(1)).alias("n_buckets"))
-    )
-
-
-@query(
-    "assign_alternating",
-    f"""WITH b AS (SELECT DISTINCT {_DUCK_BUCKET} AS bucket FROM events)
-       SELECT CASE WHEN bucket % 2 = 0 THEN 'On' ELSE 'Off' END AS arm,
-              count(*) AS n_buckets,
-              CAST(min(bucket) AS BIGINT) AS first_bucket
-       FROM b GROUP BY arm""",
-)
-def assign_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T14: strict deterministic On/Off alternation by bucket index
-    (hr_interval_func_deterministic, deep_dive_analyses.ipynb:442-460)."""
-    from switchback_test_dag_spark.plans.assignment import alternating_assignment
-
-    ev = load_table(spark, sf_dir, "events")
-    buckets = ev.select(F.expr(_SPARK_BUCKET).alias("bucket")).distinct()
-    return (
-        buckets.withColumn("arm", alternating_assignment("bucket"))
-        .groupBy("arm")
-        .agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.min("bucket").alias("first_bucket"),
-        )
-    )
-
-
-@query(
-    "assign_balanced_daily",
-    f"""WITH b AS (SELECT DISTINCT CAST(ts AS DATE) AS day, {_DUCK_BUCKET} AS bucket FROM events),
-       c AS (SELECT day, count(*) AS n FROM b GROUP BY day)
-       SELECT strftime(day, '%Y-%m-%d') AS day,
+       bd AS (SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                     {_DUCK_BUCKET} AS bucket FROM events),
+       c AS (SELECT day, count(*) AS n FROM bd GROUP BY day)
+       SELECT 'random_portable' AS method, 'ALL' AS k,
+              CAST(count(*) FILTER ({P.portable_arm_sql("bucket", "0", 0.5)} = 'On') AS BIGINT) AS n_on,
+              CAST(count(*) FILTER ({P.portable_arm_sql("bucket", "0", 0.5)} = 'Off') AS BIGINT) AS n_off
+       FROM b
+       UNION ALL
+       SELECT 'alternating' AS method, 'ALL' AS k,
+              CAST(count(*) FILTER (bucket % 2 = 0) AS BIGINT) AS n_on,
+              CAST(count(*) FILTER (bucket % 2 != 0) AS BIGINT) AS n_off
+       FROM b
+       UNION ALL
+       SELECT 'balanced_daily' AS method, day AS k,
               CAST(ceil(n / 2.0) AS BIGINT) AS n_on,
               CAST(floor(n / 2.0) AS BIGINT) AS n_off
        FROM c""",
 )
-def assign_balanced_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T13: balanced urn draw without replacement per day — exactly ⌈n/2⌉ On and
-    ⌊n/2⌋ Off buckets per day (the oracle checks the balance invariant; the
-    seeded shuffle itself is xxhash64-ordered, pytest-checked for determinism)."""
+def assignment_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 + T13 + T14 as one battery over the same distinct-bucket frame,
+    grain (method, unit-key): seeded Bernoulli(½) per time unit (portable
+    hash, value-diffed via the arm histogram), strict deterministic On/Off
+    alternation (hr_interval_func_deterministic,
+    deep_dive_analyses.ipynb:442-460), and the balanced urn draw without
+    replacement per day — exactly ⌈n/2⌉ On / ⌊n/2⌋ Off buckets per day (the
+    oracle checks the balance invariant; the seeded shuffle itself is
+    xxhash64-ordered, pytest-checked for determinism)."""
+    from switchback_test_dag_spark.plans.assignment import alternating_assignment
+
     ev = load_table(spark, sf_dir, "events")
-    buckets = ev.select(
+    buckets = ev.select(F.expr(_SPARK_BUCKET).alias("bucket")).distinct()
+
+    def histo(df: DataFrame, method: str, k) -> DataFrame:
+        return df.groupBy().agg(
+            F.count(F.when(F.col("arm") == "On", 1)).alias("n_on"),
+            F.count(F.when(F.col("arm") == "Off", 1)).alias("n_off"),
+        ).select(F.lit(method).alias("method"), k.alias("k"), "n_on", "n_off")
+
+    rand = histo(
+        buckets.withColumn("arm", P.portable_arm("bucket", "0", 0.5)),
+        "random_portable",
+        F.lit("ALL"),
+    )
+    alt = histo(
+        buckets.withColumn("arm", alternating_assignment("bucket")),
+        "alternating",
+        F.lit("ALL"),
+    )
+    day_buckets = ev.select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.expr(_SPARK_BUCKET).alias("bucket"),
     ).distinct()
-    assigned = balanced_assignment(buckets, "bucket", "day", seed=7)
-    return assigned.groupBy("day").agg(
-        F.count(F.when(F.col("assignment") == "On", 1)).alias("n_on"),
-        F.count(F.when(F.col("assignment") == "Off", 1)).alias("n_off"),
+    daily = (
+        balanced_assignment(day_buckets, "bucket", "day", seed=7)
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("assignment") == "On", 1)).alias("n_on"),
+            F.count(F.when(F.col("assignment") == "Off", 1)).alias("n_off"),
+        )
+        .select(
+            F.lit("balanced_daily").alias("method"),
+            F.col("day").alias("k"),
+            "n_on",
+            "n_off",
+        )
     )
+    return rand.unionByName(alt).unionByName(daily)
 
 
 # --------------------------------------------------------------------------- #
@@ -260,8 +294,11 @@ def assign_balanced_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------- #
 
 
+_MDE_FORMULA = "(1.959963984540054 + 0.8416212335729143) * sd_raw * 2.0 / sqrt(n)"
+
+
 @query(
-    "welch_by_event_type",
+    "welch_mde_by_event_type",
     f"""WITH lab AS (
          SELECT event_type, value,
                 {P.portable_arm_sql(_DUCK_BUCKET, "0", 0.5)} AS arm
@@ -275,34 +312,60 @@ def assign_balanced_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 coalesce(var_samp(value) FILTER (arm = 'On'), 0.0) AS va_,
                 coalesce(var_samp(value) FILTER (arm = 'Off'), 0.0) AS vb_
          FROM lab GROUP BY event_type
+       ), w AS (
+         SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                round(mean_a - mean_b, 6) AS mean_diff,
+                round(sqrt(va_/n_a + vb_/n_b), 6) AS se,
+                round((mean_a - mean_b) / sqrt(va_/n_a + vb_/n_b), 6) AS t_stat,
+                round(pow(va_/n_a + vb_/n_b, 2)
+                      / (pow(va_/n_a, 2)/(n_a-1) + pow(vb_/n_b, 2)/(n_b-1)), 6) AS dof
+         FROM m WHERE n_a > 1 AND n_b > 1
+       ), mm AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                avg(value) AS mean_raw, stddev_samp(value) AS sd_raw
+         FROM events
+         WHERE value IS NOT NULL AND NOT isnan(value)
+         GROUP BY event_type
+       ), md AS (
+         SELECT event_type, n,
+                round(mean_raw, 6) AS mean_value,
+                round(sd_raw, 6) AS sd,
+                round(CASE WHEN n > 3 AND sd_raw > 0 THEN {_MDE_FORMULA} END, 6) AS mde_abs,
+                round(CASE WHEN n > 3 AND sd_raw > 0 AND abs(mean_raw) > 0
+                           THEN ({_MDE_FORMULA}) / abs(mean_raw) * 100.0 END, 4) AS mde_pct
+         FROM mm
        )
-       SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-              round(mean_a - mean_b, 6) AS mean_diff,
-              round(sqrt(va_/n_a + vb_/n_b), 6) AS se,
-              round((mean_a - mean_b) / sqrt(va_/n_a + vb_/n_b), 6) AS t_stat,
-              round(pow(va_/n_a + vb_/n_b, 2)
-                    / (pow(va_/n_a, 2)/(n_a-1) + pow(vb_/n_b, 2)/(n_b-1)), 6) AS dof
-       FROM m WHERE n_a > 1 AND n_b > 1""",
+       SELECT w.*, md.n, md.mean_value, md.sd, md.mde_abs, md.mde_pct
+       FROM w JOIN md USING (event_type)""",
 )
-def welch_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T4: Welch's t statistic (SQL-expressible half; the t-tail p-value is
-    scipy-validated in tests/test_stats_reference.py) on portable-hash-labeled
-    events per event_type."""
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "arm", P.portable_arm(_SPARK_BUCKET, "0", 0.5)
+def welch_mde_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 + T11 + T9 per event_type in one result: Welch's t statistic on
+    portable-hash-labeled events (SQL-expressible half; the t-tail p-value is
+    scipy-validated in tests/test_stats_reference.py) joined with the
+    closed-form minimum detectable effect from the same moment pass — the
+    normal-approximation half of the reference's ``tt_ind_solve_power`` sweeps
+    (switchback_analysis.ipynb:462-709); exact-t solvers/curves live
+    driver-side in ``design.power``."""
+    from switchback_test_dag_spark.design import mde_from_moments
+    from pyspark.sql.functions import broadcast
+
+    ev = load_table(spark, sf_dir, "events")
+    labeled = ev.withColumn("arm", P.portable_arm(_SPARK_BUCKET, "0", 0.5))
+    w = (
+        welch_t_test(labeled, "value", "arm", "On", "Off", by=["event_type"], with_p=False)
+        .filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round("mean_diff", 6).alias("mean_diff"),
+            F.round("se", 6).alias("se"),
+            F.round("t_stat", 6).alias("t_stat"),
+            F.round("dof", 6).alias("dof"),
+        )
     )
-    r = welch_t_test(
-        ev, "value", "arm", "On", "Off", by=["event_type"], with_p=False
-    )
-    return r.filter((F.col("n_a") > 1) & (F.col("n_b") > 1)).select(
-        "event_type",
-        "n_a",
-        "n_b",
-        F.round("mean_diff", 6).alias("mean_diff"),
-        F.round("se", 6).alias("se"),
-        F.round("t_stat", 6).alias("t_stat"),
-        F.round("dof", 6).alias("dof"),
-    )
+    md = mde_from_moments(ev, "value", by=["event_type"])
+    return w.join(broadcast(md), "event_type")
 
 
 @query(
@@ -352,55 +415,101 @@ def crse_beta_se(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_BASE_ARM = P.portable_arm_sql("bucket", "0", 0.5)
 
 
+_TC_UNIT = "concat(cast(bucket as string), '#', city)"
+
+
 @query(
-    "assign_counterpart",
+    "assign_spatial_battery",
     f"""WITH b AS (SELECT DISTINCT {_DUCK_BUCKET} AS bucket, event_type AS city FROM events),
-       a AS (SELECT city,
-                    CASE WHEN city = 'error'
-                         THEN (CASE WHEN {_DUCK_BASE_ARM} = 'On' THEN 'Off' ELSE 'On' END)
-                         ELSE {_DUCK_BASE_ARM} END AS arm
-             FROM b)
-       SELECT city, arm, count(*) AS n_buckets FROM a GROUP BY city, arm""",
+       cp AS (SELECT city,
+                     CASE WHEN city = 'error'
+                          THEN (CASE WHEN {_DUCK_BASE_ARM} = 'On' THEN 'Off' ELSE 'On' END)
+                          ELSE {_DUCK_BASE_ARM} END AS arm
+              FROM b),
+       tc AS (SELECT city, {P.portable_arm_sql(_TC_UNIT, "0", 0.5)} AS arm FROM b)
+       SELECT 'counterpart' AS method, city, arm, count(*) AS n_buckets
+       FROM cp GROUP BY city, arm
+       UNION ALL
+       SELECT 'time_city' AS method, city, arm, count(*) AS n_buckets
+       FROM tc GROUP BY city, arm""",
 )
-def assign_counterpart(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T15: counterpart (mirrored) assignment — the designated counterpart city
-    runs the inverted arm of the shared per-bucket assignment
-    (counterpart_method.ipynb:358-373). Value-diffed per (city, arm)."""
+def assign_spatial_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 + T16 over the same distinct (bucket, city) frame, grain
+    (method, city, arm): counterpart (mirrored) assignment — the designated
+    counterpart city runs the inverted arm of the shared per-bucket assignment
+    (counterpart_method.ipynb:358-373) — and independent assignment per
+    (time unit, city) pair (counterpart_method.ipynb:376-383), where the
+    seeded hash keys on the composite unit so two cities in the same bucket
+    draw independently."""
     from switchback_test_dag_spark.plans.assignment import counterpart_assignment
 
     ev = load_table(spark, sf_dir, "events")
     units = ev.select(
         F.expr(_SPARK_BUCKET).alias("bucket"), F.col("event_type").alias("city")
     ).distinct()
-    arm = counterpart_assignment(P.portable_arm("bucket", "0", 0.5), "city", "error")
-    return (
-        units.withColumn("arm", arm)
+    cp_arm = counterpart_assignment(P.portable_arm("bucket", "0", 0.5), "city", "error")
+    cp = (
+        units.withColumn("arm", cp_arm)
         .groupBy("city", "arm")
         .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .select(F.lit("counterpart").alias("method"), "city", "arm", "n_buckets")
     )
-
-
-_TC_UNIT = "concat(cast(bucket as string), '#', city)"
-
-
-@query(
-    "assign_time_city",
-    f"""WITH b AS (SELECT DISTINCT {_DUCK_BUCKET} AS bucket, event_type AS city FROM events),
-       a AS (SELECT city, {P.portable_arm_sql(_TC_UNIT, "0", 0.5)} AS arm FROM b)
-       SELECT city, arm, count(*) AS n_buckets FROM a GROUP BY city, arm""",
-)
-def assign_time_city(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T16: independent assignment per (time unit, city) pair
-    (counterpart_method.ipynb:376-383) — the seeded hash keys on the composite
-    unit, so two cities in the same bucket draw independently."""
-    ev = load_table(spark, sf_dir, "events")
-    units = ev.select(
-        F.expr(_SPARK_BUCKET).alias("bucket"), F.col("event_type").alias("city")
-    ).distinct()
-    return (
+    tc = (
         units.withColumn("arm", F.expr(P.portable_arm_sql(_TC_UNIT, "0", 0.5)))
         .groupBy("city", "arm")
         .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .select(F.lit("time_city").alias("method"), "city", "arm", "n_buckets")
+    )
+    return cp.unionByName(tc)
+
+
+@query(
+    "counterpart_city_finder",
+    f"""WITH m AS (
+         SELECT {_DUCK_BUCKET} AS unit, event_type AS city, avg(value) AS m
+         FROM events WHERE value IS NOT NULL GROUP BY unit, city
+       ), p AS (
+         SELECT a.city AS city, b.city AS counterpart,
+                corr(a.m, b.m) AS corr_units,
+                count(*) AS n_units,
+                stddev_samp(a.m - b.m) AS diff_std
+         FROM m a JOIN m b ON a.unit = b.unit AND a.city != b.city
+         GROUP BY a.city, b.city
+       ), r AS (
+         SELECT *, row_number() OVER (
+                  PARTITION BY city
+                  ORDER BY round(corr_units, 6) DESC, counterpart) AS rk
+         FROM p WHERE n_units >= 3 AND corr_units IS NOT NULL
+       ), s AS (
+         SELECT city, stddev_samp(m) AS city_std FROM m GROUP BY city
+       )
+       SELECT r.city, counterpart, round(corr_units, 6) AS corr_units,
+              CAST(n_units AS BIGINT) AS n_units,
+              round(diff_std, 6) AS diff_std,
+              round(city_std, 6) AS city_std
+       FROM r JOIN s ON r.city = s.city WHERE rk = 1""",
+)
+def counterpart_city_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed counterpart-city FINDER (counterpart_method.ipynb cells
+    15-18 + 54-57): per-city hourly KPI means → pairwise Pearson correlations
+    over shared time units → best counterpart per city, with the per-pair
+    difference-std and per-city mean-std that rank the "best city mix". Feeds
+    T15 (``assign_spatial_battery``'s counterpart arm). The pandas pivot +
+    dense ``.corr()`` matrix is re-shaped as a self-equi-join on the unit key
+    — see design/counterpart.py for the 100-TB rationale."""
+    from switchback_test_dag_spark.design.counterpart import best_counterparts
+
+    ev = load_table(spark, sf_dir, "events")
+    best = best_counterparts(
+        ev, F.expr(_SPARK_BUCKET), F.col("event_type"), "value", min_units=3
+    )
+    return best.select(
+        "city",
+        "counterpart",
+        F.round("corr_units", 6).alias("corr_units"),
+        "n_units",
+        F.round("diff_std", 6).alias("diff_std"),
+        F.round("city_std", 6).alias("city_std"),
     )
 
 

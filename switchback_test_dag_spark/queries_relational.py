@@ -23,39 +23,43 @@ from switchback_test_dag_spark.queries import query
 
 
 @query(
-    "region_nation_explode",
-    """SELECT r_name, n_name FROM region JOIN nation ON r_regionkey = n_regionkey""",
-)
-def region_nation_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1: CROSS JOIN UNNEST round-trip — collect nations per region into an
-    array, explode back (ELT.sql:14,51)."""
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    arrays = nation.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("names")
-    )
-    joined = region.join(arrays, region.r_regionkey == arrays.n_regionkey)
-    return R.explode_drop_empty(joined, "names", "n_name").select("r_name", "n_name")
-
-
-@query(
-    "region_nation_explode_outer",
-    """SELECT r_name, n.n_name
+    "region_nation_explode_modes",
+    """SELECT 'inner' AS mode, r_name, n_name
+       FROM region JOIN nation ON r_regionkey = n_regionkey
+       UNION ALL
+       SELECT 'outer' AS mode, r.r_name, n.n_name
        FROM region r LEFT JOIN nation n
          ON r.r_regionkey = n.n_regionkey AND n.n_nationkey % 7 = 0""",
 )
-def region_nation_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: LEFT JOIN UNNEST — regions whose array is empty survive with NULL
-    (ELT.sql:15,52-53)."""
-    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") % 7 == 0)
+def region_nation_explode_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + J2 in one result: CROSS JOIN UNNEST round-trip (mode='inner' —
+    collect nations per region into an array, explode back, empty arrays drop
+    the row; ELT.sql:14,51) unioned with LEFT JOIN UNNEST (mode='outer' —
+    regions whose filtered array is empty survive with a NULL element;
+    ELT.sql:15,52-53)."""
+    nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    arrays = nation.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("names")
-    )
-    joined = region.join(
-        arrays, region.r_regionkey == arrays.n_regionkey, "left"
-    )
-    return R.explode_keep_empty(joined, "names", "n_name").select("r_name", "n_name")
+
+    def arrays(nat: DataFrame) -> DataFrame:
+        return nat.groupBy("n_regionkey").agg(
+            F.array_sort(F.collect_list("n_name")).alias("names")
+        )
+
+    inner = R.explode_drop_empty(
+        region.join(arrays(nation), region.r_regionkey == F.col("n_regionkey")),
+        "names",
+        "n_name",
+    ).select(F.lit("inner").alias("mode"), "r_name", "n_name")
+    outer = R.explode_keep_empty(
+        region.join(
+            arrays(nation.filter(F.col("n_nationkey") % 7 == 0)),
+            region.r_regionkey == F.col("n_regionkey"),
+            "left",
+        ),
+        "names",
+        "n_name",
+    ).select(F.lit("outer").alias("mode"), "r_name", "n_name")
+    return inner.unionByName(outer)
 
 
 # --- W1/W3: windows --------------------------------------------------------------
@@ -98,51 +102,50 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "orders_semi_join_rich_customers",
-    """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    "orders_semi_anti_join",
+    """SELECT 'semi' AS which, o_orderpriority AS key, count(*) AS n,
+              round(sum(o_totalprice), 2) AS total
        FROM orders
        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
-       GROUP BY o_orderpriority""",
-)
-def orders_semi_join_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6: tuple semi-join replacing the reference's CONCAT-key IN-subquery
-    (ELT.sql:337-352)."""
-    orders = load_table(spark, sf_dir, "orders")
-    rich = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_acctbal") > 5000)
-        .select(F.col("c_custkey").alias("o_custkey"))
-    )
-    return (
-        R.semi_join_on_keys(orders, rich, ["o_custkey"])
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
-    )
-
-
-@query(
-    "orders_anti_join_poor_customers",
-    """SELECT o_orderstatus, count(*) AS n
+       GROUP BY o_orderpriority
+       UNION ALL
+       SELECT 'anti' AS which, o_orderstatus AS key, count(*) AS n,
+              CAST(NULL AS DOUBLE) AS total
        FROM orders
        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
        GROUP BY o_orderstatus""",
 )
-def orders_anti_join_poor_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 complement: NOT-IN exclusion as a left-anti join (ELT.sql:345-346)."""
+def orders_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 both halves: tuple semi-join (which='semi') replacing the reference's
+    CONCAT-key IN-subquery, and its NOT-IN complement as a left-anti join
+    (which='anti') — ELT.sql:337-352. Same broadcast keys frame feeds both."""
     orders = load_table(spark, sf_dir, "orders")
     rich = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 5000)
         .select(F.col("c_custkey").alias("o_custkey"))
     )
-    return (
-        R.anti_join_on_keys(orders, rich, ["o_custkey"])
-        .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"))
+    semi = (
+        R.semi_join_on_keys(orders, rich, ["o_custkey"])
+        .groupBy(F.col("o_orderpriority").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(F.lit("semi").alias("which"), "key", "n", "total")
     )
+    anti = (
+        R.anti_join_on_keys(orders, rich, ["o_custkey"])
+        .groupBy(F.col("o_orderstatus").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("anti").alias("which"),
+            "key",
+            "n",
+            F.lit(None).cast("double").alias("total"),
+        )
+    )
+    return semi.unionByName(anti)
 
 
 # --- J5: equi + range (temporal/conditional) join --------------------------------
@@ -301,68 +304,97 @@ def iqr_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "nation_csv_per_region",
-    """SELECT r_name, string_agg(n_name, ', ' ORDER BY n_name) AS nations
+    """SELECT r_regionkey, r_name, string_agg(n_name, ', ' ORDER BY n_name) AS nations
        FROM region JOIN nation ON r_regionkey = n_regionkey
-       GROUP BY r_name""",
+       GROUP BY r_regionkey, r_name""",
 )
 def nation_csv_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7: ARRAY_AGG(... ORDER BY ...) + ARRAY_TO_STRING (ELT.sql:61,140,395)."""
+    """A7 + P2: region re-materialized minus excluded columns (SELECT * EXCEPT
+    — ``.drop('r_comment')``, ELT.sql:60,427-430), then ARRAY_AGG(... ORDER BY
+    ...) + ARRAY_TO_STRING sorted-CSV aggregation (ELT.sql:61,140,395)."""
     nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
+    region = load_table(spark, sf_dir, "region").drop("r_comment")  # P2
     return (
         region.join(nation, region.r_regionkey == nation.n_regionkey)
-        .groupBy("r_name")
+        .groupBy("r_regionkey", "r_name")
         .agg(R.string_agg_sorted("n_name", distinct=False).alias("nations"))
     )
 
 
-# --- A12/A13: pivot + correlation ------------------------------------------------
+# --- A12/A13/A15/F11: pivot + correlation + row-formula suite -------------------
 
 
 @query(
-    "pivot_flag_status",
+    "lineitem_stats_suite",
     """SELECT l_returnflag,
               count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F,
-              count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O
+              count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O,
+              round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+              round(sum(CASE WHEN l_extendedprice >= 1000 THEN 0.0
+                             ELSE 1000.0 - l_extendedprice END), 2) AS sof_total,
+              round(avg(CASE WHEN l_discount = 0 THEN 1.0 ELSE 0.0 END), 6)
+                  AS zero_discount_share
        FROM lineitem GROUP BY l_returnflag""",
 )
-def pivot_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12: groupBy().pivot() matrix (propagation_effect_analysis.ipynb:483-484)."""
+def lineitem_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 + A13 + A15 + F11 over one lineitem scan per branch, joined on the
+    group key: a real ``groupBy().pivot()`` linestatus matrix
+    (propagation_effect_analysis.ipynb:483-484), column correlation
+    (counterpart_method.ipynb:299), the small-order-fee formula
+    IF(gfv − mov ≥ 0, 0, mov − gfv) (ELT.sql:264), and affected-row share via
+    avg(indicator) (CI_for_different_datasets.ipynb:873). The pivot side stays
+    the genuine ``.pivot()`` operator; the scalar aggregates ride a second
+    grouped pass broadcast-joined back (3-row frames)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return R.pivot_matrix(li, "l_returnflag", "l_linestatus", ["F", "O"], F.count(F.lit(1)))
-
-
-@query(
-    "corr_qty_price",
-    """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
-       FROM lineitem GROUP BY l_returnflag""",
-)
-def corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A13: column correlation (counterpart_method.ipynb:299)."""
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"))
+    pv = R.pivot_matrix(
+        li, "l_returnflag", "l_linestatus", ["F", "O"], F.count(F.lit(1))
     )
+    sof = F.when(F.col("l_extendedprice") >= 1000, 0.0).otherwise(
+        F.lit(1000.0) - F.col("l_extendedprice")
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.sum(sof), 2).alias("sof_total"),
+        F.round(
+            F.avg(F.when(F.col("l_discount") == 0, 1.0).otherwise(0.0)), 6
+        ).alias("zero_discount_share"),
+    )
+    return pv.join(broadcast(stats), "l_returnflag")
 
 
 # --- A9/A10: grouped std-error, two-level aggregation ---------------------------
 
 
 @query(
-    "sem_by_event_type",
-    """SELECT event_type, count(value) AS n,
+    "events_scalar_suite",
+    """WITH m AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+       SELECT event_type, count(value) AS n,
               round(stddev_samp(value), 6) AS sd,
-              round(stddev_samp(value) / sqrt(count(value)), 6) AS sem
-       FROM events GROUP BY event_type""",
+              round(stddev_samp(value) / sqrt(count(value)), 6) AS sem,
+              round(sum(value) / count(DISTINCT event_id), 6) AS value_per_event,
+              round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)), 6) AS avg_k,
+              round(avg((value - lo) / (hi - lo)), 6) AS avg_norm
+       FROM events, m GROUP BY event_type""",
 )
-def sem_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9: grouped std / standard-error-of-mean (method_evaluation.ipynb:679-699)."""
+def events_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 + A4/O4 + F24 + JSON extraction, one events scan, grain event_type:
+    grouped std / SEM (method_evaluation.ipynb:679-699), ratio-of-aggregates
+    sum/ distinct count (deep_dive customer KPIs), global min-max normalization
+    then per-group mean (deep_dive_analyses.ipynb:~2739 — two-phase broadcast
+    of the 1-row bounds, no fact shuffle), and a typed field pulled from the
+    JSON-ish props payload (regexp on both engines)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    normed = R.minmax_normalize_global(ev, "value", "norm")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    return normed.groupBy("event_type").agg(
         F.count("value").alias("n"),
         F.round(F.stddev_samp("value"), 6).alias("sd"),
         F.round(F.stddev_samp("value") / F.sqrt(F.count("value")), 6).alias("sem"),
+        F.round(F.sum("value") / F.countDistinct("event_id"), 6).alias(
+            "value_per_event"
+        ),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.round(F.avg("norm"), 6).alias("avg_norm"),
     )
 
 
@@ -398,267 +430,152 @@ def bucket_means_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- A4/A8/A15 -------------------------------------------------------------------
+# --- O1/O2/O3: union slices → deterministic top-k --------------------------------
 
 
 @query(
-    "ratio_of_aggregates",
-    """SELECT event_type,
-              round(sum(value) / count(DISTINCT event_id), 6) AS value_per_event
-       FROM events GROUP BY event_type""",
-)
-def ratio_of_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: group sum / distinct count in one agg (deep_dive_analyses customer
-    KPIs)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.sum("value") / F.countDistinct("event_id"), 6).alias(
-            "value_per_event"
-        )
-    )
-
-
-@query(
-    "value_counts_by_day",
-    """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, count(*) AS n
-       FROM events GROUP BY event_type, day""",
-)
-def value_counts_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8: value_counts per key/day (random_choice_of_zones, CI notebooks).
-    Day as ISO string on both engines (pandas date-vs-timestamp hash parity)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(
-        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
-
-
-@query(
-    "affected_share",
-    """SELECT l_returnflag,
-              round(avg(CASE WHEN l_discount = 0 THEN 1.0 ELSE 0.0 END), 6) AS zero_discount_share
-       FROM lineitem GROUP BY l_returnflag""",
-)
-def affected_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A15: share of affected rows via avg(indicator)
-    (CI_for_different_datasets.ipynb:873)."""
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(
-                F.avg(F.when(F.col("l_discount") == 0, 1.0).otherwise(0.0)), 6
-            ).alias("zero_discount_share")
-        )
-    )
-
-
-# --- O2/O3: top-k, union ---------------------------------------------------------
-
-
-@query(
-    "topk_customers",
-    """SELECT c_custkey, round(sum(o_totalprice), 2) AS spend
-       FROM orders JOIN customer ON o_custkey = c_custkey
+    "topk_union_customers",
+    """WITH u AS (
+         SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 200000
+         UNION ALL
+         SELECT o_custkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+       )
+       SELECT c_custkey, round(sum(o_totalprice), 2) AS spend, count(*) AS n_rows
+       FROM u JOIN customer ON o_custkey = c_custkey
        GROUP BY c_custkey
        ORDER BY spend DESC, c_custkey LIMIT 10""",
 )
-def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2: deterministic top-k (sort_values + head) with key tiebreak
-    (random_choice_of_zones_question.ipynb:~104-110)."""
+def topk_union_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 + O2 + O3: pd.concat row-stack ≡ unionByName
+    (automated_...py:147-150) feeding a deterministic ORDER BY + top-k slice
+    with key tiebreak (random_choice_of_zones_question.ipynb:~104-110). Spark
+    plans the sort+limit as TakeOrderedAndProject — per-partition heaps, no
+    global sort of the aggregate."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_totalprice") > 200000)
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    u = a.select("o_custkey", "o_totalprice").unionByName(
+        b.select("o_custkey", "o_totalprice")
+    )
     return (
-        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        u.join(broadcast(cust), u.o_custkey == cust.c_custkey)
         .groupBy("c_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
         .orderBy(F.desc("spend"), F.asc("c_custkey"))
         .limit(10)
     )
 
 
-@query(
-    "union_order_slices",
-    """SELECT o_orderstatus, count(*) AS n FROM (
-         SELECT o_orderstatus FROM orders WHERE o_totalprice > 200000
-         UNION ALL
-         SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
-       ) GROUP BY o_orderstatus""",
-)
-def union_order_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3: pd.concat row-stack ≡ unionByName (automated_...py:147-150)."""
-    orders = load_table(spark, sf_dir, "orders")
-    a = orders.filter(F.col("o_totalprice") > 200000).select("o_orderstatus")
-    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderstatus")
-    return a.unionByName(b).groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+# --- F16-F20 + A8: time-derivation suite ----------------------------------------
 
-
-# --- F6-F9, F18-F19, F24, F4/F5, F1, P9 -----------------------------------------
+_DUCK_HR = "FLOOR((hour(ts) + minute(ts)/60.0 + second(ts)/3600.0) / 0.5) * 0.5"
 
 
 @query(
-    "weekday_orders",
-    """SELECT dayname(o_orderdate) AS weekday,
-              CAST(day(o_orderdate) % 2 AS BIGINT) AS even_day,
-              count(*) AS n
-       FROM orders GROUP BY weekday, even_day""",
-)
-def weekday_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6/F9: FORMAT_DATE('%A') weekday name + MOD(day, 2) even/odd split
-    (ELT.sql:205,208,319)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy(
-        F.date_format("o_orderdate", "EEEE").alias("weekday"),
-        (F.dayofmonth("o_orderdate") % 2).cast("long").alias("even_day"),
-    ).agg(F.count(F.lit(1)).alias("n"))
-
-
-@query(
-    "bucket_4h_counts",
-    """SELECT CAST(FLOOR(epoch_ns(ts) / 14400000000000) * 14400 AS BIGINT) AS bucket_epoch,
-              count(*) AS n, round(sum(value), 4) AS total_value
-       FROM events GROUP BY bucket_epoch ORDER BY bucket_epoch LIMIT 50""",
-)
-def bucket_4h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F18: arbitrary tumbling window (dt.floor('4H')) via epoch arithmetic
-    (method_evaluation.ipynb:~397)."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            (F.floor(F.col("ts_ns") / F.lit(14_400_000_000_000)) * 14400)
-            .cast("long")
-            .alias("bucket_epoch")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
-        )
-        .orderBy("bucket_epoch")
-        .limit(50)
-    )
-
-
-@query(
-    "hr_interval_labels",
-    """SELECT '[' || printf('%.2f', FLOOR((hour(ts) + minute(ts)/60.0 + second(ts)/3600.0) / 0.5) * 0.5)
-              || ', ' || printf('%.2f', FLOOR((hour(ts) + minute(ts)/60.0 + second(ts)/3600.0) / 0.5) * 0.5 + 0.5)
+    "time_bucket_suite",
+    f"""SELECT '[' || printf('%.2f', {_DUCK_HR})
+              || ', ' || printf('%.2f', {_DUCK_HR} + 0.5)
               || ')' AS interval_label,
-              count(*) AS n
+              count(*) AS n,
+              count(DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS n_days,
+              count(DISTINCT epoch_ns(ts) // 14400000000000) AS n_4h_buckets,
+              round(sum(value), 2) AS total_value
        FROM events GROUP BY interval_label""",
 )
-def hr_interval_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F19: pd.cut(right=False) half-open hour-of-day intervals as O(1) arithmetic
-    (deep_dive_analyses.ipynb:371-462)."""
+def time_bucket_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16-F20 + A8 over one events scan, grain = half-open hour-of-day
+    interval: pd.cut(right=False) labels as O(1) arithmetic
+    (deep_dive_analyses.ipynb:371-462, fractional hour F20), per-label
+    value_counts (A8), distinct calendar days (F16 date trunc), and distinct
+    4-hour tumbling buckets (F18 dt.floor('4H') epoch arithmetic,
+    method_evaluation.ipynb:~397)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(hr_interval("ts", 0.5).alias("interval_label")).agg(
-        F.count(F.lit(1)).alias("n")
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.date_format("ts", "yyyy-MM-dd")).alias("n_days"),
+        F.countDistinct(F.expr("ts_ns div 14400000000000")).alias("n_4h_buckets"),
+        F.round(F.sum("value"), 2).alias("total_value"),
     )
 
 
-@query(
-    "minmax_norm_by_type",
-    """WITH m AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
-       SELECT event_type, round(avg((value - lo) / (hi - lo)), 6) AS avg_norm
-       FROM events, m GROUP BY event_type""",
-)
-def minmax_norm_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F24: global min-max normalization then per-group mean
-    (deep_dive_analyses.ipynb:~2739)."""
-    ev = load_table(spark, sf_dir, "events")
-    normed = R.minmax_normalize_global(ev, "value", "norm")
-    return normed.groupBy("event_type").agg(
-        F.round(F.avg("norm"), 6).alias("avg_norm")
-    )
+# --- F1, F4-F6, F9-F11, F21, P9/P10: scalar-function suite over orders ----------
+
+_DUCK_CUSTNUM = "CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT)"
 
 
 @query(
-    "regexp_customer_ids",
-    """SELECT CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS cust_num,
-              c_mktsegment
-       FROM customer
-       WHERE CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) % 2 = 0""",
-)
-def regexp_customer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4/F5: regexp_extract id parsing (ELT.sql:72-90; automated_...py:35-36)."""
-    cust = load_table(spark, sf_dir, "customer")
-    num = F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("long")
-    return cust.select(num.alias("cust_num"), "c_mktsegment").filter(
-        F.col("cust_num") % 2 == 0
-    )
-
-
-@query(
-    "concat_composite_keys",
-    """SELECT c_mktsegment || ' | ' || n_name AS seg_nation_key, count(*) AS n
-       FROM customer JOIN nation ON c_nationkey = n_nationkey
-       GROUP BY seg_nation_key""",
-)
-def concat_composite_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1: CONCAT(a, ' | ', b) composite keys (ELT.sql:36,123,140,295)."""
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    return (
-        cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy(
-            F.concat_ws(" | ", "c_mktsegment", "n_name").alias("seg_nation_key")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@query(
-    "case_price_tiers",
-    """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+    "orders_scalar_suite",
+    f"""SELECT dayname(o_orderdate) AS weekday,
+              CAST(day(o_orderdate) % 2 AS BIGINT) AS even_day,
+              CASE WHEN o_totalprice < 50000 THEN 'low'
                    WHEN o_totalprice < 150000 THEN 'mid'
                    ELSE 'high' END AS tier,
-              count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
-       FROM orders GROUP BY tier""",
+              count(*) AS n,
+              ((2 * sum(CAST(round(o_totalprice * 100) AS BIGINT)) + count(*))
+               // (2 * count(*))) / 100.0 AS avg_price,
+              format('{{:,}}', CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)) AS BIGINT)) AS total_fmt,
+              count(DISTINCT c_mktsegment || ' | ' || n_name) AS n_seg_nation,
+              round(avg(CASE WHEN {_DUCK_CUSTNUM} % 2 = 0 THEN {_DUCK_CUSTNUM} END), 6) AS avg_even_cust_num
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY weekday, even_day, tier""",
 )
-def case_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P9/P10: np.select / np.where multi-branch conditional
-    (automated_...py:115-121)."""
+def orders_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function suite in one plan, grain (weekday, even_day, tier):
+    FORMAT_DATE('%A') weekday name + MOD(day, 2) parity (F6/F9,
+    ELT.sql:205,208,319), np.select multi-branch price tier (P9/P10,
+    automated_...py:115-121), '{:,}' thousands formatting of grouped totals
+    (F21, automated_...py:152-153 — exact decimal sum keeps the rounded total
+    order-independent), CONCAT composite keys counted distinct (F1,
+    ELT.sql:36,123,140,295), and regexp id extraction + MOD filter folded into
+    a conditional mean (F4/F5, ELT.sql:72-90). Dimensions broadcast."""
     orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust_num = F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("long")
     tier = (
         F.when(F.col("o_totalprice") < 50000, "low")
         .when(F.col("o_totalprice") < 150000, "mid")
         .otherwise("high")
     )
-    return orders.groupBy(tier.alias("tier")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+    return (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.date_format("o_orderdate", "EEEE").alias("weekday"),
+            (F.dayofmonth("o_orderdate") % 2).cast("long").alias("even_day"),
+            tier.alias("tier"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # integer-cents half-up mean: float-sum order (or a true .xx5 tie,
+            # which Spark and DuckDB round differently on doubles) cannot move
+            # the 2-decimal result
+            (
+                F.expr(
+                    "(2 * sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+                    " + count(*)) div (2 * count(*))"
+                )
+                / 100.0
+            ).alias("avg_price"),
+            F.format_number(F.round(total, 0), 0).alias("total_fmt"),
+            F.countDistinct(
+                F.concat_ws(" | ", "c_mktsegment", "n_name")
+            ).alias("n_seg_nation"),
+            F.round(F.avg(F.when(cust_num % 2 == 0, cust_num)), 6).alias(
+                "avg_even_cust_num"
+            ),
+        )
     )
 
 
-@query(
-    "sof_formula",
-    """SELECT l_returnflag,
-              round(sum(CASE WHEN l_extendedprice >= 1000 THEN 0.0
-                             ELSE 1000.0 - l_extendedprice END), 2) AS sof_total
-       FROM lineitem GROUP BY l_returnflag""",
-)
-def sof_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F11: small-order-fee formula IF(gfv − mov ≥ 0, 0, mov − gfv)
-    (ELT.sql:264)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    sof = F.when(F.col("l_extendedprice") >= 1000, 0.0).otherwise(
-        F.lit(1000.0) - F.col("l_extendedprice")
-    )
-    return li.groupBy("l_returnflag").agg(F.round(F.sum(sof), 2).alias("sof_total"))
-
-
-@query(
-    "json_props_extract",
-    """SELECT event_type,
-              round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)), 6) AS avg_k
-       FROM events GROUP BY event_type""",
-)
-def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extension: extract a typed field from the JSON-ish props payload (regexp
-    on both engines; Spark's get_json_object would also work)."""
-    ev = load_table(spark, sf_dir, "events")
-    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
-    return ev.groupBy("event_type").agg(F.round(F.avg(k), 6).alias("avg_k"))
-
-
-# --- S2/P2/P8/F21: script runner, * EXCEPT, keep/drop flag, number format ------
+# --- S2/S3/S6/P8: script runner, keep/drop flag ---------------------------------
 
 
 _SCRIPT = """
@@ -693,16 +610,6 @@ def sql_script_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return run_script(spark, _SCRIPT)
-
-
-@query(
-    "region_except_comment",
-    """SELECT r_regionkey, r_name FROM region""",
-)
-def region_except_comment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2: SELECT * EXCEPT(...) — re-materialize minus excluded columns
-    (ELT.sql:60,427-430)."""
-    return load_table(spark, sf_dir, "region").drop("r_comment")
 
 
 @query(
@@ -742,23 +649,6 @@ def keep_drop_flag_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("keep_drop_flag")
         .agg(F.count(F.lit(1)).alias("n_orders"))
-    )
-
-
-@query(
-    "totals_formatted",
-    """SELECT o_orderpriority,
-              format('{:,}', CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)) AS BIGINT)) AS total_fmt
-       FROM orders GROUP BY o_orderpriority""",
-)
-def totals_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F21: thousands-separator display formatting of grouped totals
-    (automated_...py:152-153 '{:,}'.format). Exact decimal sum keeps the
-    rounded total order-independent across engines."""
-    orders = load_table(spark, sf_dir, "orders")
-    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
-    return orders.groupBy("o_orderpriority").agg(
-        F.format_number(F.round(total, 0), 0).alias("total_fmt")
     )
 
 

@@ -86,19 +86,19 @@ def test_curve_intercept_and_affected_scaling():
     assert mde_scaled_by_affected_share(2.0, 0.0) == float("inf")
 
 
-def test_mde_by_event_type_matches_oracle(spark, sf_dir_med):
+def test_welch_mde_by_event_type_matches_oracle(spark, sf_dir_med):
     import duckdb
 
     from switchback_test_dag_spark import queries as q
 
-    sdf = q.QUERIES["mde_by_event_type"](spark, sf_dir_med)
+    sdf = q.QUERIES["welch_mde_by_event_type"](spark, sf_dir_med)
     pdf = sdf.toPandas().sort_values("event_type").reset_index(drop=True)
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir_med}/events.parquet')"
     )
     odf = (
-        con.execute(q.ORACLES["mde_by_event_type"])
+        con.execute(q.ORACLES["welch_mde_by_event_type"])
         .fetchdf()[pdf.columns.tolist()]
         .sort_values("event_type")
         .reset_index(drop=True)
@@ -109,3 +109,39 @@ def test_mde_by_event_type_matches_oracle(spark, sf_dir_med):
         odf.drop(columns="event_type").to_numpy(dtype=float),
         rtol=1e-9,
     )
+
+
+def test_counterpart_finder_pairs_planted_correlation(spark):
+    """Planted structure: city B tracks A (+constant offset → corr ≈ 1),
+    city C runs anti-phase to A (corr ≈ -1). The finder must pair A↔B and
+    give C its least-bad option without ever picking C for A."""
+    from switchback_test_dag_spark.design.counterpart import best_counterparts
+    from pyspark.sql import functions as F
+
+    rows = []
+    for u in range(24):
+        base = math.sin(u / 3.0) * 10.0 + 50.0
+        # two fact rows per (unit, city) so the unit mean is a real aggregate
+        for jitter in (-1.0, 1.0):
+            rows.append((u, "A", base + jitter))
+            rows.append((u, "B", base + 5.0 + jitter))
+            rows.append((u, "C", 100.0 - base + jitter))
+    df = spark.createDataFrame(rows, "unit long, city string, value double")
+
+    best = {
+        r["city"]: r
+        for r in best_counterparts(
+            df, F.col("unit"), F.col("city"), "value"
+        ).collect()
+    }
+    assert best["A"]["counterpart"] == "B"
+    assert best["B"]["counterpart"] == "A"
+    assert best["A"]["corr_units"] == pytest.approx(1.0, abs=1e-9)
+    # C's correlations with both A and B are -1; the finder still returns a
+    # deterministic row (tie broken on name) rather than dropping the city
+    assert best["C"]["counterpart"] == "A"
+    assert best["C"]["corr_units"] == pytest.approx(-1.0, abs=1e-9)
+    # diff-std of the A-B pair is 0 up to the jitter cancelling (means differ
+    # by the constant 5.0) — cell 57's "best mix" signal
+    assert best["A"]["diff_std"] == pytest.approx(0.0, abs=1e-9)
+    assert best["A"]["n_units"] == 24

@@ -41,7 +41,7 @@ def test_filters_pushed_to_scan(spark, sf_dir):
 
 def test_column_pruning_reaches_scan(spark, sf_dir):
     # 2-column projection must not scan all 9 orders columns
-    plan = _plan(spark, "topk_customers", sf_dir)
+    plan = _plan(spark, "topk_union_customers", sf_dir)
     start = plan.index("ReadSchema")
     read_schema = plan[start : plan.index("\n", start)]
     assert "o_comment" not in read_schema
@@ -52,11 +52,11 @@ def test_jvm_path_queries_have_no_python_nodes(spark, sf_dir):
     # Everything except the sanctioned Pandas-UDF operators must run entirely
     # JVM-side (whole-stage codegen territory)
     for name in [
-        "sb_per_order_metrics",
+        "sb_metrics",
         "revenue_by_segment",
         "iqr_filtered_stats",
-        "perm_mean_diff_dist",
-        "doc_token_stats",
+        "perm_dist_thresholds",
+        "doc_text_profile",
         "doc_minhash_lsh_pairs",
     ]:
         plan = _plan(spark, name, sf_dir)
