@@ -49,6 +49,7 @@ HEADLINE = [
     "corpus_clean_stats",
     "geo_zone_containment",
     "sql_script_stages",
+    "elt_orders_fact",
     "events_asof_latest_order",
     "event_sessions",
     "orders_rollup_counts",

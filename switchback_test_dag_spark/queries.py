@@ -185,6 +185,7 @@ def sb_mwu_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
 # imports: these modules import `query` from here, so they must load after the
 # registry exists.
 from switchback_test_dag_spark import queries_documents  # noqa: E402,F401
+from switchback_test_dag_spark import queries_elt  # noqa: E402,F401
 from switchback_test_dag_spark import queries_geo  # noqa: E402,F401
 from switchback_test_dag_spark import queries_inference  # noqa: E402,F401
 from switchback_test_dag_spark import queries_relational  # noqa: E402,F401

@@ -68,3 +68,14 @@ def test_aggregations_are_partial(spark, sf_dir):
     # exchange, so the shuffle moves group aggregates, not raw rows
     plan = _plan(spark, "revenue_by_segment", sf_dir)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_elt_composition_plan_is_join_clean(spark, sf_dir):
+    # the 8-stage ELT chain must fuse into broadcast/hash/SMJ joins only:
+    # no cartesian or nested-loop anywhere in the composed tree, and the
+    # point-in-zone append must ride the grid-cell equi-join, JVM-side
+    plan = _plan(spark, "elt_orders_fact", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
