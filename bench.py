@@ -47,6 +47,7 @@ HEADLINE = [
     "emb_ivf_topk",
     "doc_text_profile",
     "corpus_clean_stats",
+    "media_wav_decode",
     "geo_zone_containment",
     "sql_script_stages",
     "elt_orders_fact",

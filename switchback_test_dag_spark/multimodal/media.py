@@ -3,12 +3,14 @@ with typed metadata, processed by Arrow-batched pandas iterators via
 ``mapInPandas``.
 
 The Spark-side architecture here is the real deliverable — schema contract,
-partition-size control, Arrow batch shape, UDF iterator signature. The actual
-codec calls (PIL/libav/ffmpeg) are STUBBED: this container has no media
-libraries, so decode functions raise ``NotImplementedError`` unless
-``deterministic_fake=True``, which derives pixel/sample features from
-``xxhash``-style arithmetic on the payload bytes — enough to test the plumbing
-end-to-end with stable values.
+partition-size control, Arrow batch shape, UDF iterator signature. The
+image/video codec calls (PIL/libav/ffmpeg) are STUBBED: this container has no
+media libraries, so those decode functions raise ``NotImplementedError``
+unless ``deterministic_fake=True``, which derives pixel features from
+``xxhash``-style arithmetic on the payload bytes. AUDIO is the real path:
+``wav.py`` implements a working pure-Python RIFF PCM16 codec (stdlib
+``struct`` only), and ``decode_wav_features`` below parses actual bytes —
+no fake flag.
 
 Scale notes:
 - payloads ride in parquet binary columns; never ``collect()`` them;
@@ -162,3 +164,94 @@ def repartition_by_bytes(
     ).collect()[0]["b"] or 0
     n = max(1, int(total / target_partition_bytes))
     return media.repartition(n, "media_id")
+
+
+# --------------------------------------------------------------------------- #
+# real audio path (pure-Python WAV codec — see wav.py)
+# --------------------------------------------------------------------------- #
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sum_sq", LongType(), False),
+        StructField("peak", IntegerType(), False),
+    ]
+)
+
+
+def synthesize_wav_audio(
+    df: DataFrame, id_col: str, n_samples: int = 256, sample_rate: int = 8000
+) -> DataFrame:
+    """MEDIA_SCHEMA audio rows with REAL WAV payloads: a deterministic int16
+    waveform per id (``((id*31 + i*17) % 65536) - 32768``) encoded through the
+    RIFF PCM16 writer. Deterministic by construction, so downstream decodes
+    are oracle-checkable against the closed-form generator."""
+    from switchback_test_dag_spark.multimodal.wav import encode_wav_pcm16
+
+    duration_ms = n_samples * 1000 // sample_rate
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf["media_id"].to_numpy()
+            payloads = [
+                encode_wav_pcm16(
+                    ((mid * 31 + i * 17) % 65536 - 32768).astype("<i2"),
+                    sample_rate,
+                )
+                for mid in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                    "duration_ms": duration_ms,
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """Parse REAL WAV bytes → integer-exact audio features per payload:
+    sample count (from the data chunk), rate (from fmt), energy ``sum_sq``
+    and ``peak`` as exact integers so any downstream aggregate is
+    order-independent (no float-sum parity hazards). This is the working
+    codec path of the multimodal component — no ``deterministic_fake``."""
+    from switchback_test_dag_spark.multimodal.wav import decode_wav_pcm16
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rates, counts, sums, peaks = [], [], [], []
+            for payload in pdf["payload"]:
+                rate, _ch, samples = decode_wav_pcm16(bytes(payload))
+                s = samples.astype(np.int64)
+                rates.append(rate)
+                counts.append(len(s))
+                sums.append(int(np.dot(s, s)))
+                peaks.append(int(np.abs(s).max()) if len(s) else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": rates,
+                    "n_samples": counts,
+                    "sum_sq": sums,
+                    "peak": peaks,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA
+    )

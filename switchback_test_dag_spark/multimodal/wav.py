@@ -1,0 +1,87 @@
+"""Real pure-Python WAV (RIFF PCM16) codec — the multimodal component's
+working decode path. No native libraries: ``struct`` + numpy only, so it runs
+in any executor Python.
+
+Unlike the stubbed image/video codecs in ``media.py`` (this container has no
+PIL/ffmpeg), WAV is fully implementable in the standard library, so this path
+decodes REAL bytes: the encoder writes spec-conformant RIFF/WAVE files
+(readable by the stdlib ``wave`` module — pinned by a round-trip test), and
+the decoder walks the chunk list properly (tolerates LIST/fact/unknown chunks
+in any order, honors chunk word-alignment padding) rather than assuming the
+44-byte canonical layout.
+
+Scale shape: both directions run inside Arrow-batched ``mapInPandas``
+iterators (see ``media.py``) — payload bytes never leave the executor, and
+per-batch memory is bounded by the Arrow batch size × payload size.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_RIFF = b"RIFF"
+_WAVE = b"WAVE"
+_FMT = b"fmt "
+_DATA = b"data"
+_PCM = 1
+
+
+def encode_wav_pcm16(
+    samples: np.ndarray, sample_rate: int, channels: int = 1
+) -> bytes:
+    """int16 sample array → spec-conformant mono/interleaved PCM16 WAV bytes."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    block_align = channels * 2
+    byte_rate = sample_rate * block_align
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        _RIFF,
+        36 + len(pcm),
+        _WAVE,
+        _FMT,
+        16,
+        _PCM,
+        channels,
+        sample_rate,
+        byte_rate,
+        block_align,
+        16,
+        _DATA,
+        len(pcm),
+    )
+    return header + pcm
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """WAV bytes → (sample_rate, channels, int16 sample array).
+
+    A real chunk-walking parser: reads the RIFF container, locates ``fmt ``
+    and ``data`` wherever they appear, skips unknown chunks (LIST, fact, cue),
+    and honors the RIFF rule that odd-sized chunks are padded to even offsets.
+    Raises ``ValueError`` on malformed containers or non-PCM16 encodings.
+    """
+    if len(payload) < 12 or payload[:4] != _RIFF or payload[8:12] != _WAVE:
+        raise ValueError("not a RIFF/WAVE container")
+    pos = 12
+    sample_rate = channels = None
+    data: bytes | None = None
+    while pos + 8 <= len(payload):
+        name, size = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        body = payload[pos : pos + size]
+        if name == _FMT:
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            fmt_tag, channels, sample_rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt_tag != _PCM or bits != 16:
+                raise ValueError(f"unsupported encoding: tag={fmt_tag} bits={bits}")
+        elif name == _DATA:
+            data = body
+        pos += size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return sample_rate, channels, np.frombuffer(data, dtype="<i2")

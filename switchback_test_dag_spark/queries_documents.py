@@ -259,6 +259,57 @@ def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "media_wav_decode",
+    """WITH s AS (
+         SELECT d.doc_id, d.source,
+                ((d.doc_id * 31 + t.i * 17) % 65536) - 32768 AS samp
+         FROM documents d, unnest(generate_series(0, 255)) AS t(i)
+       ), per AS (
+         SELECT doc_id, any_value(source) AS source, count(*) AS n,
+                sum(samp * samp) AS ss, max(abs(samp)) AS pk
+         FROM s GROUP BY doc_id
+       )
+       SELECT source, CAST(count(*) AS BIGINT) AS n_media,
+              CAST(sum(n) AS BIGINT) AS total_samples,
+              round(sqrt(CAST(sum(ss) AS DOUBLE) / CAST(sum(n) AS DOUBLE)), 6) AS rms,
+              CAST(max(pk) AS INTEGER) AS max_peak,
+              CAST(sum(n) * 1000 // 8000 AS BIGINT) AS total_duration_ms
+       FROM per GROUP BY source""",
+)
+def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal component's REAL codec path: per-document WAV payloads
+    (spec-conformant RIFF PCM16 bytes, stdlib-``wave``-readable — see
+    multimodal/wav.py) are decoded by the chunk-walking parser inside
+    Arrow-batched ``mapInPandas``, yielding integer-exact energy/peak/count
+    features, aggregated per source. The oracle never sees bytes: it recomputes
+    the same features from the closed-form waveform generator, so a parse bug
+    anywhere (header arithmetic, chunk offsets, endianness) breaks the match.
+    Features are exact integers until the final rms sqrt, so shuffle order
+    cannot move any value."""
+    from switchback_test_dag_spark.multimodal.media import (
+        decode_wav_features,
+        synthesize_wav_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    media = synthesize_wav_audio(docs, "doc_id", n_samples=256, sample_rate=8000)
+    feats = decode_wav_features(media)
+    joined = feats.join(docs, feats.media_id == docs.doc_id)
+    total_n = F.sum("n_samples")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        total_n.cast("long").alias("total_samples"),
+        F.round(
+            F.sqrt(F.sum("sum_sq").cast("double") / total_n.cast("double")), 6
+        ).alias("rms"),
+        F.max("peak").alias("max_peak"),
+        F.expr("(sum(n_samples) * 1000) div 8000").cast("long").alias(
+            "total_duration_ms"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # composed corpus-cleaning pipeline
 # --------------------------------------------------------------------------- #
