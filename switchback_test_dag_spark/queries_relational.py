@@ -629,16 +629,34 @@ def sql_script_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 def keep_drop_flag_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8/A7: keep/drop flag built by LIKE-matching each row's composite key
     against a sorted string-agg of valid combos (ELT.sql:295,436-442 — the
-    CONCAT-hack preserved for parity; the semi-join re-expression is
-    orders_semi_join_rich_customers)."""
+    CONCAT-hack preserved for parity). This string is broadcast to EVERY row
+    and grows with the distinct-combo count, so production cleaning should use
+    the tuple semi-join instead (``orders_semi_anti_join``); a 16 MB in-plan
+    bound fails fast if the combo set outgrows the exhibit's assumption
+    (lazy ``raise_error`` — no extra job, fires inside the one aggregation)."""
     orders = load_table(spark, sf_dir, "orders")
     combo = F.concat_ws(
         " | ", F.col("o_orderpriority"), (F.col("o_custkey") % 400).cast("string")
     )
+    raw_combos = F.array_join(F.array_sort(F.collect_set(combo)), ", ")
     valid = orders.filter(F.col("o_totalprice") > 400000).select(
-        F.array_join(
-            F.array_sort(F.collect_set(combo)), ", "
-        ).alias("combos")
+        F.when(F.octet_length(raw_combos) <= 16 * 1024 * 1024, raw_combos)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "keep_drop_flag_clean: valid-combo string exceeds 16 MB ("
+                    ),
+                    F.octet_length(raw_combos).cast("string"),
+                    F.lit(
+                        " bytes); the CONCAT-LIKE parity exhibit broadcasts it "
+                        "to every row — use the tuple semi-join "
+                        "(orders_semi_anti_join) for combo sets this large"
+                    ),
+                )
+            )
+        )
+        .alias("combos")
     )
     return (
         orders.crossJoin(broadcast(valid))
