@@ -479,12 +479,15 @@ def embedding_near_dup_pairs_lsh(
     signature tables, as MinHash bands do). Shuffle is keyed on bucket ids;
     per-bucket candidate cost is Σ_b |b|² — the classic LSH tradeoff, tuned so
     buckets hold ~corpus/2^n_planes vectors."""
-    from switchback_test_dag_spark.vectors.similarity import hyperplane_signature
+    from switchback_test_dag_spark.vectors.similarity import (
+        _vec_dim,
+        hyperplane_signature,
+    )
 
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        hyperplane_signature(vec_col, n_planes).alias("sig"),
+        hyperplane_signature(vec_col, n_planes, _vec_dim(df, vec_col)).alias("sig"),
     )
     base = _persist(base)  # signature is O(dim·planes); compute once per side
     if multiprobe:

@@ -69,21 +69,60 @@ def cosine_topk_bruteforce(
     )
 
 
-def hyperplane_signature(vec_col: str, n_planes: int = 8) -> Column:
+def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane components: plane p's weight for dimension
+    d is the parity of md5(p:d) — no stored model, reproducible anywhere."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{p}:{d}".encode()).digest()[0] % 2 == 0 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_signature(
+    vec_col: str, n_planes: int = 8, dim: int | None = None
+) -> Column:
     """LSH bucket id: sign pattern of ⟨v, hₚ⟩ for ``n_planes`` pseudo-random
-    ±1-component hyperplanes, packed into a bigint. Plane p's component for
-    dimension d is sign(xxhash64(p, d)) — deterministic, no stored model, and
-    the whole signature is one codegen expression."""
-    return F.expr(
-        f"""aggregate(
-              transform(sequence(0, {n_planes - 1}),
-                p -> CASE WHEN aggregate(
-                         zip_with({vec_col}, sequence(0, size({vec_col}) - 1),
-                                  (x, d) -> CAST(x AS DOUBLE) * CASE WHEN xxhash64(p, d) % 2 = 0 THEN 1.0 ELSE -1.0 END),
-                         0D, (acc, v) -> acc + v) > 0
-                     THEN shiftleft(1L, p) ELSE 0L END),
-              0L, (acc, x) -> acc + x)"""
-    )
+    ±1-component hyperplanes, packed into a bigint — one codegen expression.
+
+    With ``dim`` known (the hot path), plane components are LITERAL constants
+    folded into the plan, so the per-row cost is n_planes·dim multiply-adds.
+    Without ``dim``, a dynamic fallback derives each component from
+    ``xxhash64(p, d)`` per row — correct at any width, but ~n_planes·dim hash
+    calls per row, which dominated this operator's profile before the literal
+    path existed."""
+    if dim is None:
+        return F.expr(
+            f"""aggregate(
+                  transform(sequence(0, {n_planes - 1}),
+                    p -> CASE WHEN aggregate(
+                             zip_with({vec_col}, sequence(0, size({vec_col}) - 1),
+                                      (x, d) -> CAST(x AS DOUBLE) * CASE WHEN xxhash64(p, d) % 2 = 0 THEN 1.0 ELSE -1.0 END),
+                             0D, (acc, v) -> acc + v) > 0
+                         THEN shiftleft(1L, p) ELSE 0L END),
+                  0L, (acc, x) -> acc + x)"""
+        )
+    planes = plane_weights(n_planes, dim)
+    terms = []
+    for p, w in enumerate(planes):
+        arr = "array(" + ", ".join(f"{x}D" for x in w) + ")"
+        terms.append(
+            f"CASE WHEN aggregate(zip_with({vec_col}, {arr}, "
+            f"(x, w) -> CAST(x AS DOUBLE) * w), 0D, (acc, v) -> acc + v) > 0 "
+            f"THEN {1 << p}L ELSE 0L END"
+        )
+    return F.expr(" + ".join(terms))
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector width from one row (bounded plan-build-time probe; None on an
+    empty frame, which falls back to the dynamic signature)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return None if row is None else row["d"]
 
 
 def hyperplane_lsh_topk(
@@ -101,15 +140,16 @@ def hyperplane_lsh_topk(
     recall↑ at (n_planes+1)× probe cost). Join is keyed on bucket id: the probe
     side explodes its probe list, the corpus side is bucketed once."""
     query_id_col = query_id_col or id_col
+    dim = _vec_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        hyperplane_signature(vec_col, n_planes).alias("bucket"),
+        hyperplane_signature(vec_col, n_planes, dim).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        hyperplane_signature(vec_col, n_planes).alias("sig"),
+        hyperplane_signature(vec_col, n_planes, dim).alias("sig"),
     )
     if multiprobe:
         probes = F.expr(
