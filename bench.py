@@ -80,6 +80,8 @@ def main() -> None:
     # best-of-2: single runs on this box show up to 20x variance from transient
     # system noise on identical plans; the min measures plan execution. Both
     # raw runs are persisted under "runs" so the variance itself is auditable.
+    from switchback_test_dag_spark.text.dedup import release_caches
+
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name in names:
@@ -88,6 +90,10 @@ def main() -> None:
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).count()
             runs[name].append(round(time.perf_counter() - t0, 3))
+            # dedup operators pin persist-barrier intermediates; release them
+            # so run 2 times the real plan (and caches don't accumulate
+            # across the 27-query loop)
+            release_caches()
         timings[name] = min(runs[name])
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

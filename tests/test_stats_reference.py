@@ -103,3 +103,59 @@ def test_crse_matches_matrix_reference(sample_pdf, sample_df):
     assert row["se"] == pytest.approx(se_exp, rel=1e-9)
     assert row["t_stat"] == pytest.approx(t_exp, rel=1e-8)
     assert row["p_value"] == pytest.approx(p_exp, abs=TOL)
+
+
+# --------------------------------------------------------------------------- #
+# ANSI-mode degenerate inputs: every engine must yield NULL columns, not a
+# division-by-zero job kill (Spark 4 ANSI is ON in session.get_spark)
+# --------------------------------------------------------------------------- #
+
+
+def test_engines_null_safe_on_degenerate_inputs(spark):
+    from switchback_test_dag_spark.design import mde_from_moments
+    from switchback_test_dag_spark.stats.crse import crse_ols
+    from switchback_test_dag_spark.stats.mwu import mann_whitney_u
+    from switchback_test_dag_spark.stats.ttests import welch_t_test
+
+    # all-null KPI values
+    nulls = spark.createDataFrame(
+        [(None, "On"), (None, "Off"), (None, "On")], "value double, arm string"
+    )
+    (r,) = mann_whitney_u(nulls, "value", "arm", "On", "Off").collect()
+    assert r["u_stat"] is None and r["p_value"] is None
+
+    # one arm entirely absent
+    one_arm = spark.createDataFrame(
+        [(1.0, "On"), (2.0, "On")], "value double, arm string"
+    )
+    (w,) = welch_t_test(one_arm, "value", "arm", "On", "Off", with_p=False).collect()
+    assert w["n_b"] == 0 and w["t_stat"] is None and w["se"] is None
+    (m,) = mann_whitney_u(one_arm, "value", "arm", "On", "Off").collect()
+    assert m["u_stat"] is None
+
+    # constant values: zero variance, every rank tied
+    const = spark.createDataFrame(
+        [(5.0, "On"), (5.0, "Off"), (5.0, "On"), (5.0, "Off")],
+        "value double, arm string",
+    )
+    (w,) = welch_t_test(const, "value", "arm", "On", "Off", with_p=False).collect()
+    assert w["mean_diff"] == 0.0 and w["t_stat"] is None  # 0/0 -> NULL, not error
+    (m,) = mann_whitney_u(const, "value", "arm", "On", "Off").collect()
+    assert m["z"] is None  # tie-corrected variance is 0
+
+    # empty input frame
+    empty = spark.createDataFrame([], "value double, arm string")
+    (w,) = welch_t_test(empty, "value", "arm", "On", "Off", with_p=False).collect()
+    assert w["n_a"] == 0 and w["mean_a"] is None
+
+    # zero-variance MDE
+    flat = spark.createDataFrame([(5.0,)] * 5, "value double")
+    (d,) = mde_from_moments(flat, "value").collect()
+    assert d["sd"] == 0.0 and d["mde_abs"] is None
+
+    # CRSE with a single cluster (dof n_clusters - 1 = 0) and one arm missing
+    crse_in = spark.createDataFrame(
+        [(1.0, "On", "c1"), (2.0, "On", "c1")], "y double, arm string, cl string"
+    )
+    rows = crse_ols(crse_in, "y", "arm", "Off", "On", "cl", with_p=False).collect()
+    assert len(rows) == 1  # must not raise
