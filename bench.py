@@ -41,6 +41,7 @@ HEADLINE = [
     "doc_minhash_lsh_pairs",
     "doc_ngram_jaccard_pairs",
     "doc_simhash_pairs",
+    "doc_winnow_pairs",
     "emb_cosine_topk",
     "emb_near_dup_pairs",
     "emb_lsh_topk",

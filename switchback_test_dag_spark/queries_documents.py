@@ -131,6 +131,39 @@ def doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TD.exact_duplicate_groups(docs.unionByName(copies), "doc_id", "text")
 
 
+@query(
+    "doc_winnow_pairs",
+    f"""WITH tk AS (
+         SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+       ), sh AS (
+         SELECT doc_id,
+                [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)] AS sh
+         FROM tk WHERE len(toks) >= 6
+       ), h AS (
+         SELECT doc_id, list_transform(sh, s -> substring(md5(s), 1, 16)) AS h FROM sh
+       ), fp AS (
+         SELECT doc_id, unnest(list_distinct([list_min(h[j:j+3]) for j in generate_series(1, len(h) - 3)])) AS fingerprint
+         FROM h
+       ), pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       )
+       SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+       FROM pairs WHERE n_shared >= 2""",
+)
+def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (MOSS winnowing, word 3-grams,
+    window 4): doc pairs sharing ≥ 2 selected fingerprints — the
+    plagiarism-detector shape. The md5-prefix rolling hash is kept as a hex
+    STRING so window minima are engine-portable, and the oracle replays the
+    exact winnowing selection in SQL (not just a downstream aggregate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TD.winnow_shared_pairs(
+        docs, "doc_id", "text", shingle_n=3, window=4, min_shared=2
+    )
+
+
 # --------------------------------------------------------------------------- #
 # dedup
 # --------------------------------------------------------------------------- #

@@ -288,6 +288,95 @@ def simhash_pairs(
 
 
 # --------------------------------------------------------------------------- #
+# winnowing (rolling-hash fingerprints)
+# --------------------------------------------------------------------------- #
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints: the rolling-hash document
+    fingerprinting scheme (Schleimer/Wilkerson/Aiken, SIGMOD'03). Per doc:
+    POSITIONAL word ``shingle_n``-grams (order kept, duplicates kept — unlike
+    the Jaccard shingle set) → a rolling hash per position → the minimum hash
+    in every ``window`` of consecutive positions → distinct selected
+    fingerprints. Guarantees any shared run of ``window + shingle_n - 1``
+    tokens yields at least one shared fingerprint, while storing ~2/(window+1)
+    of all hashes.
+
+    Portability: the hash is the 16-hex-char md5 prefix kept AS A STRING —
+    lowercase hex compares lexicographically identically to its numeric value
+    on any engine, so window minima (and therefore the selected fingerprints)
+    are engine-portable; an oracle can replay the exact selection in SQL.
+
+    Scale: everything is per-row array arithmetic in codegen until the final
+    explode; the only shuffle is whatever the caller keys on the fingerprint.
+    The hash stage is materialized behind a repartition boundary so
+    CollapseProject cannot inline it into the window-min lambda (which would
+    re-evaluate the md5 transform once per window — O(len·window) blowup).
+
+    Returns (doc, fingerprint) rows, distinct per doc.
+    """
+    from switchback_test_dag_spark.text.analysis import TOKEN_SPLIT_RE
+
+    toks = f"filter(split(lower({text_col}), '{TOKEN_SPLIT_RE}'), x -> x != '')"
+    ln = f"size(tk) - {shingle_n - 1}"
+    acc = f"slice(tk, 1, {ln})"
+    for k in range(2, shingle_n + 1):
+        acc = f"zip_with({acc}, slice(tk, {k}, {ln}), (a, b) -> concat(a, ' ', b))"
+    par = df.sparkSession.sparkContext.defaultParallelism
+    hashed = (
+        df.select(F.col(id_col).alias("doc"), F.expr(toks).alias("tk"))
+        .filter(F.size("tk") >= shingle_n + window - 1)
+        .select("doc", F.expr(acc).alias("sh"))
+        .select(
+            "doc",
+            F.expr("transform(sh, s -> substring(md5(s), 1, 16))").alias("h"),
+        )
+        .repartition(par, "doc")  # Exchange: blocks CollapseProject inlining
+    )
+    fps = hashed.select(
+        "doc",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(0, size(h) - {window}), "
+                f"j -> array_min(slice(h, j + 1, {window}))))"
+            )
+        ).alias("fingerprint"),
+    )
+    return fps
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Doc pairs sharing ≥ ``min_shared`` winnowing fingerprints — the
+    plagiarism-detector join: inverted index on the fingerprint, join volume
+    Σ_f df(f)² (proportional to actual sharing, never docs²)."""
+    fps = winnow_fingerprints(df, id_col, text_col, shingle_n, window)
+    return (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# --------------------------------------------------------------------------- #
 # brute-force verification paths
 # --------------------------------------------------------------------------- #
 

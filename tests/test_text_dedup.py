@@ -175,3 +175,35 @@ def test_release_caches_unpins_intermediates(docs, spark):
     # nothing left cached in the Spark context
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_winnowing_guarantee_and_selectivity(spark):
+    """The winnowing guarantee: two docs sharing a run of window+n-1 = 6
+    tokens must share at least one selected fingerprint; unrelated docs with
+    disjoint vocabulary share none."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"intro one two three {shared} tail words here"),
+        (2, f"{shared} completely different ending clause tokens"),
+        (3, "unrelated vocabulary entirely disjoint from everything else okay"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        (r["doc"], r["fingerprint"])
+        for r in TD.winnow_fingerprints(df, "doc_id", "text").collect()
+    }
+    by_doc = {}
+    for doc, fp in fps:
+        by_doc.setdefault(doc, set()).add(fp)
+    assert by_doc[1] & by_doc[2], "shared 6-token run must yield a shared fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in TD.winnow_shared_pairs(
+            df, "doc_id", "text", min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
