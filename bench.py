@@ -38,6 +38,7 @@ HEADLINE = [
     "topk_union_customers",
     "perm_dist_thresholds",
     "fpr_by_window_size",
+    "counterpart_city_finder",
     "doc_minhash_lsh_pairs",
     "doc_ngram_jaccard_pairs",
     "doc_simhash_pairs",
@@ -81,6 +82,9 @@ def main() -> None:
     # best-of-2: single runs on this box show up to 20x variance from transient
     # system noise on identical plans; the min measures plan execution. Both
     # raw runs are persisted under "runs" so the variance itself is auditable.
+    from switchback_test_dag_spark.design.counterpart import (
+        release_caches as release_counterpart_caches,
+    )
     from switchback_test_dag_spark.text.dedup import release_caches
 
     timings: dict[str, float] = {}
@@ -91,10 +95,11 @@ def main() -> None:
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).count()
             runs[name].append(round(time.perf_counter() - t0, 3))
-            # dedup operators pin persist-barrier intermediates; release them
-            # so run 2 times the real plan (and caches don't accumulate
-            # across the 27-query loop)
+            # dedup/counterpart operators pin persisted intermediates; release
+            # them so run 2 times the real plan (and caches don't accumulate
+            # across the query loop)
             release_caches()
+            release_counterpart_caches()
         timings[name] = min(runs[name])
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -362,7 +362,7 @@ def winnow_shared_pairs(
     """Doc pairs sharing ≥ ``min_shared`` winnowing fingerprints — the
     plagiarism-detector join: inverted index on the fingerprint, join volume
     Σ_f df(f)² (proportional to actual sharing, never docs²)."""
-    fps = winnow_fingerprints(df, id_col, text_col, shingle_n, window)
+    fps = _persist(winnow_fingerprints(df, id_col, text_col, shingle_n, window))
     return (
         fps.alias("a")
         .join(

@@ -79,3 +79,38 @@ def test_elt_composition_plan_is_join_clean(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_sweep_and_finder_scan_once(spark, sf_dir):
+    # the window-size sweep explodes the sweep dimension onto ONE fact scan;
+    # the counterpart finder persists its means frame so its three consumers
+    # (two self-join sides + per-city std) share a single fact scan
+    plan = _plan(spark, "fpr_by_window_size", sf_dir)
+    assert plan.count("Scan parquet") == 1
+    assert "EvalPython" not in plan
+    try:
+        plan = _plan(spark, "counterpart_city_finder", sf_dir)
+        # all three means consumers must read the persisted frame (the cached
+        # subtree's printed description repeats the parquet text; the runtime
+        # fact scan happens once, on first cache materialization)
+        assert plan.count("InMemoryTableScan") == 3
+        assert "CartesianProduct" not in plan
+    finally:
+        from switchback_test_dag_spark.design.counterpart import release_caches
+
+        release_caches()
+
+
+def test_winnow_plan_shares_fingerprint_scan(spark, sf_dir):
+    # the winnow pair join persists the fingerprint frame: one documents scan,
+    # all-JVM arrays, no cartesian
+    try:
+        plan = _plan(spark, "doc_winnow_pairs", sf_dir)
+        # both self-join sides must read the persisted fingerprint frame
+        assert plan.count("InMemoryTableScan") == 2
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan
+    finally:
+        from switchback_test_dag_spark.text.dedup import release_caches
+
+        release_caches()
