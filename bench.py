@@ -82,10 +82,7 @@ def main() -> None:
     # best-of-2: single runs on this box show up to 20x variance from transient
     # system noise on identical plans; the min measures plan execution. Both
     # raw runs are persisted under "runs" so the variance itself is auditable.
-    from switchback_test_dag_spark.design.counterpart import (
-        release_caches as release_counterpart_caches,
-    )
-    from switchback_test_dag_spark.text.dedup import release_caches
+    from switchback_test_dag_spark.caching import release_all
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
@@ -95,11 +92,10 @@ def main() -> None:
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).count()
             runs[name].append(round(time.perf_counter() - t0, 3))
-            # dedup/counterpart operators pin persisted intermediates; release
-            # them so run 2 times the real plan (and caches don't accumulate
-            # across the query loop)
-            release_caches()
-            release_counterpart_caches()
+            # operators pin persisted intermediates (CollapseProject barriers,
+            # shared-consumer frames); release so run 2 times the real plan
+            # and caches don't accumulate across the query loop
+            release_all()
         timings[name] = min(runs[name])
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

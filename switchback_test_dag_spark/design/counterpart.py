@@ -34,16 +34,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# persisted means frames pinned by best_counterparts (three consumers — the
-# two self-join sides and the per-city std — must not re-scan the fact table)
-_PINNED: list[DataFrame] = []
-
-
-def release_caches(blocking: bool = False) -> None:
-    """Unpersist every means frame pinned by this module (mirrors
-    text.dedup.release_caches — call after materializing the returned plan)."""
-    while _PINNED:
-        _PINNED.pop().unpersist(blocking)
+# the means frame pinned by best_counterparts (three consumers — the two
+# self-join sides and the per-city std — must not re-scan the fact table)
+# registers in the session-wide registry (caching.py)
+from switchback_test_dag_spark.caching import pin as _pin
+from switchback_test_dag_spark.caching import release_all as release_caches  # noqa: F401
 
 
 def unit_city_means(
@@ -91,10 +86,9 @@ def best_counterparts(
     std of unit means (the "best test city" ranking of cell 55). Pairs sharing
     fewer than ``min_units`` units are ignored (corr over 2 points is ±1 by
     construction — noise, not signal)."""
-    # persist: |units|×|cities| rows (tiny) feeding three consumers — without
+    # pin: |units|×|cities| rows (tiny) feeding three consumers — without
     # it each consumer re-scans and re-aggregates the raw fact table
-    means = unit_city_means(df, unit, city, value).persist()
-    _PINNED.append(means)
+    means = _pin(unit_city_means(df, unit, city, value))
     corr = pairwise_city_corr(means).filter(
         (F.col("n_units") >= min_units) & F.col("corr_units").isNotNull()
     )

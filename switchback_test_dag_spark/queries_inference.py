@@ -104,8 +104,13 @@ def perm_dist_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop of method_evaluation.ipynb:269-300 as ONE distributed plan), with the
     adjusted-p significance thresholds — the (2.5, 97.5) percentiles of that
     same distribution — broadcast back onto every seed row."""
+    from switchback_test_dag_spark.caching import pin
+
     ev = load_table(spark, sf_dir, "events")
-    d = P.permutation_mean_diffs(ev, "value", F.expr(_SPARK_BUCKET), N_SEEDS)
+    # pin: the distribution (N_SEEDS rows) feeds both the output rows and the
+    # threshold percentiles — without it the fact-table moments shuffle runs
+    # twice
+    d = pin(P.permutation_mean_diffs(ev, "value", F.expr(_SPARK_BUCKET), N_SEEDS))
     t = P.permutation_thresholds(d).select(
         F.round("lower", 6).alias("lower"),
         F.round("upper", 6).alias("upper"),
@@ -197,9 +202,16 @@ def power_ci_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 + T10 off the same moment table: detection power for an injected
     +3.0 effect (exact moment algebra — no second fact pass) and CI coverage
     under the null (≈ 95% at the normal critical value), one row."""
+    from switchback_test_dag_spark.caching import pin
+
     ev = load_table(spark, sf_dir, "events")
-    pw = P.power_simulation(ev, "value", F.expr(_SPARK_BUCKET), N_SEEDS, EFFECT, CRIT)
-    cv = P.ci_coverage(ev, "value", F.expr(_SPARK_BUCKET), N_SEEDS, CRIT)
+    # pin: one bucket-moments pass (the only fact-table shuffle) feeds both
+    # the power and the coverage halves
+    m = pin(P.bucket_moments(ev, "value", F.expr(_SPARK_BUCKET)))
+    pw = P.power_simulation(
+        ev, "value", F.expr(_SPARK_BUCKET), N_SEEDS, EFFECT, CRIT, moments=m
+    )
+    cv = P.ci_coverage(ev, "value", F.expr(_SPARK_BUCKET), N_SEEDS, CRIT, moments=m)
     from pyspark.sql.functions import broadcast
 
     return pw.select(F.round("power", 6).alias("power"), "n_sims").crossJoin(
@@ -249,8 +261,13 @@ def assignment_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64-ordered, pytest-checked for determinism)."""
     from switchback_test_dag_spark.plans.assignment import alternating_assignment
 
+    from switchback_test_dag_spark.caching import pin
+
     ev = load_table(spark, sf_dir, "events")
-    buckets = ev.select(F.expr(_SPARK_BUCKET).alias("bucket")).distinct()
+    # pin: one distinct-bucket shuffle feeds all three assignment methods;
+    # the day key derives from the hourly bucket (its floor IS the day in
+    # UTC), so the balanced-daily branch needs no second fact scan
+    buckets = pin(ev.select(F.expr(_SPARK_BUCKET).alias("bucket")).distinct())
 
     def histo(df: DataFrame, method: str, k) -> DataFrame:
         return df.groupBy().agg(
@@ -268,10 +285,12 @@ def assignment_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alternating",
         F.lit("ALL"),
     )
-    day_buckets = ev.select(
-        F.date_format("ts", "yyyy-MM-dd").alias("day"),
-        F.expr(_SPARK_BUCKET).alias("bucket"),
-    ).distinct()
+    day_buckets = buckets.select(
+        F.date_format(F.timestamp_seconds(F.col("bucket") * 3600), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "bucket",
+    )
     daily = (
         balanced_assignment(day_buckets, "bucket", "day", seed=7)
         .groupBy("day")

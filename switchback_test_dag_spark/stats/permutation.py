@@ -198,6 +198,7 @@ def fpr_simulation(
     critical_value: float,
     by: Sequence[str] = (),
     p: float = 0.5,
+    moments: DataFrame | None = None,
 ) -> DataFrame:
     """T7: false-positive rate of the bucket-level t-test under the null — the
     share of N re-randomizations whose |t| exceeds ``critical_value``. On A/A
@@ -209,7 +210,9 @@ def fpr_simulation(
     distributed plan free of special functions (and the oracle SQL-pure).
     """
     by = list(by)
-    seeded = with_seeds(bucket_moments(df, value_col, bucket_col, by), n_seeds, p)
+    if moments is None:
+        moments = bucket_moments(df, value_col, bucket_col, by)
+    seeded = with_seeds(moments, n_seeds, p)
     t = _bucket_level_t(seeded, by)
     return t.groupBy(*by).agg(
         F.avg(
@@ -228,12 +231,15 @@ def power_simulation(
     critical_value: float,
     by: Sequence[str] = (),
     p: float = 0.5,
+    moments: DataFrame | None = None,
 ) -> DataFrame:
     """T8: detection power for an injected additive effect δ on the treated arm.
     Injection is exact on moments (s1 += δ·n; s2 += 2δ·s1 + δ²·n), so no second
     pass over the fact table is needed."""
     by = list(by)
-    seeded = with_seeds(bucket_moments(df, value_col, bucket_col, by), n_seeds, p)
+    if moments is None:
+        moments = bucket_moments(df, value_col, bucket_col, by)
+    seeded = with_seeds(moments, n_seeds, p)
     d = F.lit(float(effect))
     injected = seeded.withColumns(
         {
@@ -263,12 +269,15 @@ def ci_coverage(
     critical_value: float,
     by: Sequence[str] = (),
     p: float = 0.5,
+    moments: DataFrame | None = None,
 ) -> DataFrame:
     """T10: share of re-randomizations whose (mean_diff ± crit·se) interval
     covers 0 — on null data must ≈ the nominal level (the reference checks 68%
     for 1-σ intervals, ``method_evaluation.ipynb:883-895``)."""
     by = list(by)
-    seeded = with_seeds(bucket_moments(df, value_col, bucket_col, by), n_seeds, p)
+    if moments is None:
+        moments = bucket_moments(df, value_col, bucket_col, by)
+    seeded = with_seeds(moments, n_seeds, p)
     t = _bucket_level_t(seeded, by)
     covered = (
         (F.col("mean_diff") - critical_value * F.col("se") <= 0)

@@ -26,25 +26,13 @@ from pyspark.sql import functions as F
 
 from switchback_test_dag_spark.text.analysis import content_fingerprint, word_shingles
 
-# Persisted intermediates pinned by this module's operators. The persist calls
-# are load-bearing CollapseProject barriers (see minhash_lsh_pairs), not
-# optional caches — but they must still be releasable: repeated invocations
-# (benchmark loops, long-lived services) would otherwise accumulate cached
-# blocks for the session's lifetime.
-_PINNED: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    _PINNED.append(df)
-    return df.persist()
-
-
-def release_caches(blocking: bool = False) -> None:
-    """Unpersist every intermediate pinned by this module. Call after the plan
-    returned by a dedup operator has been materialized (collect/count/write);
-    the next invocation re-pins its own intermediates."""
-    while _PINNED:
-        _PINNED.pop().unpersist(blocking)
+# The persist calls in this module are load-bearing CollapseProject barriers
+# (see minhash_lsh_pairs), not optional caches — but they must still be
+# releasable: repeated invocations (benchmark loops, long-lived services)
+# would otherwise accumulate cached blocks for the session's lifetime. Pins
+# live in the session-wide registry (caching.py).
+from switchback_test_dag_spark.caching import pin as _persist  # noqa: E402
+from switchback_test_dag_spark.caching import release_all as release_caches  # noqa: E402,F401
 
 
 # --------------------------------------------------------------------------- #

@@ -168,10 +168,12 @@ def test_embedding_near_dup_lsh_recall_vs_exact(emb):
 
 
 def test_release_caches_unpins_intermediates(docs, spark):
+    from switchback_test_dag_spark import caching
+
     TD.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.85).count()
-    assert len(TD._PINNED) > 0
+    assert len(caching._PINNED) > 0
     TD.release_caches()
-    assert TD._PINNED == []
+    assert caching._PINNED == []
     # nothing left cached in the Spark context
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getPersistentRDDs().size() == 0
