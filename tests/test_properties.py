@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the custom composed operators whose
+semantics Spark does not provide natively — the operators most likely to hide
+an edge-case bug that fixed fixtures never hit.
+
+Each property drives the Spark composition against an independent pure-Python
+reference on generated inputs (duplicate keys, equal timestamps, empty sides,
+single-row groups). Spark jobs per example are slow, so examples are capped;
+the generators are biased toward collisions (tiny value domains)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from switchback_test_dag_spark.operators.relational import asof_join_backward
+
+_SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# tiny domains force key collisions and equal timestamps
+_KEYS = st.integers(min_value=0, max_value=2)
+_TIMES = st.integers(min_value=0, max_value=8)
+
+
+@_SLOW
+@given(
+    left=st.lists(st.tuples(_KEYS, _TIMES), max_size=12),
+    right=st.lists(st.tuples(_KEYS, _TIMES, st.integers(0, 100)), max_size=12),
+)
+def test_asof_backward_matches_reference(spark, left, right):
+    """For every left row: the attached value must come from the right row
+    with the greatest time <= left time on the same key (None if no such
+    row), including the at-or-before-inclusive equal-timestamp case."""
+    # right must be unique per (key, time) — the operator's documented contract
+    right = list({(k, t): (k, t, v) for k, t, v in right}.values())
+
+    ldf = spark.createDataFrame(
+        [(k, t) for k, t in left], "k long, lt long"
+    )
+    rdf = spark.createDataFrame(right, "k long, rt long, val long")
+    out = asof_join_backward(ldf, rdf, "k", "lt", "rt", ["val"]).collect()
+
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, t, v in right:
+        by_key.setdefault(k, []).append((t, v))
+
+    def expect(k, lt):
+        best = None
+        for t, v in by_key.get(k, []):
+            if t <= lt and (best is None or t > best[0]):
+                best = (t, v)
+        return None if best is None else best[1]
+
+    got = sorted((r["k"], r["lt"], r["val"]) for r in out)
+    want = sorted((k, t, expect(k, t)) for k, t in left)
+    assert got == want
+
+
+@_SLOW
+@given(
+    events=st.lists(
+        st.tuples(_KEYS, st.integers(min_value=0, max_value=200)), max_size=16
+    )
+)
+def test_session_window_matches_gaps_and_islands(spark, events):
+    """session_window(gap=30) must produce exactly the sessions of the classic
+    gaps-and-islands reference: a new session starts when the gap to the
+    previous event on the same key is >= 30 (time units = seconds here)."""
+    from pyspark.sql import functions as F
+
+    if not events:
+        return
+    df = spark.createDataFrame(
+        [(k, t) for k, t in events], "user long, secs long"
+    ).select("user", F.timestamp_seconds("secs").alias("ts"))
+    per_session = df.groupBy("user", F.session_window("ts", "30 seconds")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    got = sorted(
+        (r["user"], r["n"])
+        for r in per_session.collect()
+    )
+
+    by_user: dict[int, list[int]] = {}
+    for k, t in events:
+        by_user.setdefault(k, []).append(t)
+    want = []
+    for k, ts in by_user.items():
+        ts.sort()
+        counts = [1]
+        for prev, cur in zip(ts, ts[1:]):
+            if cur - prev >= 30:
+                counts.append(1)
+            else:
+                counts[-1] += 1
+        want.extend((k, c) for c in counts)
+    assert got == sorted(want)
