@@ -36,6 +36,14 @@ broadcasts. Nothing is collected driver-side.
 The DuckDB oracle replays the SAME eight stages as CTEs (dialect-translated;
 config rows inlined as VALUES since the raw config is an in-memory frame), so
 parity covers the full composition, not just the final aggregate.
+
+Signature totals are computed in integer micro-units: each row's (identical
+on both engines) double KPI is rounded to micro once, summed EXACTLY as
+integers (order-independent — a plain ``round(sum(double), 2)`` drifted a
+cent at sf0.1 from shuffle-order float accumulation), then half-up divided to
+cents in integer arithmetic, so the 2-decimal total cannot differ between
+engines. Bigint headroom: |micro sums| ≈ 2e14 at sf0.1, overflowing only past
+~sf10⁴ (swap to DECIMAL sums there).
 """
 
 from __future__ import annotations
@@ -175,9 +183,9 @@ LEFT ANTI JOIN elt_zone_excl e
 SELECT test_name, variant AS on_or_off_day,
        CAST(count(*) AS BIGINT) AS n_orders,
        CAST(count(DISTINCT vendor_zone) AS BIGINT) AS n_vendor_zones,
-       round(sum(gfv_local), 2) AS total_gfv,
-       round(sum(revenue_local), 2) AS total_revenue,
-       round(sum(gross_profit_local), 2) AS total_gross_profit
+       CAST((sum(CAST(round(gfv_local * 1000000, 0) AS BIGINT)) + 5000) div 10000 AS DOUBLE) / 100.0 AS total_gfv,
+       CAST((sum(CAST(round(revenue_local * 1000000, 0) AS BIGINT)) + 5000) div 10000 AS DOUBLE) / 100.0 AS total_revenue,
+       CAST((sum(CAST(round(gross_profit_local * 1000000, 0) AS BIGINT)) + 5000) div 10000 AS DOUBLE) / 100.0 AS total_gross_profit
 FROM elt_cleaned
 WHERE keep_drop_flag = 'Keep'
 GROUP BY test_name, variant
@@ -283,9 +291,9 @@ WITH raw_config(test_name, test_start, test_end, scheme_id_on, scheme_id_off,
 SELECT test_name, variant AS on_or_off_day,
        CAST(count(*) AS BIGINT) AS n_orders,
        CAST(count(DISTINCT vendor_zone) AS BIGINT) AS n_vendor_zones,
-       round(sum(gfv_local), 2) AS total_gfv,
-       round(sum(revenue_local), 2) AS total_revenue,
-       round(sum(gross_profit_local), 2) AS total_gross_profit
+       ((sum(CAST(round(gfv_local * 1000000) AS BIGINT)) + 5000) // 10000) / 100.0 AS total_gfv,
+       ((sum(CAST(round(revenue_local * 1000000) AS BIGINT)) + 5000) // 10000) / 100.0 AS total_revenue,
+       ((sum(CAST(round(gross_profit_local * 1000000) AS BIGINT)) + 5000) // 10000) / 100.0 AS total_gross_profit
 FROM cln
 WHERE keep_drop_flag = 'Keep'
 GROUP BY test_name, variant
