@@ -123,61 +123,107 @@ def perm_dist_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(broadcast(t))
 
 
+_WINDOW_MINUTES = (30, 60, 120, 240, 1440)
+
+_DUCK_FPR_T = f"""
+CASE WHEN se IS NOT NULL AND abs(mean_diff / se) > {CRIT} THEN 1.0 ELSE 0.0 END"""
+
+
 @query(
     "fpr_by_window_size",
-    f"""WITH w AS (SELECT unnest([1, 4, 24]) AS window_hours),
+    f"""WITH w AS (SELECT unnest([{", ".join(map(str, _WINDOW_MINUTES))}]) AS window_minutes),
 m AS (
-  SELECT window_hours,
-         epoch_ns(ts) // (window_hours * 3600000000000) AS bucket,
-         count(*) AS n, sum(value) AS s1
-  FROM events, w WHERE value IS NOT NULL GROUP BY window_hours, bucket
+  SELECT window_minutes,
+         epoch_ns(ts) // (window_minutes * 60000000000) AS bucket,
+         count(*) AS n, sum(value) AS s1, sum(value * value) AS s2
+  FROM events, w WHERE value IS NOT NULL GROUP BY window_minutes, bucket
 ), s AS (
   SELECT m.*, seed, {_DUCK_ARM} AS arm
   FROM m, (SELECT unnest(generate_series(0, {N_SEEDS - 1})) AS seed)
 ), bm AS (
-  SELECT window_hours, seed, arm, s1 * 1.0 / n AS bmean FROM s
-), t AS (
-  SELECT window_hours, seed,
+  SELECT window_minutes, seed, arm, s1 * 1.0 / n AS bmean FROM s
+), bt_g AS (
+  SELECT window_minutes, seed,
          count(*) FILTER (arm = 'On') AS g_on,
          count(*) FILTER (arm = 'Off') AS g_off,
          avg(bmean) FILTER (arm = 'On') AS m_on,
          avg(bmean) FILTER (arm = 'Off') AS m_off,
          coalesce(var_samp(bmean) FILTER (arm = 'On'), 0.0) AS v_on,
          coalesce(var_samp(bmean) FILTER (arm = 'Off'), 0.0) AS v_off
-  FROM bm GROUP BY window_hours, seed
-), tt AS (
-  SELECT window_hours, seed, m_on - m_off AS mean_diff,
+  FROM bm GROUP BY window_minutes, seed
+), bt_t AS (
+  SELECT window_minutes, seed, m_on - m_off AS mean_diff,
          CASE WHEN g_on > 1 AND g_off > 1
                    AND ((g_on-1)*v_on + (g_off-1)*v_off) > 0
               THEN sqrt(((g_on-1)*v_on + (g_off-1)*v_off) / (g_on + g_off - 2)
                         * (1.0/g_on + 1.0/g_off))
          END AS se
-  FROM t
+  FROM bt_g
+), ot_g AS (
+  SELECT window_minutes, seed,
+         sum(n) FILTER (arm = 'On') AS n_on, sum(n) FILTER (arm = 'Off') AS n_off,
+         sum(s1) FILTER (arm = 'On') AS s1_on, sum(s1) FILTER (arm = 'Off') AS s1_off,
+         sum(s2) FILTER (arm = 'On') AS s2_on, sum(s2) FILTER (arm = 'Off') AS s2_off
+  FROM s GROUP BY window_minutes, seed
+), ot_t AS (
+  SELECT window_minutes, seed,
+         s1_on / n_on - s1_off / n_off AS mean_diff,
+         CASE WHEN n_on > 1 AND n_off > 1
+                   AND ((s2_on - s1_on * s1_on / n_on)
+                        + (s2_off - s1_off * s1_off / n_off)) / (n_on + n_off - 2) > 0
+              THEN sqrt(((s2_on - s1_on * s1_on / n_on)
+                         + (s2_off - s1_off * s1_off / n_off)) / (n_on + n_off - 2)
+                        * (1.0 / n_on + 1.0 / n_off))
+         END AS se
+  FROM ot_g
 )
-SELECT window_hours,
-       round(avg(CASE WHEN se IS NOT NULL AND abs(mean_diff / se) > {CRIT}
-                      THEN 1.0 ELSE 0.0 END), 6) AS fpr,
-       count(*) AS n_sims
-FROM tt GROUP BY window_hours""",
+SELECT window_minutes, 'bucket_t' AS method,
+       round(avg({_DUCK_FPR_T}), 6) AS fpr, count(*) AS n_sims
+FROM bt_t GROUP BY window_minutes
+UNION ALL
+SELECT window_minutes, 'order_t' AS method,
+       round(avg({_DUCK_FPR_T}), 6) AS fpr, count(*) AS n_sims
+FROM ot_t GROUP BY window_minutes""",
 )
 def fpr_by_window_size(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T7 + the reference's window-size sweep (method_evaluation.ipynb:389
+    """T7 + the reference's full evaluation sweep (method_evaluation.ipynb:389
     ``evaluate_test``; README.md:36-44 'best window = 1 hour'): A/A
-    false-positive rate of the bucket-level t-test across 200
-    re-randomizations, per switchback window size ∈ {1h, 4h, 24h} — the sweep
-    the reference runs as nested serial loops is ONE plan here: the window
-    dimension is exploded onto the fact scan, the moments shuffle carries it
-    as a group key, and the seeds dimension rides the same moment table. Cost
-    is one fact pass for ALL (window, seed) combinations."""
+    false-positive rate across 200 re-randomizations per switchback window
+    size ∈ {30m, 1h, 2h, 4h, 1d} × inference method ∈ {order-level pooled t
+    (T2), bucket-mean t (T3)} — the nested serial loops of the reference as
+    ONE plan: the window dimension is exploded onto the fact scan, the
+    moments shuffle carries it as a group key, the seed dimension rides the
+    pinned moment table, and BOTH method statistics are closed-form off that
+    same table. Cost is one fact pass for all (window, seed, method)
+    combinations."""
+    from switchback_test_dag_spark.caching import pin
+
     ev = load_table(spark, sf_dir, "events").select("value", "ts_ns")
     exploded = ev.withColumn(
-        "window_hours", F.explode(F.array(F.lit(1), F.lit(4), F.lit(24)))
+        "window_minutes",
+        F.explode(F.array(*[F.lit(m) for m in _WINDOW_MINUTES])),
     )
-    bucket = F.expr("ts_ns div (window_hours * 3600000000000)")
-    r = P.fpr_simulation(
-        exploded, "value", bucket, N_SEEDS, CRIT, by=["window_hours"]
+    bucket = F.expr("ts_ns div (window_minutes * 60000000000)")
+    moments = pin(
+        P.bucket_moments(exploded, "value", bucket, by=["window_minutes"])
     )
-    return r.select("window_hours", F.round("fpr", 6).alias("fpr"), "n_sims")
+    seeded = P.with_seeds(moments, N_SEEDS)
+
+    def fpr(t: DataFrame, method: str) -> DataFrame:
+        sig = F.when(
+            F.col("se").isNotNull() & (F.abs(F.col("mean_diff") / F.col("se")) > CRIT),
+            1.0,
+        ).otherwise(0.0)
+        return t.groupBy("window_minutes").agg(
+            F.round(F.avg(sig), 6).alias("fpr"),
+            F.count(F.lit(1)).alias("n_sims"),
+        ).select(
+            "window_minutes", F.lit(method).alias("method"), "fpr", "n_sims"
+        )
+
+    bt = fpr(P.bucket_level_t(seeded, ["window_minutes"]), "bucket_t")
+    ot = fpr(P.order_level_t(seeded, ["window_minutes"]), "order_t")
+    return bt.unionByName(ot)
 
 
 @query(

@@ -190,6 +190,48 @@ def _bucket_level_t(seeded: DataFrame, by: Sequence[str]) -> DataFrame:
     )
 
 
+def order_level_t(seeded: DataFrame, by: Sequence[str] = ()) -> DataFrame:
+    """Order-level pooled two-sample t per (by, seed) — T2 semantics (t-test
+    over raw orders, the reference's first method), closed-form from the SAME
+    seeded moment table the bucket-level variant uses: per-arm n/Σx/Σx² give
+    mean and pooled variance directly, so the method sweep costs no extra
+    fact pass."""
+    by = list(by)
+    on_ = F.col("arm") == ON
+    agg = seeded.groupBy(*by, "seed").agg(
+        F.sum(F.when(on_, F.col("n"))).alias("n_on"),
+        F.sum(F.when(~on_, F.col("n"))).alias("n_off"),
+        F.sum(F.when(on_, F.col("s1"))).alias("s1_on"),
+        F.sum(F.when(~on_, F.col("s1"))).alias("s1_off"),
+        F.sum(F.when(on_, F.col("s2"))).alias("s2_on"),
+        F.sum(F.when(~on_, F.col("s2"))).alias("s2_off"),
+    )
+    n_on, n_off = F.col("n_on"), F.col("n_off")
+    m_on = F.col("s1_on") / n_on
+    m_off = F.col("s1_off") / n_off
+    # sample sums of squares about the mean: Σx² − (Σx)²/n
+    ss_on = F.col("s2_on") - F.col("s1_on") * F.col("s1_on") / n_on
+    ss_off = F.col("s2_off") - F.col("s1_off") * F.col("s1_off") / n_off
+    valid = (n_on > 1) & (n_off > 1)
+    sp2 = F.when(valid, (ss_on + ss_off) / (n_on + n_off - 2))
+    se = F.when(valid & (sp2 > 0), F.sqrt(sp2 * (1 / n_on + 1 / n_off)))
+    return agg.select(
+        *by,
+        "seed",
+        n_on.alias("g_on"),
+        n_off.alias("g_off"),
+        (m_on - m_off).alias("mean_diff"),
+        se.alias("se"),
+        F.when(se.isNotNull(), (m_on - m_off) / se).alias("t_stat"),
+        F.when(valid, (n_on + n_off - 2).cast("double")).alias("dof"),
+    )
+
+
+def bucket_level_t(seeded: DataFrame, by: Sequence[str] = ()) -> DataFrame:
+    """Public alias of the bucket-mean t (T3) used by the method sweep."""
+    return _bucket_level_t(seeded, list(by))
+
+
 def fpr_simulation(
     df: DataFrame,
     value_col: str,

@@ -82,12 +82,18 @@ def test_elt_composition_plan_is_join_clean(spark, sf_dir):
 
 
 def test_sweep_and_finder_scan_once(spark, sf_dir):
-    # the window-size sweep explodes the sweep dimension onto ONE fact scan;
-    # the counterpart finder persists its means frame so its three consumers
-    # (two self-join sides + per-city std) share a single fact scan
-    plan = _plan(spark, "fpr_by_window_size", sf_dir)
-    assert plan.count("Scan parquet") == 1
-    assert "EvalPython" not in plan
+    # the window-size sweep explodes windows onto ONE fact scan and pins the
+    # moments frame so both method branches (bucket-t, order-t) read the
+    # cache; the counterpart finder persists its means frame so its three
+    # consumers (two self-join sides + per-city std) share a single fact scan
+    try:
+        plan = _plan(spark, "fpr_by_window_size", sf_dir)
+        assert plan.count("InMemoryTableScan") == 2
+        assert "EvalPython" not in plan
+    finally:
+        from switchback_test_dag_spark.caching import release_all
+
+        release_all()
     try:
         plan = _plan(spark, "counterpart_city_finder", sf_dir)
         # all three means consumers must read the persisted frame (the cached
