@@ -125,8 +125,56 @@ def perm_dist_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINDOW_MINUTES = (30, 60, 120, 240, 1440)
 
-_DUCK_FPR_T = f"""
+_DUCK_SIG_T = f"""
 CASE WHEN se IS NOT NULL AND abs(mean_diff / se) > {CRIT} THEN 1.0 ELSE 0.0 END"""
+
+
+def _duck_method_ctes(src: str, tag: str) -> str:
+    """bucket-t and order-t per-(window, seed) statistics over seeded-moments
+    CTE ``src`` — shared between the null (fpr) and injected (power) branches."""
+    return f""", bm{tag} AS (
+  SELECT window_minutes, seed, arm, s1 * 1.0 / n AS bmean FROM {src}
+), btg{tag} AS (
+  SELECT window_minutes, seed,
+         count(*) FILTER (arm = 'On') AS g_on,
+         count(*) FILTER (arm = 'Off') AS g_off,
+         avg(bmean) FILTER (arm = 'On') AS m_on,
+         avg(bmean) FILTER (arm = 'Off') AS m_off,
+         coalesce(var_samp(bmean) FILTER (arm = 'On'), 0.0) AS v_on,
+         coalesce(var_samp(bmean) FILTER (arm = 'Off'), 0.0) AS v_off
+  FROM bm{tag} GROUP BY window_minutes, seed
+), bt{tag} AS (
+  SELECT window_minutes, seed, m_on - m_off AS mean_diff,
+         CASE WHEN g_on > 1 AND g_off > 1
+                   AND ((g_on-1)*v_on + (g_off-1)*v_off) > 0
+              THEN sqrt(((g_on-1)*v_on + (g_off-1)*v_off) / (g_on + g_off - 2)
+                        * (1.0/g_on + 1.0/g_off))
+         END AS se
+  FROM btg{tag}
+), otg{tag} AS (
+  SELECT window_minutes, seed,
+         sum(n) FILTER (arm = 'On') AS n_on, sum(n) FILTER (arm = 'Off') AS n_off,
+         sum(s1) FILTER (arm = 'On') AS s1_on, sum(s1) FILTER (arm = 'Off') AS s1_off,
+         sum(s2) FILTER (arm = 'On') AS s2_on, sum(s2) FILTER (arm = 'Off') AS s2_off
+  FROM {src} GROUP BY window_minutes, seed
+), ot{tag} AS (
+  SELECT window_minutes, seed,
+         s1_on / n_on - s1_off / n_off AS mean_diff,
+         CASE WHEN n_on > 1 AND n_off > 1
+                   AND ((s2_on - s1_on * s1_on / n_on)
+                        + (s2_off - s1_off * s1_off / n_off)) / (n_on + n_off - 2) > 0
+              THEN sqrt(((s2_on - s1_on * s1_on / n_on)
+                         + (s2_off - s1_off * s1_off / n_off)) / (n_on + n_off - 2)
+                        * (1.0 / n_on + 1.0 / n_off))
+         END AS se
+  FROM otg{tag}
+)"""
+
+
+def _duck_rate_select(cte: str, method: str, metric: str) -> str:
+    return f"""SELECT window_minutes, '{method}' AS method, '{metric}' AS metric,
+       round(avg({_DUCK_SIG_T}), 6) AS rate, count(*) AS n_sims
+FROM {cte} GROUP BY window_minutes"""
 
 
 @query(
@@ -140,62 +188,34 @@ m AS (
 ), s AS (
   SELECT m.*, seed, {_DUCK_ARM} AS arm
   FROM m, (SELECT unnest(generate_series(0, {N_SEEDS - 1})) AS seed)
-), bm AS (
-  SELECT window_minutes, seed, arm, s1 * 1.0 / n AS bmean FROM s
-), bt_g AS (
-  SELECT window_minutes, seed,
-         count(*) FILTER (arm = 'On') AS g_on,
-         count(*) FILTER (arm = 'Off') AS g_off,
-         avg(bmean) FILTER (arm = 'On') AS m_on,
-         avg(bmean) FILTER (arm = 'Off') AS m_off,
-         coalesce(var_samp(bmean) FILTER (arm = 'On'), 0.0) AS v_on,
-         coalesce(var_samp(bmean) FILTER (arm = 'Off'), 0.0) AS v_off
-  FROM bm GROUP BY window_minutes, seed
-), bt_t AS (
-  SELECT window_minutes, seed, m_on - m_off AS mean_diff,
-         CASE WHEN g_on > 1 AND g_off > 1
-                   AND ((g_on-1)*v_on + (g_off-1)*v_off) > 0
-              THEN sqrt(((g_on-1)*v_on + (g_off-1)*v_off) / (g_on + g_off - 2)
-                        * (1.0/g_on + 1.0/g_off))
-         END AS se
-  FROM bt_g
-), ot_g AS (
-  SELECT window_minutes, seed,
-         sum(n) FILTER (arm = 'On') AS n_on, sum(n) FILTER (arm = 'Off') AS n_off,
-         sum(s1) FILTER (arm = 'On') AS s1_on, sum(s1) FILTER (arm = 'Off') AS s1_off,
-         sum(s2) FILTER (arm = 'On') AS s2_on, sum(s2) FILTER (arm = 'Off') AS s2_off
-  FROM s GROUP BY window_minutes, seed
-), ot_t AS (
-  SELECT window_minutes, seed,
-         s1_on / n_on - s1_off / n_off AS mean_diff,
-         CASE WHEN n_on > 1 AND n_off > 1
-                   AND ((s2_on - s1_on * s1_on / n_on)
-                        + (s2_off - s1_off * s1_off / n_off)) / (n_on + n_off - 2) > 0
-              THEN sqrt(((s2_on - s1_on * s1_on / n_on)
-                         + (s2_off - s1_off * s1_off / n_off)) / (n_on + n_off - 2)
-                        * (1.0 / n_on + 1.0 / n_off))
-         END AS se
-  FROM ot_g
-)
-SELECT window_minutes, 'bucket_t' AS method,
-       round(avg({_DUCK_FPR_T}), 6) AS fpr, count(*) AS n_sims
-FROM bt_t GROUP BY window_minutes
+), si AS (
+  SELECT window_minutes, bucket, n,
+         CASE WHEN arm = 'On' THEN s1 + {EFFECT} * n ELSE s1 END AS s1,
+         CASE WHEN arm = 'On' THEN s2 + 2 * {EFFECT} * s1 + {EFFECT} * {EFFECT} * n
+              ELSE s2 END AS s2,
+         seed, arm
+  FROM s
+){_duck_method_ctes("s", "0")}{_duck_method_ctes("si", "1")}
+{_duck_rate_select("bt0", "bucket_t", "fpr")}
 UNION ALL
-SELECT window_minutes, 'order_t' AS method,
-       round(avg({_DUCK_FPR_T}), 6) AS fpr, count(*) AS n_sims
-FROM ot_t GROUP BY window_minutes""",
+{_duck_rate_select("ot0", "order_t", "fpr")}
+UNION ALL
+{_duck_rate_select("bt1", "bucket_t", "power")}
+UNION ALL
+{_duck_rate_select("ot1", "order_t", "power")}""",
 )
 def fpr_by_window_size(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T7 + the reference's full evaluation sweep (method_evaluation.ipynb:389
-    ``evaluate_test``; README.md:36-44 'best window = 1 hour'): A/A
-    false-positive rate across 200 re-randomizations per switchback window
-    size ∈ {30m, 1h, 2h, 4h, 1d} × inference method ∈ {order-level pooled t
-    (T2), bucket-mean t (T3)} — the nested serial loops of the reference as
-    ONE plan: the window dimension is exploded onto the fact scan, the
-    moments shuffle carries it as a group key, the seed dimension rides the
-    pinned moment table, and BOTH method statistics are closed-form off that
-    same table. Cost is one fact pass for all (window, seed, method)
-    combinations."""
+    """T7 + T8 + the reference's full evaluation sweep
+    (method_evaluation.ipynb:389 ``evaluate_test``; README.md:36-44 'best
+    window = 1 hour'): A/A false-positive rate AND injected-effect detection
+    power across 200 re-randomizations per switchback window size ∈ {30m, 1h,
+    2h, 4h, 1d} × inference method ∈ {order-level pooled t (T2), bucket-mean
+    t (T3)} — the reference's nested serial loops as ONE plan. The window
+    dimension is exploded onto the fact scan, the moments shuffle carries it
+    as a group key, the seed dimension rides the pinned moment table, effect
+    injection is exact moment algebra, and all four (method, metric)
+    statistics are closed-form off that same table. Cost is one fact pass
+    for the whole (window, seed, method, metric) grid."""
     from switchback_test_dag_spark.caching import pin
 
     ev = load_table(spark, sf_dir, "events").select("value", "ts_ns")
@@ -208,22 +228,32 @@ def fpr_by_window_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         P.bucket_moments(exploded, "value", bucket, by=["window_minutes"])
     )
     seeded = P.with_seeds(moments, N_SEEDS)
+    injected = P.inject_additive_effect(seeded, EFFECT)
 
-    def fpr(t: DataFrame, method: str) -> DataFrame:
+    def rate(t: DataFrame, method: str, metric: str) -> DataFrame:
         sig = F.when(
             F.col("se").isNotNull() & (F.abs(F.col("mean_diff") / F.col("se")) > CRIT),
             1.0,
         ).otherwise(0.0)
         return t.groupBy("window_minutes").agg(
-            F.round(F.avg(sig), 6).alias("fpr"),
+            F.round(F.avg(sig), 6).alias("rate"),
             F.count(F.lit(1)).alias("n_sims"),
         ).select(
-            "window_minutes", F.lit(method).alias("method"), "fpr", "n_sims"
+            "window_minutes",
+            F.lit(method).alias("method"),
+            F.lit(metric).alias("metric"),
+            "rate",
+            "n_sims",
         )
 
-    bt = fpr(P.bucket_level_t(seeded, ["window_minutes"]), "bucket_t")
-    ot = fpr(P.order_level_t(seeded, ["window_minutes"]), "order_t")
-    return bt.unionByName(ot)
+    out = rate(P.bucket_level_t(seeded, ["window_minutes"]), "bucket_t", "fpr")
+    for t, method, metric in (
+        (P.order_level_t(seeded, ["window_minutes"]), "order_t", "fpr"),
+        (P.bucket_level_t(injected, ["window_minutes"]), "bucket_t", "power"),
+        (P.order_level_t(injected, ["window_minutes"]), "order_t", "power"),
+    ):
+        out = out.unionByName(rate(t, method, metric))
+    return out
 
 
 @query(

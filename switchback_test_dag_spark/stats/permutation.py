@@ -190,6 +190,23 @@ def _bucket_level_t(seeded: DataFrame, by: Sequence[str]) -> DataFrame:
     )
 
 
+def inject_additive_effect(seeded: DataFrame, effect: float) -> DataFrame:
+    """Inject an additive effect δ on the treated arm EXACTLY on moments
+    (s1 += δ·n; s2 += 2δ·s1 + δ²·n) — no second pass over the fact table."""
+    d = F.lit(float(effect))
+    return seeded.withColumns(
+        {
+            "s2": F.when(
+                F.col("arm") == ON,
+                F.col("s2") + 2 * d * F.col("s1") + d * d * F.col("n"),
+            ).otherwise(F.col("s2")),
+            "s1": F.when(
+                F.col("arm") == ON, F.col("s1") + d * F.col("n")
+            ).otherwise(F.col("s1")),
+        }
+    )
+
+
 def order_level_t(seeded: DataFrame, by: Sequence[str] = ()) -> DataFrame:
     """Order-level pooled two-sample t per (by, seed) — T2 semantics (t-test
     over raw orders, the reference's first method), closed-form from the SAME
@@ -282,19 +299,7 @@ def power_simulation(
     if moments is None:
         moments = bucket_moments(df, value_col, bucket_col, by)
     seeded = with_seeds(moments, n_seeds, p)
-    d = F.lit(float(effect))
-    injected = seeded.withColumns(
-        {
-            "s2": F.when(
-                F.col("arm") == ON,
-                F.col("s2") + 2 * d * F.col("s1") + d * d * F.col("n"),
-            ).otherwise(F.col("s2")),
-            "s1": F.when(F.col("arm") == ON, F.col("s1") + d * F.col("n")).otherwise(
-                F.col("s1")
-            ),
-        }
-    )
-    t = _bucket_level_t(injected, by)
+    t = _bucket_level_t(inject_additive_effect(seeded, effect), by)
     return t.groupBy(*by).agg(
         F.avg(
             F.when(F.abs("t_stat") > critical_value, 1.0).otherwise(0.0)

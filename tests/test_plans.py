@@ -88,7 +88,8 @@ def test_sweep_and_finder_scan_once(spark, sf_dir):
     # consumers (two self-join sides + per-city std) share a single fact scan
     try:
         plan = _plan(spark, "fpr_by_window_size", sf_dir)
-        assert plan.count("InMemoryTableScan") == 2
+        # 4 consumers: {bucket-t, order-t} × {null fpr, injected power}
+        assert plan.count("InMemoryTableScan") == 4
         assert "EvalPython" not in plan
     finally:
         from switchback_test_dag_spark.caching import release_all
