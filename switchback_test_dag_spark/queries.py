@@ -52,12 +52,44 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Production pipeline (SURVEY §2: P5, P9, A1, A2, T1 over the synthesized fact)
 # ---------------------------------------------------------------------------
 
+# 2-decimal means/sums in integer micro-units: per-row micro rounding of
+# identical doubles, exact integer sums, half-up integer division — the
+# rounded result cannot drift with shuffle order (a plain round(sum(double), 2)
+# lost a cent at sf0.1 in the ELT twin of this aggregate; same magnitudes here)
+def _duck_micro_sum(c: str) -> str:
+    return f"((sum(CAST(round({c} * 1000000) AS BIGINT)) + 5000) // 10000) / 100.0"
+
+
+def _duck_micro_avg(c: str) -> str:
+    return (
+        f"((2 * sum(CAST(round({c} * 1000000) AS BIGINT)) + 10000 * count({c}))"
+        f" // (20000 * count({c}))) / 100.0"
+    )
+
+
+def _spark_micro_sum(c: str):
+    return (
+        F.expr(f"(sum(CAST(round({c} * 1000000, 0) AS BIGINT)) + 5000) div 10000")
+        / 100.0
+    )
+
+
+def _spark_micro_avg(c: str):
+    return (
+        F.expr(
+            f"(2 * sum(CAST(round({c} * 1000000, 0) AS BIGINT)) + 10000 * count({c}))"
+            f" div (20000 * count({c}))"
+        )
+        / 100.0
+    )
+
+
 _METRICS_ORACLE = (
     ORACLE_FACT_CTE
     + "SELECT test_name, on_or_off_day, "
-    + ", ".join(f"round(avg({c}), 2) AS {c}" for c in KPI_COLS)
+    + ", ".join(f"{_duck_micro_avg(c)} AS {c}" for c in KPI_COLS)
     + ", "
-    + ", ".join(f"round(sum({c}), 2) AS total_{c}" for c in MONETARY_KPI_COLS)
+    + ", ".join(f"{_duck_micro_sum(c)} AS total_{c}" for c in MONETARY_KPI_COLS)
     + " FROM sb_labeled GROUP BY test_name, on_or_off_day"
 )
 
@@ -67,11 +99,13 @@ def sb_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 + A2 in one shuffle: 13-KPI per-order means AND the monetary-KPI sums
     by (test, arm) — automated_...py:124-129. One groupBy computes both; the
     reference's two separate .agg() passes collapse into one plan (the scans
-    and shuffle are identical, only the aggregate list differs)."""
+    and shuffle are identical, only the aggregate list differs). All 2-decimal
+    outputs use order-independent integer micro-unit arithmetic (see
+    ``_duck_micro_sum``)."""
     labeled = _labeled(spark, sf_dir)
     return labeled.groupBy("test_name", "on_or_off_day").agg(
-        *[F.round(F.avg(c), 2).alias(c) for c in KPI_COLS],
-        *[F.round(F.sum(c), 2).alias(f"total_{c}") for c in MONETARY_KPI_COLS],
+        *[_spark_micro_avg(c).alias(c) for c in KPI_COLS],
+        *[_spark_micro_sum(c).alias(f"total_{c}") for c in MONETARY_KPI_COLS],
     )
 
 
