@@ -1,0 +1,53 @@
+"""Order-independent 2-decimal aggregates via integer micro-units.
+
+``round(sum(double), 2)`` is a cross-engine parity hazard: float addition is
+not associative, so Spark's shuffle-order sum and an oracle's sequential sum
+can straddle a .xx5 rounding boundary once group sums reach ~1e8 (observed: a
+one-cent drift at sf0.1). The exact form rounds each row's value to integer
+micro-units ONCE (the per-row double is identical on both engines, and a
+double→micro rounding tie requires an exactly-dyadic .5 product — never for
+money values, measure-zero for arbitrary doubles), sums exactly as integers,
+then does half-up integer division to cents. Spark's ``div`` and DuckDB's
+``//`` both truncate toward zero (verified), so the construction is
+engine-portable for either sign.
+
+Headroom: micro sums overflow BIGINT past ~9e12 in summed absolute value —
+~sf10⁴ for these fixtures; swap the sum to DECIMAL(38,0) beyond that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def duck_micro_sum(expr: str) -> str:
+    """DuckDB: exact 2-decimal sum of ``expr``."""
+    return f"((sum(CAST(round(({expr}) * 1000000) AS BIGINT)) + 5000) // 10000) / 100.0"
+
+
+def duck_micro_avg(expr: str) -> str:
+    """DuckDB: exact 2-decimal mean of ``expr`` (NULLs ignored, as avg does)."""
+    return (
+        f"((2 * sum(CAST(round(({expr}) * 1000000) AS BIGINT)) + 10000 * count({expr}))"
+        f" // (20000 * count({expr}))) / 100.0"
+    )
+
+
+def spark_micro_sum(expr: str) -> Column:
+    """Spark: exact 2-decimal sum of SQL expression ``expr``."""
+    return (
+        F.expr(f"(sum(CAST(round(({expr}) * 1000000, 0) AS BIGINT)) + 5000) div 10000")
+        / 100.0
+    )
+
+
+def spark_micro_avg(expr: str) -> Column:
+    """Spark: exact 2-decimal mean of SQL expression ``expr``."""
+    return (
+        F.expr(
+            f"(2 * sum(CAST(round(({expr}) * 1000000, 0) AS BIGINT)) + 10000 * count({expr}))"
+            f" div (20000 * count({expr}))"
+        )
+        / 100.0
+    )

@@ -52,37 +52,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Production pipeline (SURVEY §2: P5, P9, A1, A2, T1 over the synthesized fact)
 # ---------------------------------------------------------------------------
 
-# 2-decimal means/sums in integer micro-units: per-row micro rounding of
-# identical doubles, exact integer sums, half-up integer division — the
-# rounded result cannot drift with shuffle order (a plain round(sum(double), 2)
-# lost a cent at sf0.1 in the ELT twin of this aggregate; same magnitudes here)
-def _duck_micro_sum(c: str) -> str:
-    return f"((sum(CAST(round({c} * 1000000) AS BIGINT)) + 5000) // 10000) / 100.0"
-
-
-def _duck_micro_avg(c: str) -> str:
-    return (
-        f"((2 * sum(CAST(round({c} * 1000000) AS BIGINT)) + 10000 * count({c}))"
-        f" // (20000 * count({c}))) / 100.0"
-    )
-
-
-def _spark_micro_sum(c: str):
-    return (
-        F.expr(f"(sum(CAST(round({c} * 1000000, 0) AS BIGINT)) + 5000) div 10000")
-        / 100.0
-    )
-
-
-def _spark_micro_avg(c: str):
-    return (
-        F.expr(
-            f"(2 * sum(CAST(round({c} * 1000000, 0) AS BIGINT)) + 10000 * count({c}))"
-            f" div (20000 * count({c}))"
-        )
-        / 100.0
-    )
-
+from switchback_test_dag_spark.exact import (  # noqa: E402
+    duck_micro_avg as _duck_micro_avg,
+    duck_micro_sum as _duck_micro_sum,
+    spark_micro_avg as _spark_micro_avg,
+    spark_micro_sum as _spark_micro_sum,
+)
 
 _METRICS_ORACLE = (
     ORACLE_FACT_CTE

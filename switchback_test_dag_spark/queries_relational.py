@@ -16,6 +16,7 @@ from pyspark.sql.functions import broadcast
 from switchback_test_dag_spark.io import load_table
 from switchback_test_dag_spark.operators import relational as R
 from switchback_test_dag_spark.plans.buckets import hr_interval, time_bucket
+from switchback_test_dag_spark.exact import duck_micro_sum, spark_micro_sum
 from switchback_test_dag_spark.queries import query
 
 
@@ -104,7 +105,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "orders_semi_anti_join",
     """SELECT 'semi' AS which, o_orderpriority AS key, count(*) AS n,
-              round(sum(o_totalprice), 2) AS total
+              ((sum(CAST(round((o_totalprice) * 1000000) AS BIGINT)) + 5000) // 10000) / 100.0 AS total
        FROM orders
        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
        GROUP BY o_orderpriority
@@ -130,7 +131,7 @@ def orders_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderpriority").alias("key"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            spark_micro_sum("o_totalprice").alias("total"),
         )
         .select(F.lit("semi").alias("which"), "key", "n", "total")
     )
@@ -159,7 +160,7 @@ def orders_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM events
        )
        SELECT e.event_type, count(*) AS n_pairs,
-              round(sum(o.o_totalprice), 2) AS total
+              ((sum(CAST(round((o.o_totalprice) * 1000000) AS BIGINT)) + 5000) // 10000) / 100.0 AS total
        FROM e JOIN orders o
          ON o.o_custkey % 15 = e.user_id
         AND CAST(o.o_orderdate AS DATE) BETWEEN e.ev_date - 2 AND e.ev_date + 2
@@ -190,7 +191,7 @@ def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            spark_micro_sum("o_totalprice").alias("total"),
         )
     )
 
@@ -201,7 +202,7 @@ def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "revenue_by_segment",
     """SELECT c_mktsegment, count(*) AS n_lines,
-              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              ((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) + 5000) // 10000) / 100.0 AS revenue
        FROM lineitem
        JOIN orders ON l_orderkey = o_orderkey
        JOIN customer ON o_custkey = c_custkey
@@ -219,9 +220,7 @@ def revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            spark_micro_sum("l_extendedprice * (1 - l_discount)").alias("revenue"),
         )
     )
 
@@ -231,7 +230,7 @@ def revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "filters_conjunctive",
-    """SELECT p_type, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    """SELECT p_type, count(*) AS n, ((sum(CAST(round((l_quantity) * 1000000) AS BIGINT)) + 5000) // 10000) / 100.0 AS qty
        FROM lineitem JOIN part ON l_partkey = p_partkey
        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
          AND l_returnflag = 'R'
@@ -256,7 +255,7 @@ def filters_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            spark_micro_sum("l_quantity").alias("qty"),
         )
     )
 
@@ -330,8 +329,7 @@ def nation_csv_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
               count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F,
               count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O,
               round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
-              round(sum(CASE WHEN l_extendedprice >= 1000 THEN 0.0
-                             ELSE 1000.0 - l_extendedprice END), 2) AS sof_total,
+              ((sum(CAST(round((CASE WHEN l_extendedprice >= 1000 THEN 0.0 ELSE 1000.0 - l_extendedprice END) * 1000000) AS BIGINT)) + 5000) // 10000) / 100.0 AS sof_total,
               round(avg(CASE WHEN l_discount = 0 THEN 1.0 ELSE 0.0 END), 6)
                   AS zero_discount_share
        FROM lineitem GROUP BY l_returnflag""",
@@ -354,7 +352,10 @@ def lineitem_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = li.groupBy("l_returnflag").agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
-        F.round(F.sum(sof), 2).alias("sof_total"),
+        spark_micro_sum(
+            "CASE WHEN l_extendedprice >= 1000 THEN 0.0"
+            " ELSE 1000.0 - l_extendedprice END"
+        ).alias("sof_total"),
         F.round(
             F.avg(F.when(F.col("l_discount") == 0, 1.0).otherwise(0.0)), 6
         ).alias("zero_discount_share"),
@@ -440,7 +441,7 @@ def bucket_means_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
          UNION ALL
          SELECT o_custkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
        )
-       SELECT c_custkey, round(sum(o_totalprice), 2) AS spend, count(*) AS n_rows
+       SELECT c_custkey, ((sum(CAST(round((o_totalprice) * 1000000) AS BIGINT)) + 5000) // 10000) / 100.0 AS spend, count(*) AS n_rows
        FROM u JOIN customer ON o_custkey = c_custkey
        GROUP BY c_custkey
        ORDER BY spend DESC, c_custkey LIMIT 10""",
@@ -462,7 +463,7 @@ def topk_union_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.join(broadcast(cust), u.o_custkey == cust.c_custkey)
         .groupBy("c_custkey")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            spark_micro_sum("o_totalprice").alias("spend"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .orderBy(F.desc("spend"), F.asc("c_custkey"))
@@ -483,7 +484,7 @@ _DUCK_HR = "FLOOR((hour(ts) + minute(ts)/60.0 + second(ts)/3600.0) / 0.5) * 0.5"
               count(*) AS n,
               count(DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS n_days,
               count(DISTINCT epoch_ns(ts) // 14400000000000) AS n_4h_buckets,
-              round(sum(value), 2) AS total_value
+              ((sum(CAST(round((value) * 1000000) AS BIGINT)) + 5000) // 10000) / 100.0 AS total_value
        FROM events GROUP BY interval_label""",
 )
 def time_bucket_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,7 +499,7 @@ def time_bucket_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct(F.date_format("ts", "yyyy-MM-dd")).alias("n_days"),
         F.countDistinct(F.expr("ts_ns div 14400000000000")).alias("n_4h_buckets"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        spark_micro_sum("value").alias("total_value"),
     )
 
 
@@ -588,7 +589,7 @@ CREATE OR REPLACE TABLE stage_filtered AS
 -- stage 2: aggregate over stage 1
 CREATE OR REPLACE TABLE stage_agg AS
   SELECT o_orderpriority, count(*) AS n_orders,
-         round(sum(o_totalprice), 2) AS total_price
+         ((sum(CAST(round(o_totalprice * 1000000, 0) AS BIGINT)) + 5000) div 10000) / 100.0D AS total_price
   FROM stage_filtered GROUP BY o_orderpriority;
 SELECT * FROM stage_agg
 """
@@ -597,7 +598,7 @@ SELECT * FROM stage_agg
 @query(
     "sql_script_stages",
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
-              round(sum(o_totalprice), 2) AS total_price
+              ((sum(CAST(round((o_totalprice) * 1000000) AS BIGINT)) + 5000) // 10000) / 100.0 AS total_price
        FROM orders WHERE o_orderstatus IN ('F', 'O')
        GROUP BY o_orderpriority""",
 )
