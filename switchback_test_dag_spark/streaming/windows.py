@@ -88,15 +88,28 @@ def windowed_bucket_metrics(
 
 
 def run_stream_to_memory(
-    df: DataFrame, query_name: str, checkpoint_dir: str, timeout_sec: int = 300
+    df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+    output_mode: str = "complete",
+    checkpoint_name: str | None = None,
 ) -> None:
     """Drain a streaming DataFrame into the in-memory sink with one
-    ``availableNow`` pass (complete mode: windowed aggs re-emit full state)."""
+    ``availableNow`` pass. ``complete`` re-emits full state each trigger;
+    ``append`` emits each window exactly once — after the watermark passes its
+    end — and silently drops later-than-watermark input, which is the
+    semantics a production sink sees (and what the late-data test pins).
+    ``checkpoint_name`` lets a resumed run share state under a new query/table
+    name (the memory sink is per-query, the checkpoint is the durable part)."""
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
+        .outputMode(output_mode)
+        .option(
+            "checkpointLocation",
+            os.path.join(checkpoint_dir, checkpoint_name or query_name),
+        )
         .trigger(availableNow=True)
         .start()
     )

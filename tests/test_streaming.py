@@ -109,3 +109,64 @@ def test_stateful_running_moments_matches_batch(spark, sf_dir, tmp_path):
         assert final[k]["n"] == r["n"]
         assert final[k]["mean"] == pytest.approx(r["mean"], rel=1e-9)
         assert final[k]["m2"] == pytest.approx(r["m2"], rel=1e-6)
+
+
+def test_append_mode_watermark_closes_windows_and_drops_late(spark, tmp_path):
+    """Append-mode watermark semantics, pinned end-to-end across a restart:
+    a window emits exactly once after the watermark passes its end, and input
+    later than the watermark is silently dropped — what a production sink
+    sees. Deterministic two-run drive over one checkpoint."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from switchback_test_dag_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_events,
+        windowed_bucket_metrics,
+    )
+
+    src = str(tmp_path / "events_src")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "ts string, event_type string, value double") \
+            .select(F.to_timestamp("ts").alias("ts"), "event_type", "value") \
+            .coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    t = lambda h, m=0: f"2024-01-01 {h:02d}:{m:02d}:00"  # noqa: E731
+    # batch 1: two events in the 00:00 window; one at 03:00 that advances the
+    # watermark to 02:00 (1h lag), closing and emitting the 00:00 window
+    write_batch("b1", [(t(0, 10), "a", 1.0), (t(0, 40), "a", 3.0), (t(3), "a", 7.0)])
+
+    out = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "wm_ckpt")
+
+    def run_once():
+        # file sink: the append-mode surface that supports checkpoint
+        # recovery (the memory sink does not)
+        q = (
+            windowed_bucket_metrics(
+                stream_events(spark, src + "/*"), window="1 hour", watermark="1 hour"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return {
+            (r["bucket_start"].hour, r["n_events"], r["sum_value"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    assert run_once() == {(0, 2, 4.0)}  # 00:00 closed; 03:00 still open
+
+    # batch 2: a LATE event at 00:30 (behind the 02:00 watermark → dropped)
+    # and one at 05:00 that advances the watermark past the 03:00 window
+    write_batch("b2", [(t(0, 30), "a", 100.0), (t(5), "a", 9.0)])
+    # resumed run: the 03:00 window emits with ONLY its original event; the
+    # late 00:30 row neither re-opens the 00:00 window nor appears anywhere
+    assert run_once() == {(0, 2, 4.0), (3, 1, 7.0)}
