@@ -72,6 +72,32 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # --------------------------------------------------------------------------- #
 
 
+def _shingle_hash_frame(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int, par: int
+) -> DataFrame:
+    """(doc, int-hashed positional-distinct shingles) with the tokenization
+    materialized FIRST, behind the repartition Exchange: the token
+    split/filter expression would otherwise be re-evaluated once per
+    argument-level reference of the n-gram zip_with chain (~shingle_n + 1
+    times per row) — measured ~25% of the whole LSH pipeline. Post-exchange,
+    the n-gram slices reference a plain column (cheap reads, no recompute).
+    Int-hashed shingles: Jaccard-identical sets (collisions ~|sh|²/2⁶⁴),
+    8-byte join keys instead of variable-length text."""
+    from switchback_test_dag_spark.text.analysis import (
+        TOKEN_SPLIT_RE,
+        _array_ngrams_sql,
+    )
+
+    toks = f"filter(split(lower({text_col}), '{TOKEN_SPLIT_RE}'), x -> x != '')"
+    return (
+        df.select(F.col(id_col).alias("doc"), F.expr(toks).alias("tk"))
+        .filter(F.size("tk") >= shingle_n)
+        .repartition(par, "doc")
+        .select("doc", F.expr(_array_ngrams_sql("tk", shingle_n)).alias("sh_str"))
+        .select("doc", hashed_shingles("sh_str").alias("sh"))
+    )
+
+
 def minhash_signature(shingle_col: str, k: int = 64) -> Column:
     """k-permutation MinHash signature as ``array<bigint>`` over an
     *integer-hashed* shingle column (``array<bigint>``, see
@@ -139,16 +165,7 @@ def minhash_lsh_pairs(
     # repartition: a few big parquet files would otherwise serialize the
     # CPU-heavy shingling/hashing onto as few cores; spread rows first.
     par = df.sparkSession.sparkContext.defaultParallelism
-    shingled = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            word_shingles(text_col, shingle_n).alias("sh_str"),
-        )
-        .filter(F.size("sh_str") > 0)
-        .repartition(par, "doc")
-        .select("doc", hashed_shingles("sh_str").alias("sh"))
-    )
-    shingled = _persist(shingled)
+    shingled = _persist(_shingle_hash_frame(df, id_col, text_col, shingle_n, par))
     sig = shingled.select(
         "doc", "sh", minhash_signature("sh", k).alias("sig")
     )
@@ -386,18 +403,7 @@ def ngram_jaccard_pairs(
     (it cannot pass any threshold > 0). Worst case is a shingle present in most
     docs; n-word shingles (n ≥ 3) make that vanishingly rare in real corpora."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    shingled = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            word_shingles(text_col, shingle_n).alias("sh_str"),
-        )
-        .filter(F.size("sh_str") > 0)
-        .repartition(par, "doc")
-        # int-hashed shingles: Jaccard-identical sets (collisions ~|sh|²/2⁶⁴),
-        # 8-byte join keys instead of variable-length text
-        .select("doc", hashed_shingles("sh_str").alias("sh"))
-    )
-    shingled = _persist(shingled)
+    shingled = _persist(_shingle_hash_frame(df, id_col, text_col, shingle_n, par))
     sizes = shingled.select("doc", F.size("sh").alias("sz"))
     ex = shingled.select("doc", F.explode("sh").alias("h"))
     common = (
