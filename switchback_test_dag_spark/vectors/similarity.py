@@ -270,3 +270,74 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_persist_layout(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    centroids,
+) -> None:
+    """Write the corpus PARTITIONED BY its IVF cell — the layout a static
+    100 TB corpus should live in. Probing then becomes a *partition-pruned*
+    scan: a query touches only its n_probe cell directories, so the physical
+    read is corpus·n_probe/n_cells regardless of executor count, with zero
+    shuffle at query time (the per-query cell assignment in :func:`ivf_topk`
+    happens once per WRITE here instead of once per query run)."""
+    assign1 = _cell_assigner(centroids, 1)
+    (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            assign1(F.col(vec_col))[0].alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_from_layout(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vec_col: str,
+    centroids,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k over a cell-partitioned layout written by
+    :func:`ivf_persist_layout`. The probe-cell filter is a literal IN over the
+    partition column, so it prunes at the file listing — `.explain` shows it
+    under ``PartitionFilters``, and only the probed directories are read."""
+    import numpy as np
+
+    qpdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).toPandas()  # query side is small by definition
+    x = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (x / norms[:, None]) @ centroids.T
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+    probe_cells = sorted({int(c) for row in order for c in row})
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _cell_assigner(centroids, n_probe)(F.col(vec_col)).alias("cells"),
+    ).withColumn("cell", F.explode("cells")).drop("cells")
+    c = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    scored = (
+        c.join(broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_sim("qv", "cv"), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

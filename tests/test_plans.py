@@ -121,3 +121,47 @@ def test_winnow_plan_shares_fingerprint_scan(spark, sf_dir):
         from switchback_test_dag_spark.text.dedup import release_caches
 
         release_caches()
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
+    # the 100-TB strategy for recurring big-x-big joins: both sides bucketed
+    # by the join key -> SortMergeJoin with ZERO Exchange (and, with sorted
+    # buckets, no Sort either); broadcast disabled to force the general case
+    from switchback_test_dag_spark.io import load_table
+    from switchback_test_dag_spark.plans.bucketing import (
+        co_located_join,
+        exchange_count,
+        write_bucketed,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ),
+            "bkt_orders",
+            ["o_custkey"],
+            8,
+            sort_keys=["o_custkey"],
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ).withColumnRenamed("c_custkey", "o_custkey"),
+            "bkt_customer",
+            ["o_custkey"],
+            8,
+            sort_keys=["o_custkey"],
+        )
+        joined = co_located_join(spark, "bkt_orders", "bkt_customer", ["o_custkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert exchange_count(joined) == 0, plan
+        # and it actually computes the right thing
+        assert joined.count() == load_table(spark, sf_dir, "orders").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")

@@ -209,3 +209,52 @@ def test_winnowing_guarantee_and_selectivity(spark):
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ivf_layout_prunes_partitions_and_matches_inline(spark, tmp_path):
+    """The persisted cell-partitioned layout must (a) prune the scan to the
+    probed cell directories — visible as a PartitionFilters entry and a
+    reduced input-file set — and (b) return exactly what the inline IVF path
+    returns for the same centroids/probes."""
+    import os
+
+    from switchback_test_dag_spark.io import load_table
+    from switchback_test_dag_spark.vectors import similarity as VS
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = VS.train_ivf_centroids(emb, "vec_id", "embedding", n_cells=8)
+    path = str(tmp_path / "ivf_layout")
+    VS.ivf_persist_layout(emb, "vec_id", "embedding", path, cents)
+
+    queries = emb.orderBy("vec_id").limit(1)
+    out = VS.ivf_topk_from_layout(
+        spark, path, queries, "embedding", cents, k=5, n_probe=2,
+        query_id_col="vec_id",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    after = plan.split("PartitionFilters", 1)
+    assert len(after) == 2 and "cell" in after[1][:200]
+
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    # pruned read: at execution, only the probed cell directories are touched
+    # (inputFiles() lists pre-pruning roots — input_file_name() is the honest
+    # runtime probe)
+    from pyspark.sql import functions as F
+
+    n_dirs = len([d for d in os.listdir(path) if d.startswith("cell=")])
+    touched = {
+        r[0].split("cell=")[1].split("/")[0]
+        for r in spark.read.parquet(path)
+        .filter(F.col("cell").isin([0, 1]))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert 0 < len(touched) <= 2 < n_dirs
+
+    # parity with the inline path (same centroid training, probes)
+    inline = VS.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_cells=8, n_probe=2
+    )
+    want = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in inline.collect()}
+    assert got == want
