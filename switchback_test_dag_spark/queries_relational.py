@@ -760,7 +760,7 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
        ), m AS (
          SELECT user_id, us,
                 CASE WHEN us - lag(us) OVER w IS NULL
-                       OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+                       OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
        ), s AS (
          SELECT user_id,
@@ -779,7 +779,9 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one session (``session_window`` — dynamic-length windows merged by the
     aggregation itself, the streaming-ready form). The oracle is the classic
     gaps-and-islands lag/cumsum SQL; a new session starts when the gap is
-    ≥ 30 min, matching session_window's [start, last+gap) close rule. One
+    STRICTLY > 30 min — an event exactly at last+gap still merges (Spark
+    extends the window while event_time <= previous end; boundary semantics
+    pinned by tests/test_properties.py). One
     shuffle keyed on user; session merge is per-key sort logic."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     per_session = ev.groupBy(

@@ -67,8 +67,10 @@ def test_asof_backward_matches_reference(spark, left, right):
 )
 def test_session_window_matches_gaps_and_islands(spark, events):
     """session_window(gap=30) must produce exactly the sessions of the classic
-    gaps-and-islands reference: a new session starts when the gap to the
-    previous event on the same key is >= 30 (time units = seconds here)."""
+    gaps-and-islands reference. Boundary semantics (found by this property):
+    an event exactly ``gap`` after its predecessor still MERGES — a new
+    session starts only when the gap is STRICTLY greater (Spark merges while
+    event_time <= previous window end = last + gap)."""
     from pyspark.sql import functions as F
 
     if not events:
@@ -92,7 +94,7 @@ def test_session_window_matches_gaps_and_islands(spark, events):
         ts.sort()
         counts = [1]
         for prev, cur in zip(ts, ts[1:]):
-            if cur - prev >= 30:
+            if cur - prev > 30:
                 counts.append(1)
             else:
                 counts[-1] += 1
