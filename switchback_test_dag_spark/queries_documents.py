@@ -190,11 +190,40 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TD.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.85)
 
 
-@query("doc_simhash_pairs")  # xxhash64 signatures: not DuckDB-expressible → rows-only
+@query(
+    "doc_simhash_pairs",
+    f"""WITH tk AS (
+         SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+       ), th AS (
+         SELECT doc_id,
+                list_transform(toks, t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS th
+         FROM tk WHERE len(toks) > 0
+       ), sig AS (
+         SELECT doc_id,
+                CAST(list_sum(
+                  [CASE WHEN list_sum([CASE WHEN (h >> i) & 1 != 0 THEN 1 ELSE -1 END
+                                       for h in th]) > 0
+                        THEN 1::BIGINT << i ELSE 0::BIGINT END
+                   for i in generate_series(0, 59)]) AS BIGINT) AS sig
+         FROM th
+       ), ck AS (
+         SELECT doc_id, sig, c AS chunk, (sig >> (c * 15)) & 32767 AS val
+         FROM sig, unnest(generate_series(0, 3)) AS t(c)
+       ), pairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         FROM ck a JOIN ck b
+           ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+       )
+       SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""",
+)
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3 of 64 bits via 16-bit chunk
-    pigeonhole candidates). Recall against planted dups is pytest-verified
-    (tests/test_text_dedup.py)."""
+    """SimHash near-dup pairs (Hamming ≤ 3 of 60 bits via 15-bit chunk
+    pigeonhole candidates — exact for this radius). Token hashes are portable
+    md5-prefix bigints (the winnowing trick, text/dedup.py), so the oracle
+    replays signature construction, pigeonhole candidate generation, and
+    Hamming verification bit-for-bit in DuckDB. Recall against planted dups is
+    additionally pytest-verified (tests/test_text_dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return TD.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 

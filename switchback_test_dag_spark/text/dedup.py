@@ -243,26 +243,39 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-    prefix_bits: int = 16,
+    prefix_bits: int = 15,
+    bits: int = 60,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share one of 4 16-bit signature
-    chunks (pigeonhole: any pair within Hamming ≤ 3 of 64 bits agrees on ≥1 of
-    4 chunks), verified by full Hamming distance. Candidate join is keyed on
-    (chunk index, chunk value) — uniform, skew-free."""
+    """Near-dup pairs by SimHash: candidates share one of 4 signature chunks
+    (pigeonhole: any pair within Hamming ≤ 3 agrees on ≥ 1 of 4 chunks),
+    verified by full Hamming distance. Candidate join is keyed on
+    (chunk index, chunk value) — uniform, skew-free.
+
+    Portability: token hashes are the first 15 hex chars of md5 read as a
+    60-bit bigint (same trick as :func:`winnow_fingerprints`), so the
+    signature, the pigeonhole candidate set, and the Hamming verification are
+    all bit-for-bit replayable in any engine with md5 + integer shifts — the
+    DuckDB oracle replays the whole algorithm, not just an aggregate."""
     from switchback_test_dag_spark.text.analysis import tokens
 
-    n_chunks = 64 // prefix_bits
+    n_chunks = bits // prefix_bits
     # persist boundary: stops CollapseProject from inlining the tokenization +
-    # hashing into the 64-iteration bit lambda (see minhash_lsh_pairs)
+    # hashing into the per-bit lambda (see minhash_lsh_pairs)
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = (
         df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__toks"))
         .filter(F.size("__toks") > 0)
         .repartition(par, "doc")
-        .select("doc", F.expr("transform(__toks, t -> xxhash64(t))").alias("__th"))
+        .select(
+            "doc",
+            F.expr(
+                "transform(__toks,"
+                " t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+            ).alias("__th"),
+        )
     )
     toks = _persist(toks)
-    sigs = toks.select("doc", simhash_from_hashes("__th").alias("sig"))
+    sigs = toks.select("doc", simhash_from_hashes("__th", bits=bits).alias("sig"))
     chunks = sigs.select(
         "doc",
         "sig",
