@@ -36,22 +36,32 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader rejects unless
-    ``spark.sql.legacy.parquet.nanosAsLong`` is set (Spark timestamps are µs).
-    We set the conf defensively at runtime (works on externally-created sessions,
-    e.g. the driver's), keep the exact value as ``ts_ns`` (long, ns since epoch)
-    and expose ``ts`` truncated to µs as a proper timestamp. DuckDB-oracle queries
-    use either hour-level ``date_trunc`` (ns-insensitive) or exact ``ts_ns``
-    integer math so both engines see identical values.
+    ``events`` always exposes BOTH a µs ``ts`` timestamp and a ``ts_ns`` long
+    (ns since epoch), whichever physical type the parquet uses:
+
+    - TIMESTAMP(NANOS) (older fixtures): Spark's reader rejects it unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is set (Spark timestamps are µs);
+      we keep the exact ns as ``ts_ns`` and floor-truncate ``ts`` to µs.
+    - TIMESTAMP(MICROS) (current fixtures): read natively as a timestamp;
+      ``ts_ns = unix_micros(ts) * 1000`` — bit-identical to DuckDB's
+      ``epoch_ns(ts)`` on the same data, which is what the oracle SQL uses.
+
+    Downstream queries use either hour-level ``date_trunc`` (precision-
+    insensitive) or exact ``ts_ns`` integer math so both engines agree.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts",
+                F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")),
+            )
+        elif dt == "timestamp":
+            df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
     return df
 
 

@@ -31,9 +31,10 @@ def stream_events(
     """``readStream`` over the events parquet (file or directory path).
 
     Schema comes from a batch read of the same path (file streams require an
-    explicit schema). ``ts`` arrives as ns-since-epoch BIGINT
-    (``spark.sql.legacy.parquet.nanosAsLong`` — see ``io.load_table``) and is
-    exposed µs-truncated as a proper timestamp plus the exact ``ts_ns``.
+    explicit schema). Whatever the parquet's physical timestamp type (ns BIGINT
+    via ``spark.sql.legacy.parquet.nanosAsLong``, or native µs TIMESTAMP),
+    the stream exposes a µs ``ts`` timestamp plus the exact ``ts_ns`` long —
+    same contract as ``io.load_table``.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
@@ -46,10 +47,13 @@ def stream_events(
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     df = reader.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
         )
+    elif dt == "timestamp":
+        df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
     return df
 
 
