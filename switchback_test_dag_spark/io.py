@@ -33,35 +33,58 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to the package-wide contract:
+    a session-timezone µs ``ts`` TIMESTAMP plus an exact ``ts_ns`` long
+    (ns since epoch), whatever physical type the parquet stores:
+
+    - TIMESTAMP(NANOS) (older fixtures): Spark's reader rejects it unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is set (Spark timestamps are µs);
+      the exact ns survives as ``ts_ns`` and ``ts`` is floor-truncated to µs.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=true): native ``timestamp``;
+      ``ts_ns = unix_micros(ts) * 1000``.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) (current fixtures): inferred as
+      ``timestamp_ntz``. Sessions run with ``spark.sql.session.timeZone=UTC``
+      (session.py), so the ntz→ltz cast maps the wall-clock to the same instant
+      DuckDB's ``epoch_ns(ts)`` computes on the naive timestamp — bit-identical
+      ``ts_ns`` in both engines.
+
+    Any other ``ts`` dtype raises instead of silently skipping ``ts_ns``
+    (which would surface much later as an unresolved-column error in every
+    downstream query).
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt is None:
+        return df
+    if dt == "bigint":
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts",
+            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")),
+        )
+    if dt.startswith("timestamp"):
+        if dt != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
+    raise TypeError(
+        f"events.ts has unsupported dtype {dt!r}; expected bigint (ns) or a "
+        "timestamp type"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table.
 
     ``events`` always exposes BOTH a µs ``ts`` timestamp and a ``ts_ns`` long
-    (ns since epoch), whichever physical type the parquet uses:
-
-    - TIMESTAMP(NANOS) (older fixtures): Spark's reader rejects it unless
-      ``spark.sql.legacy.parquet.nanosAsLong`` is set (Spark timestamps are µs);
-      we keep the exact ns as ``ts_ns`` and floor-truncate ``ts`` to µs.
-    - TIMESTAMP(MICROS) (current fixtures): read natively as a timestamp;
-      ``ts_ns = unix_micros(ts) * 1000`` — bit-identical to DuckDB's
-      ``epoch_ns(ts)`` on the same data, which is what the oracle SQL uses.
-
-    Downstream queries use either hour-level ``date_trunc`` (precision-
-    insensitive) or exact ``ts_ns`` integer math so both engines agree.
+    (ns since epoch) via :func:`normalize_events_ts`. Downstream queries use
+    either hour-level ``date_trunc`` (precision-insensitive) or exact ``ts_ns``
+    integer math so Spark and the DuckDB oracle agree.
     """
-    from pyspark.sql import functions as F
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        dt = dict(df.dtypes).get("ts")
-        if dt == "bigint":
-            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-                "ts",
-                F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")),
-            )
-        elif dt == "timestamp":
-            df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
+        df = normalize_events_ts(df)
     return df
 
 

@@ -46,15 +46,9 @@ def stream_events(
         # path to its parent + glob filter
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    df = reader.parquet(path)
-    dt = dict(df.dtypes).get("ts")
-    if dt == "bigint":
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
-    elif dt == "timestamp":
-        df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
-    return df
+    from ..io import normalize_events_ts
+
+    return normalize_events_ts(reader.parquet(path))
 
 
 def windowed_bucket_metrics(
