@@ -272,27 +272,51 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VS.cosine_topk_bruteforce(emb, queries_df, "vec_id", "embedding", k=10)
 
 
-@query("emb_lsh_topk")  # approximate (recall < 1 by design) → rows-only check
+_LSH_RECALL_BOUND = 0.6  # measured min across sf0.001/0.01/0.1 is 0.6–0.7
+_IVF_RECALL_BOUND = 0.8  # measured min across sf0.001/0.01/0.1 is 0.8–0.9
+
+
+def _ann_gate_oracle(bound: float) -> str:
+    """The recall-gate contract a SQL oracle can predict without replaying the
+    index: one row per query with the recall floor pinned at ``bound``. Any
+    query whose true recall@10 drops below the bound surfaces Spark-side as a
+    lower value and fails the hash check."""
+    return f"""SELECT vec_id AS query_id, 10 AS k,
+              CAST({bound} AS DOUBLE) AS recall_floor
+       FROM embeddings WHERE vec_id < 5"""
+
+
+@query("emb_lsh_topk", _ann_gate_oracle(_LSH_RECALL_BOUND))
 def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-10 (multi-probe). Recall vs brute force is
-    pytest-verified; the driver checks rows-only."""
+    """Hyperplane-LSH approximate top-10 (n_planes=4, distance-2 multi-probe),
+    hash-checked as a quality contract: the query runs the LSH search AND the
+    exact brute force, then emits per-query score-threshold recall@10 floored
+    at the gate bound (``VS.recall_gate``). The oracle predicts the constant
+    floor, so recall regressions fail the driver's value hash — a stronger
+    check than rows-only for an index that is approximate by design. Raw
+    neighbor rows stay covered by tests/test_text_dedup.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return VS.hyperplane_lsh_topk(
-        emb, queries_df, "vec_id", "embedding", k=10, n_planes=4
+    approx = VS.hyperplane_lsh_topk(
+        emb, queries_df, "vec_id", "embedding", k=10, n_planes=4, multiprobe=2
     )
+    exact = VS.cosine_topk_bruteforce(emb, queries_df, "vec_id", "embedding", k=10)
+    return VS.recall_gate(approx, exact, k=10, bound=_LSH_RECALL_BOUND)
 
 
-@query("emb_ivf_topk")  # approximate (recall < 1 by design) → rows-only check
+@query("emb_ivf_topk", _ann_gate_oracle(_IVF_RECALL_BOUND))
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10: spherical-k-means coarse quantizer (trained on a
-    deterministic sample), cell-keyed candidate join, n_probe=4 of 8 cells.
-    Recall vs brute force is pytest-verified; the driver checks rows-only."""
+    """IVF approximate top-10 (spherical-k-means coarse quantizer trained on a
+    deterministic sample; cell-keyed candidate join; n_probe=5 of 8 cells),
+    hash-checked as a recall@10 ≥ 0.8 quality contract exactly like
+    :func:`emb_lsh_topk`."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return VS.ivf_topk(
-        emb, queries_df, "vec_id", "embedding", k=10, n_cells=8, n_probe=4
+    approx = VS.ivf_topk(
+        emb, queries_df, "vec_id", "embedding", k=10, n_cells=8, n_probe=5
     )
+    exact = VS.cosine_topk_bruteforce(emb, queries_df, "vec_id", "embedding", k=10)
+    return VS.recall_gate(approx, exact, k=10, bound=_IVF_RECALL_BOUND)
 
 
 # --------------------------------------------------------------------------- #

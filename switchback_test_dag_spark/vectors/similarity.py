@@ -125,6 +125,20 @@ def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
     return None if row is None else row["d"]
 
 
+def _probe_masks(n_planes: int, levels: int) -> list[int]:
+    """XOR masks for multi-probe: the identity plus every bit pattern of
+    Hamming weight ≤ ``levels`` over ``n_planes`` bits (level 1 = classic
+    flip-one-bit probing; level 2 adds pair flips)."""
+    from itertools import combinations
+
+    masks = [0]
+    for lv in range(1, levels + 1):
+        masks.extend(
+            sum(1 << p for p in bits) for bits in combinations(range(n_planes), lv)
+        )
+    return masks
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -132,13 +146,14 @@ def hyperplane_lsh_topk(
     vec_col: str,
     k: int = 10,
     n_planes: int = 8,
-    multiprobe: bool = True,
+    multiprobe: bool | int = True,
     query_id_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: compare each query only against corpus vectors in its
-    hyperplane bucket (and, with ``multiprobe``, buckets at Hamming distance 1 —
-    recall↑ at (n_planes+1)× probe cost). Join is keyed on bucket id: the probe
-    side explodes its probe list, the corpus side is bucketed once."""
+    hyperplane bucket (and, with ``multiprobe``, buckets at Hamming distance ≤
+    that many bit flips; ``True`` means 1 — recall↑ at higher probe cost).
+    Join is keyed on bucket id: the probe side explodes its probe list, the
+    corpus side is bucketed once."""
     query_id_col = query_id_col or id_col
     dim = _vec_dim(corpus, vec_col)
     c = corpus.select(
@@ -151,12 +166,9 @@ def hyperplane_lsh_topk(
         F.col(vec_col).alias("qv"),
         hyperplane_signature(vec_col, n_planes, dim).alias("sig"),
     )
-    if multiprobe:
-        probes = F.expr(
-            f"array_union(array(sig), transform(sequence(0, {n_planes - 1}), p -> sig ^ shiftleft(1L, p)))"
-        )
-    else:
-        probes = F.expr("array(sig)")
+    levels = int(multiprobe) if not isinstance(multiprobe, bool) else int(multiprobe)
+    masks = ", ".join(f"{m}L" for m in _probe_masks(n_planes, levels))
+    probes = F.expr(f"transform(array({masks}), m -> sig ^ m)")
     q = q.withColumn("bucket", F.explode(probes)).drop("sig")
     scored = (
         c.join(broadcast(q), "bucket")
@@ -169,6 +181,43 @@ def hyperplane_lsh_topk(
         .distinct()
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def recall_gate(
+    approx: DataFrame, exact: DataFrame, k: int, bound: float
+) -> DataFrame:
+    """Deterministic quality contract for an approximate top-k result.
+
+    Per query, score-threshold recall@k (the ANN-benchmarks definition: count
+    approximate hits whose cosine ties-or-beats the k-th exact score, so
+    exact-score ties cannot penalize the index) is floored at ``bound``:
+    ``recall_floor = least(round(recall, 4), bound)``. When the index meets its
+    contract every row is the constant ``(query_id, k, bound)`` a SQL oracle
+    can predict without replaying the index; any recall below the bound
+    surfaces as the true (lower) value and fails the driver's hash check — a
+    hash-checked quality gate rather than a rows-only count.
+
+    Both inputs follow the ``cosine_topk_bruteforce`` output contract
+    (query_id, neighbor_id, cosine, rank). The threshold side is one row per
+    query — broadcast."""
+    th = exact.groupBy("query_id").agg(F.min("cosine").alias("kth_score"))
+    return (
+        approx.join(broadcast(th), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cosine") >= F.col("kth_score"), 1).otherwise(0)
+            ).alias("n_good")
+        )
+        .select(
+            "query_id",
+            F.lit(k).alias("k"),
+            F.least(
+                F.round(F.col("n_good") / F.lit(float(k)), 4),
+                F.lit(float(bound)),
+            ).alias("recall_floor"),
+        )
     )
 
 

@@ -131,6 +131,45 @@ def test_ivf_topk_recall_vs_bruteforce(emb):
     assert full_set == exact_set, "probing all cells must equal brute force"
 
 
+def test_recall_gate_pins_bound_and_surfaces_regressions(emb):
+    """The hash-checked ANN contract: a perfect index emits exactly the bound;
+    a degraded one (here: the approximate result with its best hits removed)
+    emits a strictly lower recall that would fail the driver's value hash."""
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = VS.cosine_topk_bruteforce(emb, queries_df, "vec_id", "embedding", k=10)
+    perfect = VS.recall_gate(exact, exact, k=10, bound=0.6).collect()
+    assert len(perfect) == 5
+    assert all(r["recall_floor"] == 0.6 and r["k"] == 10 for r in perfect)
+
+    degraded = VS.recall_gate(
+        exact.filter(F.col("rank") > 7), exact, k=10, bound=0.6
+    ).collect()
+    assert all(r["recall_floor"] == 0.3 for r in degraded)
+
+
+def test_lsh_multiprobe_level2_supersets_level1(emb):
+    """Distance-2 probing must only add candidates: every level-1 neighbor set
+    is contained in the level-2 result unless displaced by a better hit, so
+    per-query recall is monotone in the probe level."""
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = VS.cosine_topk_bruteforce(emb, queries_df, "vec_id", "embedding", k=10)
+    r1 = VS.recall_gate(
+        VS.hyperplane_lsh_topk(
+            emb, queries_df, "vec_id", "embedding", k=10, n_planes=4, multiprobe=1
+        ),
+        exact, k=10, bound=1.0,
+    ).collect()
+    r2 = VS.recall_gate(
+        VS.hyperplane_lsh_topk(
+            emb, queries_df, "vec_id", "embedding", k=10, n_planes=4, multiprobe=2
+        ),
+        exact, k=10, bound=1.0,
+    ).collect()
+    rec1 = {r["query_id"]: r["recall_floor"] for r in r1}
+    rec2 = {r["query_id"]: r["recall_floor"] for r in r2}
+    assert all(rec2[q] >= rec1[q] for q in rec1)
+
+
 def test_ivf_centroids_deterministic(emb):
     c1 = VS.train_ivf_centroids(emb, "vec_id", "embedding", n_cells=8)
     c2 = VS.train_ivf_centroids(emb, "vec_id", "embedding", n_cells=8)
