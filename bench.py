@@ -50,6 +50,7 @@ HEADLINE = [
     "doc_text_profile",
     "corpus_clean_stats",
     "media_wav_decode",
+    "media_bmp_decode",
     "geo_zone_containment",
     "sql_script_stages",
     "elt_orders_fact",

@@ -3,14 +3,14 @@ with typed metadata, processed by Arrow-batched pandas iterators via
 ``mapInPandas``.
 
 The Spark-side architecture here is the real deliverable — schema contract,
-partition-size control, Arrow batch shape, UDF iterator signature. The
-image/video codec calls (PIL/libav/ffmpeg) are STUBBED: this container has no
-media libraries, so those decode functions raise ``NotImplementedError``
-unless ``deterministic_fake=True``, which derives pixel features from
-``xxhash``-style arithmetic on the payload bytes. AUDIO is the real path:
-``wav.py`` implements a working pure-Python RIFF PCM16 codec (stdlib
-``struct`` only), and ``decode_wav_features`` below parses actual bytes —
-no fake flag.
+partition-size control, Arrow batch shape, UDF iterator signature. Two codec
+paths are REAL, pure-Python, and parse actual bytes with no fake flag:
+AUDIO via ``wav.py`` (RIFF PCM16 chunk-walking codec) and IMAGE via
+``bmp.py`` (24/32-bit BI_RGB DIB codec — see ``decode_bmp_features``).
+Entropy-coded formats (JPEG/PNG) and video (libav/ffmpeg) remain STUBBED:
+this container has no media libraries, so those decode functions raise
+``NotImplementedError`` unless ``deterministic_fake=True``, which derives
+pixel features from ``xxhash``-style arithmetic on the payload bytes.
 
 Scale notes:
 - payloads ride in parquet binary columns; never ``collect()`` them;
@@ -219,6 +219,117 @@ def synthesize_wav_audio(
 
     return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
         run, schema=MEDIA_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------- #
+# real image path (pure-Python BMP codec — see bmp.py)
+# --------------------------------------------------------------------------- #
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+        StructField("wsum", LongType(), False),
+    ]
+)
+
+
+def _bmp_pixels(media_id: int, width: int, height: int):
+    """Closed-form deterministic test pattern: channel k of pixel (r, c) is
+    ``(id*7 + r*5 + c*3 + k*11) % 256`` — cheap for an oracle to replay and
+    sensitive to any row-flip / channel-swap / stride decode bug."""
+    import numpy as np
+
+    r = np.arange(height, dtype=np.int64)[:, None, None]
+    c = np.arange(width, dtype=np.int64)[None, :, None]
+    k = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((media_id * 7 + r * 5 + c * 3 + k * 11) % 256).astype(np.uint8)
+
+
+def synthesize_bmp_images(df: DataFrame, id_col: str) -> DataFrame:
+    """MEDIA_SCHEMA image rows with REAL BMP payloads: per id, a
+    ``(8 + id % 9) × (6 + id % 5)`` RGB test pattern encoded through the
+    canonical 24-bit bottom-up writer (``bmp.py``). Varying dimensions make
+    the row-stride padding and container-size arithmetic part of the
+    contract, not a constant."""
+    from switchback_test_dag_spark.multimodal.bmp import encode_bmp24
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"].to_numpy()
+            widths = [int(8 + mid % 9) for mid in ids]
+            heights = [int(6 + mid % 5) for mid in ids]
+            payloads = [
+                encode_bmp24(_bmp_pixels(int(mid), w, h))
+                for mid, w, h in zip(ids, widths, heights)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/bmp",
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int64"),
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_bmp_features(media: DataFrame) -> DataFrame:
+    """Parse REAL BMP bytes → integer-exact image features per payload:
+    decoded dimensions, payload size, per-channel pixel sums, and a
+    position-weighted checksum ``wsum = Σ v·((r·w + c)·3 + k + 1)`` that
+    changes under any row-order, channel-order, or stride mistake. All
+    outputs are exact integers, so downstream aggregates are
+    order-independent. The working image codec path — no
+    ``deterministic_fake``."""
+    from switchback_test_dag_spark.multimodal.bmp import decode_bmp
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ws, hs, nb, srs, sgs, sbs, wsums = [], [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                arr = decode_bmp(raw).astype(np.int64)
+                h, w, _ = arr.shape
+                weights = np.arange(1, h * w * 3 + 1, dtype=np.int64).reshape(
+                    h, w, 3
+                )
+                ws.append(w)
+                hs.append(h)
+                nb.append(len(raw))
+                srs.append(int(arr[:, :, 0].sum()))
+                sgs.append(int(arr[:, :, 1].sum()))
+                sbs.append(int(arr[:, :, 2].sum()))
+                wsums.append(int((arr * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": ws,
+                    "height": hs,
+                    "n_bytes": nb,
+                    "sum_r": srs,
+                    "sum_g": sgs,
+                    "sum_b": sbs,
+                    "wsum": wsums,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=IMAGE_FEATURE_SCHEMA
     )
 
 

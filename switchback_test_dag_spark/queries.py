@@ -117,35 +117,31 @@ _MWU_Z = """(greatest(r_a - n_a * (n_a + 1) / 2.0,
              / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
                     * ((n_tot + 1) - tie_term / (CAST(n_tot AS DOUBLE) * (n_tot - 1))))"""
 
-_MWU_ORACLE = (
-    _MWU_CORE
-    + f"""
-SELECT test_name, kpi, n_a, n_b,
-       round(r_a - n_a * (n_a + 1) / 2.0, 4) AS u_stat,
-       round({_MWU_Z}, 6) AS z
-FROM agg"""
-)
-
-# p-value oracle: the SAME A&S 7.1.26 erfc polynomial the Spark engine uses
+# Full MWU oracle: the rank/tie machinery pinned via n_a/n_b/U/z PLUS the
+# p-value through the SAME A&S 7.1.26 erfc polynomial the Spark engine uses
 # (stats/distributions.py — plain arithmetic, so DuckDB can evaluate it
 # verbatim); p = min(1, erfc(|z|/sqrt(2))), identical on both engines to well
-# below the 4-decimal rounding.
-_MWU_P_ORACLE = (
+# below the 4-decimal rounding. One registry row covers statistic AND tail
+# (formerly the separate sb_mwu_ustat entry).
+_MWU_FULL_ORACLE = (
     _MWU_CORE
     + f"""
 , zc AS (
-  SELECT test_name, kpi,
+  SELECT test_name, kpi, n_a, n_b,
+         round(r_a - n_a * (n_a + 1) / 2.0, 4) AS u_stat,
+         round({_MWU_Z}, 6) AS z,
          CASE WHEN n_a > 0 AND n_b > 0 AND n_tot > 1
                    AND ((n_tot + 1) - tie_term / (CAST(n_tot AS DOUBLE) * (n_tot - 1))) > 0
-              THEN {_MWU_Z} END AS z
+              THEN {_MWU_Z} END AS z_def
   FROM agg
 ), xc AS (
-  SELECT test_name, kpi, z, abs(z) / sqrt(2.0) AS x,
-         1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  SELECT test_name, kpi, n_a, n_b, u_stat, z, z_def,
+         abs(z_def) / sqrt(2.0) AS x,
+         1.0 / (1.0 + 0.3275911 * (abs(z_def) / sqrt(2.0))) AS t
   FROM zc
 )
-SELECT test_name, kpi,
-       CASE WHEN z IS NULL THEN NULL  -- explicit: least() would swallow NULL
+SELECT test_name, kpi, n_a, n_b, u_stat, z,
+       CASE WHEN z_def IS NULL THEN NULL  -- explicit: least() would swallow NULL
             ELSE round(least(1.0,
                 t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
                     + t * (-1.453152027 + t * 1.061405429)))) * exp(-(x * x))), 4)
@@ -154,14 +150,13 @@ FROM xc"""
 )
 
 
-@query("sb_mwu_ustat", _MWU_ORACLE)
-def sb_mwu_ustat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1 (statistic half): distributed tie-corrected MWU U and z per (test, KPI).
-
-    The z→p normal tail is not DuckDB-expressible, so the oracle pins the exact
-    rank/tie machinery via U and z; the p-value path is covered by
-    tests/test_stats_reference.py and the rows-only `sb_mwu_pvalues` query.
-    """
+@query("sb_mwu_pvalues", _MWU_FULL_ORACLE)
+def sb_mwu_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: the full distributed tie-corrected MWU table per (test, KPI) —
+    n_a/n_b/U/z (the rank/tie machinery) AND the production two-sided p-value
+    (flagship output). Oracled end-to-end: the normal tail is the A&S 7.1.26
+    polynomial on both engines (scipy parity of that polynomial is pinned
+    separately in tests/test_stats_reference.py)."""
     from switchback_test_dag_spark.stats.mwu import mann_whitney_u
     from switchback_test_dag_spark.stats.util import melt_kpis
 
@@ -178,15 +173,8 @@ def sb_mwu_ustat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.round("u_stat", 4).alias("u_stat"),
         F.round("z", 6).alias("z"),
+        F.round("p_value", 4).alias("p_value"),
     )
-
-
-@query("sb_mwu_pvalues", _MWU_P_ORACLE)
-def sb_mwu_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1: the production p-value table (flagship output). Oracled end-to-end:
-    the normal tail is the A&S 7.1.26 polynomial on both engines (scipy parity
-    of that polynomial is pinned separately in tests/test_stats_reference.py)."""
-    return p_values(_labeled(spark, sf_dir))
 
 
 # Register the relational / document / vector query families (each module adds its

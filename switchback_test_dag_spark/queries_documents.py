@@ -325,23 +325,78 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "media_payload_stats",
-    """SELECT source, count(*) AS n,
-              CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-              CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
-       FROM documents GROUP BY source""",
+    "media_bmp_decode",
+    """WITH dims AS (
+         SELECT doc_id, source, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+         FROM documents
+       ), px AS (
+         SELECT d.doc_id, d.source, d.w, d.h, r.r, c.c, k.k,
+                (d.doc_id * 7 + r.r * 5 + c.c * 3 + k.k * 11) % 256 AS v
+         FROM dims d,
+              unnest(generate_series(0, d.h - 1)) AS r(r),
+              unnest(generate_series(0, d.w - 1)) AS c(c),
+              unnest(generate_series(0, 2)) AS k(k)
+       ), per AS (
+         SELECT doc_id, any_value(source) AS source,
+                any_value(w) AS w, any_value(h) AS h,
+                sum(CASE WHEN k = 0 THEN v ELSE 0 END) AS sr,
+                sum(CASE WHEN k = 1 THEN v ELSE 0 END) AS sg,
+                sum(CASE WHEN k = 2 THEN v ELSE 0 END) AS sb,
+                sum(v * ((r * w + c) * 3 + k + 1)) AS ws
+         FROM px GROUP BY doc_id
+       )
+       SELECT source, CAST(count(*) AS BIGINT) AS n_media,
+              CAST(sum(54 + ((3 * w + 3) // 4) * 4 * h) AS BIGINT) AS total_bytes,
+              CAST(max(54 + ((3 * w + 3) // 4) * 4 * h) AS BIGINT) AS max_bytes,
+              CAST(sum(w * h) AS BIGINT) AS total_px,
+              CAST(sum(sr) AS BIGINT) AS sum_r,
+              CAST(sum(sg) AS BIGINT) AS sum_g,
+              CAST(sum(sb) AS BIGINT) AS sum_b,
+              CAST(sum(ws) AS BIGINT) AS wsum,
+              round(CAST(sum(sr) + sum(sg) + sum(sb) AS DOUBLE)
+                    / CAST(sum(w * h) * 3 AS DOUBLE), 6) AS mean_px
+       FROM per GROUP BY source""",
 )
-def media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary column plumbing: payloads synthesized from text (utf-8
-    encode), per-source byte accounting. The decode/feature-extract path for
-    real image/audio payloads lives in multimodal/media.py (Pandas-UDF over
-    mapInPandas with stubbed codecs)."""
-    docs = load_table(spark, sf_dir, "documents")
-    payload = F.encode(F.col("text"), "utf-8")
-    return docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.octet_length(payload)).cast("long").alias("total_bytes"),
-        F.max(F.octet_length(payload)).cast("long").alias("max_bytes"),
+def media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal component's REAL image codec path (superseding the
+    payload-byte-accounting query, whose octet_length aggregates it absorbs):
+    per-document BMP payloads (canonical 24-bit bottom-up BI_RGB bytes with
+    per-id varying dimensions — multimodal/bmp.py) are decoded by the real
+    DIB parser inside Arrow-batched ``mapInPandas``, yielding integer-exact
+    dimension / byte-size / channel-sum / position-weighted-checksum features,
+    aggregated per source. The oracle never sees bytes: it recomputes the same
+    features from the closed-form pixel pattern AND the container-size formula
+    ``54 + stride·h`` (stride = 4-byte-padded 3·w), so a parse bug anywhere —
+    header offsets, row stride, bottom-up flip, BGR order — breaks the match.
+    All features are exact integers until the final mean, so shuffle order
+    cannot move any value."""
+    from switchback_test_dag_spark.multimodal.media import (
+        decode_bmp_features,
+        synthesize_bmp_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    media = synthesize_bmp_images(docs, "doc_id")
+    feats = decode_bmp_features(media)
+    joined = feats.join(docs, feats.media_id == docs.doc_id)
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_media"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.max("n_bytes").cast("long").alias("max_bytes"),
+        F.sum(F.col("width").cast("long") * F.col("height")).cast("long").alias(
+            "total_px"
+        ),
+        F.sum("sum_r").cast("long").alias("sum_r"),
+        F.sum("sum_g").cast("long").alias("sum_g"),
+        F.sum("sum_b").cast("long").alias("sum_b"),
+        F.sum("wsum").cast("long").alias("wsum"),
+        F.round(
+            (F.sum("sum_r") + F.sum("sum_g") + F.sum("sum_b")).cast("double")
+            / (F.sum(F.col("width").cast("long") * F.col("height")) * 3).cast(
+                "double"
+            ),
+            6,
+        ).alias("mean_px"),
     )
 
 

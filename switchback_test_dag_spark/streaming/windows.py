@@ -57,6 +57,7 @@ def windowed_bucket_metrics(
     watermark: str = "2 hours",
     by: Sequence[str] = ("event_type",),
     value_col: str = "value",
+    exact_decimals: bool = False,
 ) -> DataFrame:
     """Per-(switchback-bucket, segment) KPI aggregation, streaming-safe.
 
@@ -64,16 +65,31 @@ def windowed_bucket_metrics(
     twin of the batch time-unit aggregation (SURVEY §2.4 A5). Works on batch
     DataFrames too (watermark is a no-op there), which is how the differential
     test pins equivalence.
+
+    ``exact_decimals`` switches mean/sum to order-independent integer
+    micro-unit arithmetic (2-decimal results, ``exact.py``): integer sums are
+    streaming-safe partial aggregates, and the value cannot move with shuffle
+    or micro-batch order — the form the oracle-checked registry query uses.
     """
+    from switchback_test_dag_spark.exact import spark_micro_avg, spark_micro_sum
+
     v = F.col(value_col).cast("double")
     with_wm = events.withWatermark("ts", watermark) if events.isStreaming else events
-    return (
-        with_wm.groupBy(F.window("ts", window).alias("bucket"), *by)
-        .agg(
+    if exact_decimals:
+        aggs = [
+            F.count(F.lit(1)).alias("n_events"),
+            spark_micro_avg(value_col).alias("mean_value"),
+            spark_micro_sum(value_col).alias("sum_value"),
+        ]
+    else:
+        aggs = [
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.avg(v), 6).alias("mean_value"),
             F.round(F.sum(v), 6).alias("sum_value"),
-        )
+        ]
+    return (
+        with_wm.groupBy(F.window("ts", window).alias("bucket"), *by)
+        .agg(*aggs)
         .select(
             F.col("bucket.start").alias("bucket_start"),
             F.col("bucket.end").alias("bucket_end"),

@@ -140,6 +140,109 @@ def test_wav_decoder_walks_extra_chunks_and_rejects_garbage():
         decode_wav_pcm16(bytes(bad))
 
 
+# --------------------------------------------------------------------------- #
+# real BMP codec path
+# --------------------------------------------------------------------------- #
+
+
+def test_bmp_roundtrip_with_padding():
+    """Widths that force non-trivial row padding (stride to 4 bytes) must
+    round-trip pixel-exactly, bottom-up flip included."""
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal.bmp import decode_bmp, encode_bmp24
+
+    for w, h in [(1, 1), (2, 3), (5, 4), (16, 12), (7, 2)]:
+        rng = np.random.default_rng(w * 100 + h)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp24(px)), px)
+
+
+def test_bmp_known_bytes_from_spec():
+    """Decode a hand-assembled canonical file (the classic 2×2 example laid
+    out per the BITMAPINFOHEADER spec: bottom-up rows, BGR order, 2-byte row
+    pad) — pins byte-level layout independently of our own encoder."""
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal.bmp import decode_bmp
+
+    # bottom row first: (blue, green), top row: (red, white); stride 8 = 2*3+2 pad
+    pixel_array = bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0,  # bottom: blue, green + pad
+         0, 0, 255, 255, 255, 255, 0, 0]  # top: red, white + pad
+    )
+    import struct
+
+    header = struct.pack("<2sIHHI", b"BM", 54 + 16, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 2835, 2835, 0, 0)
+    img = decode_bmp(header + info + pixel_array)
+    want = np.array(
+        [[[255, 0, 0], [255, 255, 255]], [[0, 0, 255], [0, 255, 0]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(img, want)
+
+
+def test_bmp_topdown_32bit_and_rejects():
+    """A top-down (negative height) 32-bit BI_RGB variant decodes to the same
+    pixels with alpha dropped; compressed / paletted / truncated files raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from switchback_test_dag_spark.multimodal.bmp import decode_bmp, encode_bmp24
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    # hand-build top-down 32-bit: natural row order, BGRA, no padding needed
+    body = b"".join(
+        bytes([int(px[r, c, 2]), int(px[r, c, 1]), int(px[r, c, 0]), 0xAA])
+        for r in range(2)
+        for c in range(2)
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 32, 0, len(body), 0, 0, 0, 0)
+    assert np.array_equal(decode_bmp(header + info + body), px)
+
+    good = encode_bmp24(px)
+    with _pytest.raises(ValueError):
+        decode_bmp(b"XX" + good[2:])  # bad magic
+    bad_compr = bytearray(good)
+    struct.pack_into("<I", bad_compr, 14 + 16, 1)  # BI_RLE8
+    with _pytest.raises(ValueError):
+        decode_bmp(bytes(bad_compr))
+    with _pytest.raises(ValueError):
+        decode_bmp(good[:-4])  # truncated pixel array
+
+
+def test_bmp_spark_pipeline_decodes_real_bytes(spark):
+    """End-to-end on the cluster path: synthesize real BMP payloads, decode
+    via mapInPandas, check every feature against the closed-form pattern."""
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal.media import (
+        _bmp_pixels,
+        decode_bmp_features,
+        synthesize_bmp_images,
+    )
+
+    df = spark.range(3, 6).withColumnRenamed("id", "doc_id")
+    media = synthesize_bmp_images(df, "doc_id")
+    rows = {r["media_id"]: r for r in decode_bmp_features(media).collect()}
+    assert set(rows) == {3, 4, 5}
+    for mid in (3, 4, 5):
+        w, h = 8 + mid % 9, 6 + mid % 5
+        arr = _bmp_pixels(mid, w, h).astype(np.int64)
+        weights = np.arange(1, h * w * 3 + 1, dtype=np.int64).reshape(h, w, 3)
+        r = rows[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_bytes"] == 54 + ((3 * w + 3) // 4 * 4) * h
+        assert r["sum_r"] == int(arr[:, :, 0].sum())
+        assert r["sum_g"] == int(arr[:, :, 1].sum())
+        assert r["sum_b"] == int(arr[:, :, 2].sum())
+        assert r["wsum"] == int((arr * weights).sum())
+
+
 def test_wav_spark_pipeline_decodes_real_bytes(spark):
     """End-to-end on the cluster path: synthesize real WAV payloads, decode
     via mapInPandas, check one row against a hand-computed value."""

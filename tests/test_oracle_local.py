@@ -69,7 +69,10 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert set(df.columns) == {"test_name", "kpi", "p_value"}
+    # flagship now carries the full MWU table: statistic half + p-value
+    assert set(df.columns) == {
+        "test_name", "kpi", "n_a", "n_b", "u_stat", "z", "p_value",
+    }
 
 
 def test_registry_fits_correctness_window():
