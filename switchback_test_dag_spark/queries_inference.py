@@ -441,14 +441,36 @@ def welch_mde_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     normal-approximation half of the reference's ``tt_ind_solve_power`` sweeps
     (switchback_analysis.ipynb:462-709); exact-t solvers/curves live
     driver-side in ``design.power``."""
-    from switchback_test_dag_spark.design import mde_from_moments
-    from pyspark.sql.functions import broadcast
+    from switchback_test_dag_spark.design.power import mde_closed_form_cols
+    from switchback_test_dag_spark.stats.ttests import (
+        _group_moments,
+        welch_from_moments,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     labeled = ev.withColumn("arm", P.portable_arm(_SPARK_BUCKET, "0", 0.5))
-    w = (
-        welch_t_test(labeled, "value", "arm", "On", "Off", by=["event_type"], with_p=False)
-        .filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
+    # ONE fact scan: the whole-group moments the MDE needs ride in the same
+    # groupBy as the per-arm Welch moments (every row is On or Off, so the
+    # unconditional aggregates see exactly mde_from_moments' clean rows)
+    v = F.col("value").cast("double")
+    m = _group_moments(
+        labeled,
+        "value",
+        "arm",
+        "On",
+        "Off",
+        by=["event_type"],
+        extra_aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.avg(v).alias("mean_value"),
+            F.stddev_samp(v).alias("sd"),
+        ],
+    )
+    w = welch_from_moments(
+        m, ["event_type"], passthrough=["n", "mean_value", "sd"], with_p=False
+    )
+    return (
+        w.filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
         .select(
             "event_type",
             "n_a",
@@ -457,10 +479,12 @@ def welch_mde_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("se", 6).alias("se"),
             F.round("t_stat", 6).alias("t_stat"),
             F.round("dof", 6).alias("dof"),
+            "n",
+            F.round("mean_value", 6).alias("mean_value"),
+            F.round("sd", 6).alias("sd"),
+            *mde_closed_form_cols(F.col("n"), F.col("sd"), F.col("mean_value")),
         )
     )
-    md = mde_from_moments(ev, "value", by=["event_type"])
-    return w.join(broadcast(md), "event_type")
 
 
 @query(

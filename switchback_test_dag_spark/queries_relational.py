@@ -340,25 +340,51 @@ def lineitem_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (propagation_effect_analysis.ipynb:483-484), column correlation
     (counterpart_method.ipynb:299), the small-order-fee formula
     IF(gfv − mov ≥ 0, 0, mov − gfv) (ELT.sql:264), and affected-row share via
-    avg(indicator) (CI_for_different_datasets.ipynb:873). The pivot side stays
-    the genuine ``.pivot()`` operator; the scalar aggregates ride a second
-    grouped pass broadcast-joined back (3-row frames)."""
+    avg(indicator) (CI_for_different_datasets.ipynb:873).
+
+    ONE fact scan: everything partial-aggregates at (flag, status) grain —
+    counts, the corr moments (Σq Σp Σqp Σq² Σp²), the exact integer SOF micro
+    sum, the zero-discount count — into a ≤6-row frame that is pinned and
+    consumed twice: the genuine ``.pivot()`` operator re-shapes the counts
+    (pivot AFTER aggregation — the scalable order), and a second tiny agg
+    merges the partials to flag grain (integer sums merge exactly; corr comes
+    from the merged moments). The old shape scanned lineitem once per branch."""
+    from switchback_test_dag_spark.caching import pin
+
     li = load_table(spark, sf_dir, "lineitem")
-    pv = R.pivot_matrix(
-        li, "l_returnflag", "l_linestatus", ["F", "O"], F.count(F.lit(1))
+    q = F.col("l_quantity").cast("double")
+    p = F.col("l_extendedprice").cast("double")
+    cell = pin(
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q).alias("sq"),
+            F.sum(p).alias("sp"),
+            F.sum(q * p).alias("sqp"),
+            F.sum(q * q).alias("sq2"),
+            F.sum(p * p).alias("sp2"),
+            F.sum(
+                F.expr(
+                    "CAST(round((CASE WHEN l_extendedprice >= 1000 THEN 0.0"
+                    " ELSE 1000.0 - l_extendedprice END) * 1000000, 0) AS BIGINT)"
+                )
+            ).alias("sof_micro"),
+            F.sum(F.when(F.col("l_discount") == 0, 1.0).otherwise(0.0)).alias(
+                "n_zero_disc"
+            ),
+        )
     )
-    sof = F.when(F.col("l_extendedprice") >= 1000, 0.0).otherwise(
-        F.lit(1000.0) - F.col("l_extendedprice")
-    )
-    stats = li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
-        spark_micro_sum(
-            "CASE WHEN l_extendedprice >= 1000 THEN 0.0"
-            " ELSE 1000.0 - l_extendedprice END"
-        ).alias("sof_total"),
-        F.round(
-            F.avg(F.when(F.col("l_discount") == 0, 1.0).otherwise(0.0)), 6
-        ).alias("zero_discount_share"),
+    pv = R.pivot_matrix(cell, "l_returnflag", "l_linestatus", ["F", "O"], F.sum("n"))
+    n, sq, sp = F.sum("n"), F.sum("sq"), F.sum("sp")
+    cov_n = F.sum("sqp") - sq * sp / n
+    var_q_n = F.sum("sq2") - sq * sq / n
+    var_p_n = F.sum("sp2") - sp * sp / n
+    stats = cell.groupBy("l_returnflag").agg(
+        F.round(cov_n / F.sqrt(var_q_n * var_p_n), 6).alias("corr_qp"),
+        # merged micro-unit partials: same half-up integer division as
+        # exact.spark_micro_sum, so the value is bit-identical to the
+        # single-level form
+        (F.expr("(sum(sof_micro) + 5000) div 10000") / 100.0).alias("sof_total"),
+        F.round(F.sum("n_zero_disc") / n, 6).alias("zero_discount_share"),
     )
     return pv.join(broadcast(stats), "l_returnflag")
 

@@ -23,8 +23,17 @@ from switchback_test_dag_spark.stats.distributions import t_two_sided_p_udf
 
 
 def _group_moments(
-    df: DataFrame, value_col: str, group_col: str, group_a, group_b, by: Sequence[str]
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    by: Sequence[str],
+    extra_aggs: Sequence = (),
 ) -> DataFrame:
+    """Per-arm moment aggregation. ``extra_aggs`` lets a caller fold additional
+    aggregate columns (e.g. whole-group moments) into the SAME groupBy so the
+    fact is scanned once for every consumer."""
     v = F.col(value_col).cast("double")
     is_a = F.col(group_col) == F.lit(group_a)
     is_b = F.col(group_col) == F.lit(group_b)
@@ -36,6 +45,7 @@ def _group_moments(
         F.avg(F.when(is_b, v)).alias("mean_b"),
         F.coalesce(F.stddev_samp(F.when(is_a, v)), F.lit(0.0)).alias("sd_a"),
         F.coalesce(F.stddev_samp(F.when(is_b, v)), F.lit(0.0)).alias("sd_b"),
+        *extra_aggs,
     )
 
 
@@ -97,6 +107,23 @@ def welch_t_test(
 ) -> DataFrame:
     """Welch's t-test (``equal_var=False``) with Welch–Satterthwaite dof."""
     m = _group_moments(df, value_col, group_col, group_a, group_b, list(by))
+    return welch_from_moments(m, by, with_p=with_p)
+
+
+def welch_from_moments(
+    m: DataFrame,
+    by: Sequence[str] = (),
+    passthrough: Sequence[str] = (),
+    with_p: bool = True,
+) -> DataFrame:
+    """Welch statistics from an already-aggregated moments frame (columns
+    ``n_a n_b mean_a mean_b sd_a sd_b`` per ``by`` tuple).
+
+    Separated from :func:`welch_t_test` so callers that need OTHER aggregates
+    of the same scan (e.g. whole-group moments for closed-form MDE) can fuse
+    everything into one ``groupBy`` pass and apply the formula columns on top —
+    one fact scan instead of one per consumer. ``passthrough`` names extra
+    moment columns to carry into the result unchanged."""
     n_a, n_b = F.col("n_a"), F.col("n_b")
     valid = (n_a > 1) & (n_b > 1)
     va = F.pow("sd_a", 2) / n_a
@@ -118,6 +145,7 @@ def welch_t_test(
             "t_stat"
         ),
         dof.alias("dof"),
+        *passthrough,
     )
     if with_p:
         out = out.withColumn(

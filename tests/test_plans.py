@@ -108,6 +108,27 @@ def test_sweep_and_finder_scan_once(spark, sf_dir):
         release_caches()
 
 
+def test_fused_suites_scan_fact_once(spark, sf_dir):
+    # welch_mde_by_event_type: the whole-group MDE moments ride the same
+    # groupBy as the per-arm Welch moments — exactly one events scan, no join
+    # back to a second aggregation of the fact
+    plan = _plan(spark, "welch_mde_by_event_type", sf_dir)
+    assert plan.count("Scan parquet") == 1
+    assert "EvalPython" not in plan
+    # lineitem_stats_suite: partial-aggregates at (flag, status) grain feed
+    # BOTH the pivot and the flag-grain stats from one pinned ≤6-row frame
+    try:
+        plan = _plan(spark, "lineitem_stats_suite", sf_dir)
+        # both consumers read the pinned cell frame (the cached subtree's
+        # printed description repeats the parquet text per consumer; the
+        # runtime fact scan happens once, on first cache materialization)
+        assert plan.count("InMemoryTableScan") == 2  # pivot side + stats side
+    finally:
+        from switchback_test_dag_spark.caching import release_all
+
+        release_all()
+
+
 def test_winnow_plan_shares_fingerprint_scan(spark, sf_dir):
     # the winnow pair join persists the fingerprint frame: one documents scan,
     # all-JVM arrays, no cartesian
