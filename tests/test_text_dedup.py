@@ -39,6 +39,27 @@ def test_minhash_lsh_equals_exact(docs):
     assert lsh == exact
 
 
+def test_prefix_filter_is_exact(docs):
+    """AllPairs prefix filtering must be a pure optimization: identical pair
+    set and jaccard values to the unfiltered inverted-index join, on the
+    fixture corpus and at a second (lower) threshold where more borderline
+    pairs exist."""
+    for t in (0.85, 0.5):
+        fast = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in TD.ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=t, prefix_filter=True
+            ).collect()
+        }
+        slow = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in TD.ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=t, prefix_filter=False
+            ).collect()
+        }
+        assert fast == slow
+
+
 def test_simhash_recall_on_planted_dups(docs):
     """Most planted near-dups (Jaccard ≥ 0.95) appear among SimHash pairs at
     Hamming ≤ 7. Not all: the fixture corpus has a ~40-word vocabulary, so
