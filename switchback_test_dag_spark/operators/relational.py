@@ -197,3 +197,50 @@ def asof_join_backward(
     for c in right_cols:
         out = out.withColumn(c, F.col("_rvals")[c])
     return out.drop("_t", "_side", "_rvals")
+
+
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    salt: int = 8,
+    how: str = "inner",
+    extra_condition=None,  # callable (salted_left, salted_right) -> Column
+) -> DataFrame:
+    """Equi join for LOW-CARDINALITY or hot keys: salt the larger ``left``
+    side into ``salt`` sub-keys, replicate the ``right`` side once per salt
+    value, and join on (keys..., salt).
+
+    A plain shuffle join on k distinct keys runs at most k reduce tasks no
+    matter how many executors exist — a 15-key join on a 1000-core cluster
+    leaves 985 cores idle (and AQE skew splitting only helps the SORT-side
+    imbalance, not the task-count ceiling, when every key is equally big).
+    Salting multiplies usable parallelism to k·salt at the cost of
+    replicating the smaller side ``salt`` times — the standard trade for
+    hot/low-cardinality equi keys. Join semantics are preserved exactly for
+    inner/left joins: each left row carries ONE deterministic salt value
+    (uniform via xxhash64 over the whole row's monotonically-unique id), and
+    every right row exists under every salt value, so each matching pair
+    meets exactly once. ``extra_condition`` (e.g. a range predicate) is a
+    callable ``(salted_left, salted_right) -> Column`` so its refs bind to
+    the frames actually joined."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_equi_join supports inner/left, got {how!r}")
+    sl = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+    )
+    sr = right.withColumn(
+        "_salt", F.explode(F.lit(list(range(salt))))
+    )
+    on = [sl[k] == sr[k] for k in keys] + [sl["_salt"] == sr["_salt"]]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    if extra_condition is not None:
+        cond = cond & extra_condition(sl, sr)
+    out = sl.join(sr, cond, how)
+    # drop the salt and the right side's duplicate key columns
+    out = out.drop(sl["_salt"]).drop(sr["_salt"])
+    for k in keys:
+        out = out.drop(sr[k])
+    return out

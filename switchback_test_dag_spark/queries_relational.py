@@ -170,21 +170,42 @@ def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: mixed equi + BETWEEN join (orders ↔ target-group schedule semantics,
     ELT.sql:313-326). The equi key keeps it a hash join; the range predicate is
     applied post-probe. Event days are mapped into the orders era (the fixtures'
-    eras are disjoint) so the range predicate genuinely selects."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        "user_id",
-        F.date_add(
-            F.lit("1995-01-01").cast("date"),
-            (F.expr("ts_ns div 86400000000000") % 2400).cast("int"),
-        ).alias("ev_date"),
+    eras are disjoint) so the range predicate genuinely selects.
+
+    Scale shape: the equi key ``o_custkey % 15 = user_id`` IMPLIES
+    ``user_id ∈ [0, 15)`` — a domain constraint Catalyst cannot derive, so it
+    is pushed explicitly. It prunes the events side to the joinable sliver at
+    the scan (PushedFilters), which keeps that side broadcastable: probe-side
+    parallelism then tracks the orders scan instead of being capped at 15
+    reduce tasks (the k-distinct-key ceiling a shuffle join would have; for
+    the both-sides-big variant of this shape see
+    ``operators.relational.salted_equi_join``). Measured at the sf1 scale
+    point: 18.6 s (15-task shuffle join) → broadcast form in seconds."""
+    ev_date = F.date_add(
+        F.lit("1995-01-01").cast("date"),
+        (F.expr("ts_ns div 86400000000000") % 2400).cast("int"),
     )
-    orders = load_table(spark, sf_dir, "orders")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        # implied by the equi key: % 15 of a positive key lands in [0, 15)
+        .filter(F.col("user_id").between(0, 14))
+        .select(
+            "event_type",
+            "user_id",
+            # window bounds computed ONCE per event row: the range predicate
+            # is evaluated per PROBE PAIR (rows × bucket size), so any
+            # parse/arithmetic left inside the condition multiplies by the
+            # candidate count, not the row count
+            F.date_sub(ev_date, 2).alias("win_lo"),
+            F.date_add(ev_date, 2).alias("win_hi"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_date", F.to_date("o_orderdate")  # parse once per order, not per pair
+    )
     cond = (
         (orders.o_custkey % 15 == ev.user_id)
-        & F.to_date(orders.o_orderdate).between(
-            F.date_sub(ev.ev_date, 2), F.date_add(ev.ev_date, 2)
-        )
+        & orders.o_date.between(ev.win_lo, ev.win_hi)
     )
     return (
         ev.join(orders, cond)
