@@ -1,0 +1,144 @@
+"""Real pure-Python AVI (RIFF uncompressed-DIB video) codec — the multimodal
+component's working VIDEO path, completing the WAV (audio) and BMP (image)
+precedents: no native libraries, ``struct`` + numpy only.
+
+The encoder writes a minimal spec-conformant RIFF 'AVI ' container:
+``LIST hdrl`` (an ``avih`` main header + one ``LIST strl`` video stream with
+``strh``/``strf``, the strf being a standard BITMAPINFOHEADER for bottom-up
+24-bit BI_RGB frames) followed by ``LIST movi`` holding one ``00db``
+(uncompressed DIB) chunk per frame. The decoder is a real chunk walker — the
+same discipline as ``wav.py`` (unknown chunks skipped, word-alignment padding
+honored, headers located wherever they appear) — and each frame's pixel rows
+decode exactly like ``bmp.py``'s pixel array (stride padding, bottom-up flip,
+BGR order).
+
+Entropy-coded video (H.26x/VP9/AV1) still requires real codec libraries and
+remains out of scope; uncompressed-DIB AVI is the standard container every
+video toolchain accepts, so frame-sampling / per-frame feature pipelines are
+exercised on REAL bytes end to end.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_FOURCC_RIFF = b"RIFF"
+_FOURCC_AVI = b"AVI "
+_FOURCC_LIST = b"LIST"
+_INFO_HEADER = "<IiiHHIIiiII"
+
+
+def _row_stride(width: int) -> int:
+    return (width * 3 + 3) & ~3
+
+
+def _frame_bytes(frame: np.ndarray) -> bytes:
+    h, w, _ = frame.shape
+    stride = _row_stride(w)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = frame[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    return rows.tobytes()
+
+
+def encode_avi_dib(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 RGB frame stack → uncompressed-DIB AVI bytes."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim != 4 or fr.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) RGB stack, got {fr.shape}")
+    n, h, w, _ = fr.shape
+    frame_size = _row_stride(w) * h
+
+    strf = struct.pack(_INFO_HEADER, 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    # strh: video stream header — fccType 'vids', no codec ('DIB '),
+    # rate/scale giving fps, length in frames
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0, 0, 0, w, h,
+    )
+    strl = (
+        _FOURCC_LIST
+        + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf))
+        + b"strl"
+        + b"strh" + struct.pack("<I", len(strh)) + strh
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    )
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0, 1, frame_size, w, h,
+        0, 0, 0, 0,
+    )
+    hdrl = (
+        _FOURCC_LIST
+        + struct.pack("<I", 4 + 8 + len(avih) + len(strl))
+        + b"hdrl"
+        + b"avih" + struct.pack("<I", len(avih)) + avih
+        + strl
+    )
+    movi_body = b"".join(
+        b"00db" + struct.pack("<I", frame_size) + _frame_bytes(f) for f in fr
+    )
+    movi = _FOURCC_LIST + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = _FOURCC_AVI + hdrl + movi
+    return _FOURCC_RIFF + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_dib(payload: bytes) -> tuple[int, np.ndarray]:
+    """AVI bytes → (fps, (n, h, w, 3) uint8 RGB frame stack).
+
+    Chunk-walks the container: finds the video ``strf`` BITMAPINFOHEADER in
+    ``hdrl`` (frame geometry), the ``strh`` rate/scale (fps), and every
+    ``00db``/``00dc``-BI_RGB frame inside ``LIST movi`` wherever they sit;
+    skips unknown chunks with RIFF word alignment. Raises ``ValueError`` on
+    malformed containers or compressed streams."""
+    if len(payload) < 12 or payload[:4] != _FOURCC_RIFF or payload[8:12] != _FOURCC_AVI:
+        raise ValueError("not a RIFF/AVI container")
+
+    geom: dict = {}
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            name, size = struct.unpack_from("<4sI", buf, pos)
+            pos += 8
+            body_end = min(pos + size, end)
+            if name == _FOURCC_LIST:
+                walk(buf, pos + 4, body_end)  # skip the 4-byte list type
+            elif name == b"strh":
+                fcc_type, _hdl, _fl, _pri, _lang, _init, scale, rate = (
+                    struct.unpack_from("<4s4sIHHIII", buf, pos)
+                )
+                if fcc_type == b"vids" and scale:
+                    geom["fps"] = rate // scale
+            elif name == b"strf" and "w" not in geom:
+                hsize, w, h, _planes, bpp, compression = struct.unpack_from(
+                    "<IiiHHI", buf, pos
+                )
+                if hsize >= 40 and bpp == 24 and compression == 0:
+                    geom["w"], geom["h"] = w, abs(h)
+                    geom["top_down"] = h < 0
+                else:
+                    raise ValueError(
+                        f"unsupported stream: bpp={bpp} compression={compression}"
+                    )
+            elif name in (b"00db", b"00dc"):
+                if "w" not in geom:
+                    raise ValueError("frame chunk before stream format header")
+                w, h = geom["w"], geom["h"]
+                stride = _row_stride(w)
+                if size < stride * h:
+                    raise ValueError("truncated frame chunk")
+                rows = np.frombuffer(
+                    buf, dtype=np.uint8, count=stride * h, offset=pos
+                ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                rgb = rows[:, :, ::-1]
+                if not geom.get("top_down"):
+                    rgb = rgb[::-1]
+                frames.append(np.ascontiguousarray(rgb))
+            pos += size + (size & 1)  # RIFF word alignment
+
+    walk(payload, 12, len(payload))
+    if "w" not in geom or not frames:
+        raise ValueError("missing stream header or frames")
+    return geom.get("fps", 0), np.stack(frames)

@@ -3,14 +3,17 @@ with typed metadata, processed by Arrow-batched pandas iterators via
 ``mapInPandas``.
 
 The Spark-side architecture here is the real deliverable — schema contract,
-partition-size control, Arrow batch shape, UDF iterator signature. Two codec
-paths are REAL, pure-Python, and parse actual bytes with no fake flag:
-AUDIO via ``wav.py`` (RIFF PCM16 chunk-walking codec) and IMAGE via
-``bmp.py`` (24/32-bit BI_RGB DIB codec — see ``decode_bmp_features``).
-Entropy-coded formats (JPEG/PNG) and video (libav/ffmpeg) remain STUBBED:
-this container has no media libraries, so those decode functions raise
-``NotImplementedError`` unless ``deterministic_fake=True``, which derives
-pixel features from ``xxhash``-style arithmetic on the payload bytes.
+partition-size control, Arrow batch shape, UDF iterator signature. Three
+codec paths are REAL, pure-Python, and parse actual bytes with no fake flag:
+AUDIO via ``wav.py`` (RIFF PCM16 chunk-walking codec), IMAGE via ``bmp.py``
+(24/32-bit BI_RGB DIB codec — see ``decode_bmp_features``), and VIDEO via
+``avi.py`` (RIFF uncompressed-DIB AVI: real container walking, real
+per-frame decode, real frame sampling — ``decode_avi_features`` /
+``sample_avi_frames``). Only entropy-coded formats (JPEG/PNG/H.26x) remain
+STUBBED: those genuinely need codec libraries this container lacks, so their
+decode functions raise ``NotImplementedError`` unless
+``deterministic_fake=True``, which derives pixel features from
+``xxhash``-style arithmetic on the payload bytes.
 
 Scale notes:
 - payloads ride in parquet binary columns; never ``collect()`` them;
@@ -164,6 +167,131 @@ def repartition_by_bytes(
     ).collect()[0]["b"] or 0
     n = max(1, int(total / target_partition_bytes))
     return media.repartition(n, "media_id")
+
+
+# --------------------------------------------------------------------------- #
+# real video path (pure-Python uncompressed-DIB AVI codec — see avi.py)
+# --------------------------------------------------------------------------- #
+
+VIDEO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("fps", IntegerType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("sum_px", LongType(), False),
+        StructField("frame0_wsum", LongType(), False),
+    ]
+)
+
+
+def synthesize_avi_videos(
+    df: DataFrame, id_col: str, n_frames: int = 6, width: int = 8, height: int = 6
+) -> DataFrame:
+    """MEDIA_SCHEMA video rows with REAL AVI payloads: per id, ``n_frames``
+    deterministic RGB frames (frame ``j`` uses the BMP test pattern seeded by
+    ``id·1009 + j`` — closed-form for tests) through the uncompressed-DIB
+    writer (``avi.py``)."""
+    from switchback_test_dag_spark.multimodal.avi import encode_avi_dib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                frames = np.stack(
+                    [
+                        _bmp_pixels(int(mid) * 1009 + j, width, height)
+                        for j in range(n_frames)
+                    ]
+                )
+                payloads.append(encode_avi_dib(frames, fps=10))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "video",
+                    "payload": payloads,
+                    "mime": "video/x-msvideo",
+                    "width": pd.array([width] * len(pdf), dtype="Int32"),
+                    "height": pd.array([height] * len(pdf), dtype="Int32"),
+                    "duration_ms": n_frames * 1000 // 10,
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_avi_features(media: DataFrame) -> DataFrame:
+    """Parse REAL AVI bytes → integer-exact video features: frame count, fps,
+    geometry, total pixel sum across all frames, and the first frame's
+    position-weighted checksum (row/channel/stride bug detector, as in
+    :func:`decode_bmp_features`). The working video codec path — no
+    ``deterministic_fake``."""
+    from switchback_test_dag_spark.multimodal.avi import decode_avi_dib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            fpss, nfs, ws, hs, sums, w0 = [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                fps, frames = decode_avi_dib(bytes(payload))
+                n, h, w, _ = frames.shape
+                f0 = frames[0].astype(np.int64)
+                weights = np.arange(1, h * w * 3 + 1, dtype=np.int64).reshape(
+                    h, w, 3
+                )
+                fpss.append(fps)
+                nfs.append(n)
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(frames.astype(np.int64).sum()))
+                w0.append(int((f0 * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fps": fpss,
+                    "n_frames": nfs,
+                    "width": ws,
+                    "height": hs,
+                    "sum_px": sums,
+                    "frame0_wsum": w0,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=VIDEO_FEATURE_SCHEMA
+    )
+
+
+def sample_avi_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling over AVI payloads (superseding the fake slicer in
+    :func:`sample_frames` for this container): decode, keep every ``every_n``-th
+    frame, emit FRAME_SCHEMA rows whose ``frame_bytes`` are the raw RGB of the
+    sampled frame. One-row-in / few-rows-out inside the decode task — the
+    explode happens after the expensive pass, per the module contract."""
+    from switchback_test_dag_spark.multimodal.avi import decode_avi_dib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _fps, frames = decode_avi_dib(bytes(payload))
+                for j in range(0, len(frames), every_n):
+                    ids.append(mid)
+                    idxs.append(j)
+                    blobs.append(frames[j].tobytes())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_bytes": blobs}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
 
 
 # --------------------------------------------------------------------------- #

@@ -243,6 +243,86 @@ def test_bmp_spark_pipeline_decodes_real_bytes(spark):
         assert r["wsum"] == int((arr * weights).sum())
 
 
+# --------------------------------------------------------------------------- #
+# real AVI codec path
+# --------------------------------------------------------------------------- #
+
+
+def test_avi_roundtrip_and_chunk_walking():
+    """Frame stacks round-trip pixel-exactly (stride padding + bottom-up flip
+    per frame); a spliced odd-sized junk chunk inside movi must be skipped
+    with RIFF word alignment; garbage and truncated frames raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from switchback_test_dag_spark.multimodal.avi import (
+        decode_avi_dib,
+        encode_avi_dib,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(4, 5, 7, 3), dtype=np.uint8)  # 7→pad
+    blob = encode_avi_dib(frames, fps=10)
+    fps, decoded = decode_avi_dib(blob)
+    assert fps == 10
+    assert np.array_equal(decoded, frames)
+
+    # splice an odd-sized junk chunk right after 'movi' — walker must skip it
+    movi_at = blob.index(b"movi")
+    junk = struct.pack("<4sI", b"JUNK", 3) + b"abc" + b"\x00"
+    spliced = blob[: movi_at + 4] + junk + blob[movi_at + 4 :]
+    # fix the two enclosing sizes (RIFF total + movi LIST)
+    spliced = bytearray(spliced)
+    riff_size = struct.unpack_from("<I", spliced, 4)[0] + len(junk)
+    struct.pack_into("<I", spliced, 4, riff_size)
+    list_at = movi_at - 8
+    list_size = struct.unpack_from("<I", spliced, list_at + 4)[0] + len(junk)
+    struct.pack_into("<I", spliced, list_at + 4, list_size)
+    fps2, decoded2 = decode_avi_dib(bytes(spliced))
+    assert np.array_equal(decoded2, frames)
+
+    with _pytest.raises(ValueError):
+        decode_avi_dib(b"definitely not an avi file..")
+    with _pytest.raises(ValueError):
+        decode_avi_dib(blob[:-10])  # truncated last frame
+
+
+def test_avi_spark_pipeline_and_frame_sampling(spark):
+    """End-to-end video path: synthesize real AVI payloads, decode features
+    via mapInPandas against the closed-form generator, and REAL frame
+    sampling returns the exact raw RGB of every second frame."""
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal.media import (
+        _bmp_pixels,
+        decode_avi_features,
+        sample_avi_frames,
+        synthesize_avi_videos,
+    )
+
+    df = spark.range(3, 6).withColumnRenamed("id", "doc_id")
+    media = synthesize_avi_videos(df, "doc_id", n_frames=6, width=8, height=6)
+    rows = {r["media_id"]: r for r in decode_avi_features(media).collect()}
+    assert set(rows) == {3, 4, 5}
+    weights = np.arange(1, 6 * 8 * 3 + 1, dtype=np.int64).reshape(6, 8, 3)
+    for mid in (3, 4, 5):
+        stack = np.stack(
+            [_bmp_pixels(mid * 1009 + j, 8, 6) for j in range(6)]
+        ).astype(np.int64)
+        r = rows[mid]
+        assert (r["fps"], r["n_frames"], r["width"], r["height"]) == (10, 6, 8, 6)
+        assert r["sum_px"] == int(stack.sum())
+        assert r["frame0_wsum"] == int((stack[0] * weights).sum())
+
+    sampled = sample_avi_frames(media, every_n=2).collect()
+    by_key = {(r["media_id"], r["frame_idx"]): r["frame_bytes"] for r in sampled}
+    assert set(by_key) == {(m, j) for m in (3, 4, 5) for j in (0, 2, 4)}
+    for (mid, j), blob in by_key.items():
+        assert bytes(blob) == _bmp_pixels(mid * 1009 + j, 8, 6).tobytes()
+
+
 def test_wav_spark_pipeline_decodes_real_bytes(spark):
     """End-to-end on the cluster path: synthesize real WAV payloads, decode
     via mapInPandas, check one row against a hand-computed value."""
