@@ -56,6 +56,7 @@ HEADLINE = [
     "elt_orders_fact",
     "events_asof_latest_order",
     "event_sessions",
+    "stream_window_metrics",
     "orders_rollup_counts",
 ]
 

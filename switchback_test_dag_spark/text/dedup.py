@@ -376,11 +376,29 @@ def winnow_shared_pairs(
     shingle_n: int = 3,
     window: int = 4,
     min_shared: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Doc pairs sharing ≥ ``min_shared`` winnowing fingerprints — the
     plagiarism-detector join: inverted index on the fingerprint, join volume
-    Σ_f df(f)² (proportional to actual sharing, never docs²)."""
+    Σ_f df(f)² (proportional to actual sharing, never docs²).
+
+    ``max_df`` applies MOSS's boilerplate rule (Schleimer et al. §4: ignore
+    matches that "occur in many documents"): fingerprints whose document
+    frequency exceeds the cap are dropped BEFORE the pair join. This is the
+    scale lever for the df² term — a fingerprint shared by n docs contributes
+    n² join rows, and template/boilerplate text is exactly where huge n comes
+    from — at the documented cost that pairs sharing ONLY boilerplate no
+    longer surface (the algorithm's own intent). ``None`` keeps the exact
+    all-sharing semantics the oracle replays."""
     fps = _persist(winnow_fingerprints(df, id_col, text_col, shingle_n, window))
+    if max_df is not None:
+        rare = (
+            fps.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("fingerprint")
+        )
+        fps = fps.join(rare, "fingerprint")
     return (
         fps.alias("a")
         .join(

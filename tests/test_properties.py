@@ -124,3 +124,53 @@ def test_session_window_exact_gap_boundary(spark):
 
     assert sessions([0, 30]) == [2]      # == gap: merged
     assert sessions([0, 31]) == [1, 1]   # > gap: split
+
+
+# --- prefix-filtered Jaccard join vs pure-Python reference -----------------------
+
+_WORDS = st.sampled_from([f"w{i}" for i in range(8)])  # tiny vocab → overlap
+
+
+@_SLOW
+@given(
+    docs=st.lists(
+        st.lists(_WORDS, min_size=3, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.3, 0.6, 0.85, 1.0]),
+)
+def test_prefix_filtered_jaccard_matches_reference(spark, docs, threshold):
+    """AllPairs prefix filtering must lose NO pair at any threshold: the
+    Spark result (prefix path) must equal a pure-Python brute-force Jaccard
+    over word-3-gram sets on collision-heavy generated corpora — including
+    all-identical docs (maximal df, minimal prefixes) and threshold 1.0
+    (single-fingerprint prefixes)."""
+    from switchback_test_dag_spark.text.dedup import ngram_jaccard_pairs
+
+    def shingles(text):
+        toks = [t for t in text.lower().split() if t]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expected = {}
+    sh = {i: shingles(d) for i, d in enumerate(docs)}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            if not sh[a] or not sh[b]:
+                continue
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            j = inter / union
+            if j >= threshold:
+                expected[(a, b)] = round(j, 4)
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=threshold, prefix_filter=True
+        ).collect()
+    }
+    assert got == expected

@@ -75,6 +75,35 @@ def test_simhash_recall_on_planted_dups(docs):
     assert recall >= 0.85, f"simhash recall {recall:.2f}; missed {planted - sim}"
 
 
+def test_winnow_df_cap_drops_boilerplate_only_pairs(spark):
+    """MOSS's boilerplate rule: with max_df set, fingerprints present in many
+    docs stop generating pairs — two docs sharing ONLY the common template
+    text no longer match, while a genuinely-shared rare run still does."""
+    from switchback_test_dag_spark.text.dedup import winnow_shared_pairs
+
+    boiler = "this document is confidential and all rights are fully reserved"
+    rare = "zebra quantum falcon meridian oxide trellis"
+    rows = [(i, f"{boiler} filler{i}a filler{i}b filler{i}c") for i in range(8)]
+    rows += [(100, f"{rare} alpha{0}"), (101, f"{rare} beta{1}")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnow_shared_pairs(
+            docs, "doc_id", "text", min_shared=1
+        ).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnow_shared_pairs(
+            docs, "doc_id", "text", min_shared=1, max_df=3
+        ).collect()
+    }
+    assert (100, 101) in uncapped and (100, 101) in capped  # rare run survives
+    assert any(a < 8 and b < 8 for a, b in uncapped)  # boilerplate pairs exist
+    assert not any(a < 8 and b < 8 for a, b in capped)  # ...and are suppressed
+
+
 def test_exact_dedup_removes_unioned_copies(docs):
     base = docs.select("doc_id", "text")
     copies = base.filter(F.col("doc_id") % 100 == 0).select(
