@@ -272,8 +272,12 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VS.cosine_topk_bruteforce(emb, queries_df, "vec_id", "embedding", k=10)
 
 
-_LSH_RECALL_BOUND = 0.6  # measured min across sf0.001/0.01/0.1 is 0.6–0.7
-_IVF_RECALL_BOUND = 0.8  # measured min across sf0.001/0.01/0.1 is 0.8–0.9
+# Bounds sit well under the measured per-query minima (LSH 0.6–0.7, IVF
+# 0.8–0.9 across sf0.001/0.01/0.1) so a fixture regeneration with a new seed
+# cannot flip the gate, while any real index regression (broken hash, wrong
+# probe set, bad centroids) lands near zero and still fails the hash.
+_LSH_RECALL_BOUND = 0.5
+_IVF_RECALL_BOUND = 0.7
 
 
 def _ann_gate_oracle(bound: float) -> str:
@@ -308,7 +312,7 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 (spherical-k-means coarse quantizer trained on a
     deterministic sample; cell-keyed candidate join; n_probe=5 of 8 cells),
-    hash-checked as a recall@10 ≥ 0.8 quality contract exactly like
+    hash-checked as a recall@10 ≥ 0.7 quality contract exactly like
     :func:`emb_lsh_topk`."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
