@@ -602,6 +602,10 @@ def embedding_near_dup_pairs(
             "collect) for large corpora, or raise the cap explicitly."
         )
     pdf = side.toPandas()
+    if pdf.empty:  # empty corpus → empty pair set (np.stack cannot take [])
+        return spark.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, cosine double"
+        )
     # One Arrow batch per ~2k rows keeps each task a real blocked matmul;
     # 32 near-empty tasks would pay Python-worker overhead per task instead.
     par = max(

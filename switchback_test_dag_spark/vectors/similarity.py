@@ -243,6 +243,11 @@ def train_ivf_centroids(
         .limit(sample_size)
         .toPandas()
     )
+    if pdf.empty:
+        raise ValueError(
+            "IVF coarse quantizer cannot train on an empty corpus — "
+            "the index contract requires at least one vector"
+        )
     x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(x, axis=1)
     norms[norms == 0] = 1.0
