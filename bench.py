@@ -39,6 +39,9 @@ HEADLINE = [
     "perm_dist_thresholds",
     "fpr_by_window_size",
     "counterpart_city_finder",
+    "welch_mde_by_event_type",
+    "crse_beta_se",
+    "assignment_battery",
     "doc_minhash_lsh_pairs",
     "doc_ngram_jaccard_pairs",
     "doc_simhash_pairs",

@@ -51,3 +51,48 @@ def test_every_registered_query_survives_empty_tables(spark, empty_sf_dir):
         except Exception as exc:  # noqa: BLE001
             failures[name] = f"{type(exc).__name__}: {str(exc)[:160]}"
     assert not failures, f"queries crashed on empty input: {failures}"
+
+
+# --- all-NULL KPI column (rows exist, values don't) ------------------------------
+
+_EVENTS_QUERIES = [
+    "events_scalar_suite",
+    "bucket_means_two_level",
+    "time_bucket_suite",
+    "stream_window_metrics",
+    "welch_mde_by_event_type",
+    "crse_beta_se",
+    "perm_dist_thresholds",
+    "power_ci_sim",
+    "fpr_by_window_size",
+    "split_balance_check",
+    "latest_event_per_user",
+    "event_sessions",
+]
+
+
+@pytest.fixture(scope="module")
+def null_value_sf_dir(spark, tmp_path_factory):
+    """sf0.001 tables, but events.value is NULL on every row — the all-null
+    KPI case (an instrumentation outage) that ANSI-mode division turns into
+    runtime errors wherever a count(value)=0 denominator is unguarded."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("sf_nullval"))
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            df = df.withColumn("value", F.lit(None).cast("double"))
+        df.write.mode("overwrite").parquet(os.path.join(d, f"{t}.parquet"))
+    return d
+
+
+def test_events_queries_survive_all_null_values(spark, null_value_sf_dir):
+    failures = {}
+    qs = entry_mod.queries()
+    for name in _EVENTS_QUERIES:
+        try:
+            qs[name](spark, null_value_sf_dir).collect()
+        except Exception as exc:  # noqa: BLE001
+            failures[name] = f"{type(exc).__name__}: {str(exc)[:160]}"
+    assert not failures, f"queries crashed on all-null values: {failures}"

@@ -10,6 +10,8 @@ before it shows up in a benchmark.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from switchback_test_dag_spark import queries as q
 
 
@@ -106,6 +108,34 @@ def test_sweep_and_finder_scan_once(spark, sf_dir):
         from switchback_test_dag_spark.design.counterpart import release_caches
 
         release_caches()
+
+
+def test_date_partitioned_orders_prunes(spark, sf_dir, tmp_path):
+    """SURVEY §4 layout: orders partitioned by order month must turn a date
+    window into PartitionFilters (directory pruning at listing time), and the
+    pruned read must return exactly the rows a full-scan filter returns."""
+    from switchback_test_dag_spark.io import load_table
+    from switchback_test_dag_spark.plans.layouts import (
+        read_month_range,
+        write_date_partitioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_by_month")
+    write_date_partitioned(orders, path)
+
+    win = read_month_range(spark, path, "1995-01", "1995-03")
+    plan = win._jdf.queryExecution().executedPlan().toString()
+    start = plan.index("PartitionFilters")
+    pf = plan[start : plan.index("]", start) + 1]
+    assert "order_month" in pf and pf != "PartitionFilters: []"
+
+    expect = orders.filter(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").between(
+            "1995-01", "1995-03"
+        )
+    ).count()
+    assert win.count() == expect > 0
 
 
 def test_fused_suites_scan_fact_once(spark, sf_dir):
