@@ -45,9 +45,10 @@ def main() -> int:
     spark = get_spark(app_name="diffcheck", cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
-        )
+        p = f"{sf}/{t}.parquet"
+        if os.path.isdir(p):  # Spark directory output (e.g. tools/make_scale.py)
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     failures = 0
     for name in names:
         try:
