@@ -7,9 +7,12 @@ Oracle parity notes:
 - tokenization is pinned on both engines as: lowercase → split on ``\\s+`` →
   drop empties; shingles are space-joined word 3-grams, distinct;
 - Jaccard/cosine are rounded to 4 decimals on both sides;
-- MinHash/SimHash signatures use xxhash64, which DuckDB lacks → those queries'
-  oracles are the *brute-force exact* equivalent (the LSH result must equal the
-  exact result at these similarity margins) or rows-only.
+- MinHash signatures use xxhash64, which DuckDB lacks → that query's oracle is
+  the *brute-force exact* equivalent (the LSH result must equal the exact
+  result at these similarity margins); SimHash uses portable md5-prefix token
+  hashes so its oracle replays the signatures verbatim; the approximate ANN
+  queries emit hash-checked recall@k contracts (``VS.recall_gate``) — every
+  registered query carries a value-level oracle.
 """
 
 from __future__ import annotations
