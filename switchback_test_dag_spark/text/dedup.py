@@ -455,11 +455,15 @@ def ngram_jaccard_pairs(
     if prefix_filter:
         from pyspark.sql import Window
 
-        dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("dfr"))
-        w = Window.partitionBy("doc").orderBy("dfr", "h")
+        # df(h) via a count window over the h-partition: one shuffle on h
+        # attaches every posting's document frequency (an agg + re-join would
+        # shuffle twice for the same result)
         pref = (
-            ex.join(dfreq, "h")
-            .withColumn("rn", F.row_number().over(w))
+            ex.withColumn("dfr", F.count(F.lit(1)).over(Window.partitionBy("h")))
+            .withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("doc").orderBy("dfr", "h")),
+            )
             .join(sizes, "doc")
             .filter(
                 F.col("rn")
