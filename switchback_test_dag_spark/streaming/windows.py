@@ -133,6 +133,32 @@ def run_stream_to_memory(
         raise TimeoutError(f"stream {query_name} did not finish in {timeout_sec}s")
 
 
+def stream_dedup(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state — the training-data
+    dedup operator on the ingest path (batch form: ``text/dedup.exact_dedup``).
+
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the watermark
+    passes its event time, so state is O(keys per watermark window) instead
+    of O(all keys ever) — the property that lets a 100 TB/day ingest dedup
+    run forever. Duplicates arriving within the watermark of the first
+    sighting are dropped; a key can legitimately reappear after the
+    watermark expires (at-least-once semantics downstream of the horizon —
+    callers wanting forever-exactness compose with a batch
+    ``exact_dedup`` compaction). On a BATCH frame this degrades to plain
+    ``dropDuplicates`` (same keys, no time horizon), which is how the
+    differential test pins the stream path."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return events.dropDuplicates(list(key_cols))
+
+
 def running_group_moments(
     events: DataFrame,
     by: Sequence[str] = ("event_type",),

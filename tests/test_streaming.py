@@ -170,3 +170,28 @@ def test_append_mode_watermark_closes_windows_and_drops_late(spark, tmp_path):
     # resumed run: the 03:00 window emits with ONLY its original event; the
     # late 00:30 row neither re-opens the 00:00 window nor appears anywhere
     assert run_once() == {(0, 2, 4.0), (3, 1, 7.0)}
+
+
+def test_stream_dedup_matches_batch_and_bounds_state(spark, sf_dir, tmp_path):
+    """Streaming exact dedup: a stream carrying duplicated events (the fixture
+    unioned with itself via two glob'd reads of the same file) must emit each
+    key exactly once, equal to the batch dropDuplicates result."""
+    import pyspark.sql.functions as F
+
+    from switchback_test_dag_spark.streaming.windows import stream_dedup
+
+    path = os.path.join(sf_dir, "events.parquet")
+    stream = stream_events(spark, path)
+    # duplicate every event inside the stream itself
+    doubled = stream.unionByName(stream)
+    deduped = stream_dedup(doubled, ["event_id"], watermark="24 hours")
+    run_stream_to_memory(
+        deduped.select("event_id"),
+        "stream_dedup_test",
+        str(tmp_path),
+        output_mode="append",
+    )
+    got = spark.table("stream_dedup_test")
+    batch = load_table(spark, sf_dir, "events")
+    assert got.count() == batch.count()  # each duplicated key emitted once
+    assert got.select(F.countDistinct("event_id")).first()[0] == batch.count()
