@@ -101,21 +101,27 @@ _MWU_CORE = (
   SELECT *, sum(n) OVER (PARTITION BY test_name, kpi ORDER BY value) AS cum
   FROM per_value
 ), agg AS (
+  -- rank sums in INTEGER HALF-UNITS (2·midrank = 2·cum − n + 1): exact
+  -- bigints on both engines, where a double rank sum drifts by ULPs once
+  -- groups reach millions of rows (mirrors stats/mwu.py)
   SELECT test_name, kpi,
          CAST(sum(na) AS BIGINT) AS n_a,
          CAST(sum(n) - sum(na) AS BIGINT) AS n_b,
-         sum(na * (cum - n + (n + 1) / 2.0)) AS r_a,
-         sum(CAST(n AS DOUBLE) * n * n - n) AS tie_term,
+         CAST(sum(na * (2 * cum - n + 1)) AS BIGINT) AS r_a2,
+         sum(CAST(n AS HUGEINT) * n * n - n) AS tie_term,
          CAST(sum(n) AS BIGINT) AS n_tot
   FROM ranked GROUP BY test_name, kpi
 )"""
 )
 
-_MWU_Z = """(greatest(r_a - n_a * (n_a + 1) / 2.0,
-                       CAST(n_a AS DOUBLE) * n_b - (r_a - n_a * (n_a + 1) / 2.0))
-              - CAST(n_a AS DOUBLE) * n_b / 2.0 - 0.5)
+# U in half-units: u_a2 = r_a2 − n_a(n_a+1); u_b2 = 2·n_a·n_b − u_a2; the
+# continuity-corrected numerator (max(U) − n_a·n_b/2 − 0.5) is exactly
+# (max(u_a2, u_b2) − n_a·n_b − 1)/2 — all cancellation in integer space.
+_MWU_Z = """(CAST(greatest(r_a2 - n_a * (n_a + 1),
+                           2 * n_a * n_b - (r_a2 - n_a * (n_a + 1)))
+                  - n_a * n_b - 1 AS DOUBLE) / 2.0)
              / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
-                    * ((n_tot + 1) - tie_term / (CAST(n_tot AS DOUBLE) * (n_tot - 1))))"""
+                    * ((n_tot + 1) - CAST(tie_term AS DOUBLE) / (CAST(n_tot AS DOUBLE) * (n_tot - 1))))"""
 
 # Full MWU oracle: the rank/tie machinery pinned via n_a/n_b/U/z PLUS the
 # p-value through the SAME A&S 7.1.26 erfc polynomial the Spark engine uses
@@ -128,10 +134,12 @@ _MWU_FULL_ORACLE = (
     + f"""
 , zc AS (
   SELECT test_name, kpi, n_a, n_b,
-         round(r_a - n_a * (n_a + 1) / 2.0, 4) AS u_stat,
+         -- NO round(): U is an exact multiple of 0.5 and round-to-4 at 1e13
+         -- magnitude itself corrupts the double (x·10⁴ exceeds 2⁵³)
+         CAST(r_a2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_stat,
          round({_MWU_Z}, 6) AS z,
          CASE WHEN n_a > 0 AND n_b > 0 AND n_tot > 1
-                   AND ((n_tot + 1) - tie_term / (CAST(n_tot AS DOUBLE) * (n_tot - 1))) > 0
+                   AND ((n_tot + 1) - CAST(tie_term AS DOUBLE) / (CAST(n_tot AS DOUBLE) * (n_tot - 1))) > 0
               THEN {_MWU_Z} END AS z_def
   FROM agg
 ), xc AS (
@@ -171,7 +179,7 @@ def sb_mwu_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kpi",
         "n_a",
         "n_b",
-        F.round("u_stat", 4).alias("u_stat"),
+        "u_stat",  # exact multiple of 0.5 — rounding would only corrupt it
         F.round("z", 6).alias("z"),
         F.round("p_value", 4).alias("p_value"),
     )

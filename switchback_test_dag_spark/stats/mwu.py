@@ -67,36 +67,58 @@ def mann_whitney_u(
     )
 
     w = Window.partitionBy(*by).orderBy("_v") if by else Window.orderBy("_v")
+    # Midranks are half-integers: track them in INTEGER HALF-UNITS
+    # (2·midrank = 2·cum − n + 1) so the rank sum is an exact bigint. A double
+    # rank sum loses ULPs once groups reach millions of rows (R_A ~ n²/2 ≈
+    # 3.5e13 at 4M rows has ULP 0.004 — observed as a cross-engine 1-ulp
+    # mismatch at the 100× scale point); exact integers are identical on any
+    # engine. Bigint headroom: 2·R_A overflows past n ≈ 3e9 rows per group —
+    # switch the sum to decimal(38,0)/hugeint beyond that.
     ranked = per_value.withColumn("_cum", F.sum("_n").over(w)).withColumn(
-        "_midrank",
-        F.col("_cum") - F.col("_n") + (F.col("_n") + F.lit(1)) / F.lit(2.0),
+        "_midrank2",
+        F.lit(2) * F.col("_cum") - F.col("_n") + F.lit(1),
     )
 
     agg = ranked.groupBy(*by).agg(
         F.sum("_n_a").alias("n_a"),
         (F.sum("_n") - F.sum("_n_a")).alias("n_b"),
-        F.sum(F.col("_n_a") * F.col("_midrank")).alias("_r_a"),
-        F.sum(F.pow(F.col("_n"), 3) - F.col("_n")).alias("_tie_term"),
+        F.sum(F.col("_n_a").cast("long") * F.col("_midrank2")).alias("_r_a2"),
+        # tie term n³−n overflows BIGINT once one value holds ≳2e6 rows (a
+        # near-constant KPI at scale does exactly that) → exact decimal(38,0),
+        # consumed as double inside sigma where only ~1e-16 relative matters
+        F.sum(
+            F.col("_n").cast("decimal(19,0)")
+            * F.col("_n").cast("decimal(19,0)")
+            * F.col("_n").cast("decimal(19,0)")
+            - F.col("_n").cast("decimal(19,0)")
+        ).alias("_tie_term"),
         F.sum("_n").alias("_n_tot"),
     )
 
     n_a, n_b, n_tot = F.col("n_a"), F.col("n_b"), F.col("_n_tot")
     # guard degenerate partitions (ANSI mode: unguarded x/0 throws)
     valid = (n_a > 0) & (n_b > 0) & (n_tot > 1)
-    u_a = F.col("_r_a") - n_a * (n_a + 1) / F.lit(2.0)
-    u_b = n_a * n_b - u_a
-    mu = n_a * n_b / F.lit(2.0)
+    # U in half-units stays exact bigint through the subtraction; the halving
+    # to U happens once, after all cancellation-prone arithmetic is integer
+    u_a2 = F.col("_r_a2") - n_a * (n_a + 1)
+    u_b2 = F.lit(2) * n_a * n_b - u_a2
+    u_a = u_a2 / F.lit(2.0)
     sigma = F.when(
         valid,
         F.sqrt(
             n_a
             * n_b
             / F.lit(12.0)
-            * ((n_tot + 1) - F.col("_tie_term") / (n_tot * (n_tot - 1)))
+            * ((n_tot + 1) - F.col("_tie_term").cast("double") / (n_tot * (n_tot - 1)))
         ),
     )
-    # scipy applies the 0.5 continuity correction toward the mean on max(U_a, U_b)
-    z = F.when(valid & (sigma > 0), (F.greatest(u_a, u_b) - mu - F.lit(0.5)) / sigma)
+    # scipy's 0.5 continuity correction toward the mean on max(U_a, U_b):
+    # numerator in half-units = max(2U_a, 2U_b) − n_a·n_b·(2/2) ... exactly
+    # (max(u_a2, u_b2) − n_a·n_b − 1) / 2
+    z = F.when(
+        valid & (sigma > 0),
+        (F.greatest(u_a2, u_b2) - n_a * n_b - F.lit(1)) / F.lit(2.0) / sigma,
+    )
 
     return agg.select(
         *by,
