@@ -10,6 +10,8 @@ before it shows up in a benchmark.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from switchback_test_dag_spark import queries as q
@@ -138,7 +140,42 @@ def test_date_partitioned_orders_prunes(spark, sf_dir, tmp_path):
     assert win.count() == expect > 0
 
 
-def test_fused_suites_scan_fact_once(spark, sf_dir):
+def test_time_clustered_events_have_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """Range-clustered events must land in files whose [min ts, max ts]
+    footer stats are pairwise disjoint — the property that lets a time-window
+    scan skip whole files on stats alone (the switchback access pattern)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from switchback_test_dag_spark.io import load_table
+    from switchback_test_dag_spark.plans.layouts import write_time_clustered
+
+    # cluster on the exact ts_ns long: int64 columns always carry footer
+    # min/max stats (timestamp_ntz stats are writer-dependent)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts_ns", "value")
+    path = str(tmp_path / "events_by_ts")
+    write_time_clustered(ev, path, ts_col="ts_ns", n_files=8)
+
+    ranges = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "ts_ns"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, f"file ranges overlap: {hi_a} > {lo_b}"
+    # round-trip: no rows lost by the re-layout
+    assert spark.read.parquet(path).count() == ev.count()
     # welch_mde_by_event_type: the whole-group MDE moments ride the same
     # groupBy as the per-arm Welch moments — exactly one events scan, no join
     # back to a second aggregation of the fact
