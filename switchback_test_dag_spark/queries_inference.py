@@ -177,6 +177,64 @@ def _duck_rate_select(cte: str, method: str, metric: str) -> str:
 FROM {cte} GROUP BY window_minutes"""
 
 
+def _duck_crse_ctes(src: str, tag: str) -> str:
+    """CR1 cluster-robust OLS per (window, seed) from the seeded cluster
+    moments — the SQL replay of ``stats.crse.crse_from_cluster_moments``
+    (x constant within a cluster ⇒ h_g = (x_g − x̄)(s1_g − n_g·α − n_g·β·x_g)).
+    Multiplications, not pow(), so both engines run the identical IEEE ops."""
+    return f""", cg{tag} AS (
+  SELECT window_minutes, seed, sum(n) AS nn, count(*) AS gg,
+         sum(n) FILTER (arm = 'On') AS n_on, sum(n) FILTER (arm = 'Off') AS n_off,
+         sum(s1) FILTER (arm = 'On') AS s1_on, sum(s1) FILTER (arm = 'Off') AS s1_off
+  FROM {src} GROUP BY window_minutes, seed
+), cx{tag} AS (
+  SELECT window_minutes, seed, nn, gg,
+         n_on / nn AS xbar, s1_off / n_off AS alpha,
+         s1_on / n_on - s1_off / n_off AS beta
+  FROM cg{tag}
+), ch{tag} AS (
+  SELECT s.window_minutes, s.seed,
+         ((CASE WHEN s.arm = 'On' THEN 1.0 ELSE 0.0 END) - g.xbar)
+         * (s.s1 - s.n * g.alpha
+            - s.n * g.beta * (CASE WHEN s.arm = 'On' THEN 1.0 ELSE 0.0 END)) AS h
+  FROM {src} s JOIN cx{tag} g
+    ON s.window_minutes = g.window_minutes AND s.seed = g.seed
+), cm{tag} AS (
+  SELECT window_minutes, seed, sum(h * h) AS meat
+  FROM ch{tag} GROUP BY window_minutes, seed
+), ct{tag} AS (
+  SELECT g.window_minutes, g.seed, g.beta AS mean_diff,
+         CASE WHEN g.gg > 1 AND g.nn > 2 AND g.xbar IS NOT NULL
+                   AND g.xbar > 0 AND g.xbar < 1
+              THEN sqrt((g.gg / (g.gg - 1)) * ((g.nn - 1) / (g.nn - 2))
+                        * m.meat
+                        / ((g.nn * g.xbar * (1 - g.xbar))
+                           * (g.nn * g.xbar * (1 - g.xbar))))
+         END AS se
+  FROM cx{tag} g JOIN cm{tag} m
+    ON g.window_minutes = m.window_minutes AND g.seed = m.seed
+)"""
+
+
+_DUCK_ADJ_CTES = """, ad0 AS (
+  SELECT window_minutes, round(mean_diff, 6) AS mean_diff FROM ot0
+), ad1 AS (
+  SELECT window_minutes, round(mean_diff, 6) AS mean_diff FROM ot1
+), ath AS (
+  SELECT window_minutes, quantile_cont(mean_diff, 0.025) AS lower,
+         quantile_cont(mean_diff, 0.975) AS upper
+  FROM ad0 GROUP BY window_minutes
+)"""
+
+
+def _duck_adj_select(cte: str, metric: str) -> str:
+    return f"""SELECT window_minutes, 'adjusted' AS method, '{metric}' AS metric,
+       round(avg(CASE WHEN mean_diff < lower OR mean_diff > upper
+                      THEN 1.0 ELSE 0.0 END), 6) AS rate,
+       count(*) AS n_sims
+FROM {cte} JOIN ath USING (window_minutes) GROUP BY window_minutes"""
+
+
 @query(
     "fpr_by_window_size",
     f"""WITH w AS (SELECT unnest([{", ".join(map(str, _WINDOW_MINUTES))}]) AS window_minutes),
@@ -195,28 +253,47 @@ m AS (
               ELSE s2 END AS s2,
          seed, arm
   FROM s
-){_duck_method_ctes("s", "0")}{_duck_method_ctes("si", "1")}
+){_duck_method_ctes("s", "0")}{_duck_method_ctes("si", "1")}{_duck_crse_ctes("s", "0")}{_duck_crse_ctes("si", "1")}{_DUCK_ADJ_CTES}
 {_duck_rate_select("bt0", "bucket_t", "fpr")}
 UNION ALL
 {_duck_rate_select("ot0", "order_t", "fpr")}
 UNION ALL
+{_duck_rate_select("ct0", "crse", "fpr")}
+UNION ALL
 {_duck_rate_select("bt1", "bucket_t", "power")}
 UNION ALL
-{_duck_rate_select("ot1", "order_t", "power")}""",
+{_duck_rate_select("ot1", "order_t", "power")}
+UNION ALL
+{_duck_rate_select("ct1", "crse", "power")}
+UNION ALL
+{_duck_adj_select("ad0", "fpr")}
+UNION ALL
+{_duck_adj_select("ad1", "power")}""",
 )
 def fpr_by_window_size(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T7 + T8 + the reference's full evaluation sweep
+    """T7 + T8 + the reference's FULL evaluation sweep
     (method_evaluation.ipynb:389 ``evaluate_test``; README.md:36-44 'best
-    window = 1 hour'): A/A false-positive rate AND injected-effect detection
-    power across 200 re-randomizations per switchback window size ∈ {30m, 1h,
-    2h, 4h, 1d} × inference method ∈ {order-level pooled t (T2), bucket-mean
-    t (T3)} — the reference's nested serial loops as ONE plan. The window
-    dimension is exploded onto the fact scan, the moments shuffle carries it
-    as a group key, the seed dimension rides the pinned moment table, effect
-    injection is exact moment algebra, and all four (method, metric)
-    statistics are closed-form off that same table. Cost is one fact pass
-    for the whole (window, seed, method, metric) grid."""
+    window = 1 hour; CRSE is the valid method'): A/A false-positive rate AND
+    injected-effect detection power across 200 re-randomizations per
+    switchback window size ∈ {30m, 1h, 2h, 4h, 1d} × inference method ∈
+    {order-level pooled t (T2), bucket-mean t (T3), CRSE cluster-robust OLS
+    (T6, method_evaluation.ipynb:303-325), adjusted-p permutation thresholds
+    (T5, method_evaluation.ipynb:269-300)} — the reference's nested serial
+    loops, for all four of its candidate methods, as ONE plan. The window
+    dimension is exploded onto the fact scan, the single fact shuffle reduces
+    to per-(window, bucket) moments, the seed dimension + seeded arm ride
+    that tiny table (pinned post-arm so no branch recomputes the md5
+    assignments), effect injection is exact moment algebra, and every
+    (method, metric) statistic is closed-form off the same table: the t
+    methods per-(window, seed) aggregation, CRSE via the constant-x-per-
+    cluster collapse (stats/crse.crse_from_cluster_moments), the adjusted-p
+    rate by comparing each seed's order-level diff against the per-window
+    (2.5, 97.5) permutation percentiles. Cost is one fact pass for the whole
+    (window, seed, 4-method, metric) grid."""
+    from pyspark.sql.functions import broadcast
+
     from switchback_test_dag_spark.caching import pin
+    from switchback_test_dag_spark.stats.crse import crse_from_cluster_moments
 
     ev = load_table(spark, sf_dir, "events").select("value", "ts_ns")
     exploded = ev.withColumn(
@@ -224,10 +301,12 @@ def fpr_by_window_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(m) for m in _WINDOW_MINUTES])),
     )
     bucket = F.expr("ts_ns div (window_minutes * 60000000000)")
-    moments = pin(
-        P.bucket_moments(exploded, "value", bucket, by=["window_minutes"])
-    )
-    seeded = P.with_seeds(moments, N_SEEDS)
+    moments = P.bucket_moments(exploded, "value", bucket, by=["window_minutes"])
+    # pin the SEEDED frame (grain: windows × buckets × seeds — independent of
+    # fact-row count, so cache size is scale-safe): eight rate branches plus
+    # the threshold branch all read it, and materializing it runs the fact
+    # shuffle and the md5 arm assignment exactly once
+    seeded = pin(P.with_seeds(moments, N_SEEDS))
     injected = P.inject_additive_effect(seeded, EFFECT)
 
     def rate(t: DataFrame, method: str, metric: str) -> DataFrame:
@@ -249,11 +328,49 @@ def fpr_by_window_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rate(P.bucket_level_t(seeded, ["window_minutes"]), "bucket_t", "fpr")
     for t, method, metric in (
         (P.order_level_t(seeded, ["window_minutes"]), "order_t", "fpr"),
+        (crse_from_cluster_moments(seeded, ["window_minutes"]), "crse", "fpr"),
         (P.bucket_level_t(injected, ["window_minutes"]), "bucket_t", "power"),
         (P.order_level_t(injected, ["window_minutes"]), "order_t", "power"),
+        (crse_from_cluster_moments(injected, ["window_minutes"]), "crse", "power"),
     ):
         out = out.unionByName(rate(t, method, metric))
-    return out
+
+    # adjusted-p (T5 as a sweep method): diffs rounded to 6 BEFORE the
+    # percentile so both engines interpolate identical doubles and the strict
+    # threshold comparison cannot flip on summation-order ULPs
+    d0 = P.order_level_t(seeded, ["window_minutes"]).select(
+        "window_minutes", F.round("mean_diff", 6).alias("mean_diff")
+    )
+    d1 = P.order_level_t(injected, ["window_minutes"]).select(
+        "window_minutes", F.round("mean_diff", 6).alias("mean_diff")
+    )
+    th = P.permutation_thresholds(d0, by=["window_minutes"]).select(
+        "window_minutes", "lower", "upper"
+    )
+
+    def adj_rate(d: DataFrame, metric: str) -> DataFrame:
+        sig = F.when(
+            (F.col("mean_diff") < F.col("lower"))
+            | (F.col("mean_diff") > F.col("upper")),
+            1.0,
+        ).otherwise(0.0)
+        return (
+            d.join(broadcast(th), "window_minutes")
+            .groupBy("window_minutes")
+            .agg(
+                F.round(F.avg(sig), 6).alias("rate"),
+                F.count(F.lit(1)).alias("n_sims"),
+            )
+            .select(
+                "window_minutes",
+                F.lit("adjusted").alias("method"),
+                F.lit(metric).alias("metric"),
+                "rate",
+                "n_sims",
+            )
+        )
+
+    return out.unionByName(adj_rate(d0, "fpr")).unionByName(adj_rate(d1, "power"))
 
 
 @query(

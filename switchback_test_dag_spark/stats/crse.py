@@ -27,6 +27,73 @@ from pyspark.sql.functions import broadcast
 from switchback_test_dag_spark.stats.distributions import t_two_sided_p_udf
 
 
+def crse_from_cluster_moments(seeded: DataFrame, by: Sequence[str] = ()) -> DataFrame:
+    """CR1 cluster-robust OLS per (by, seed) closed-form from the seeded
+    per-cluster moment table (``permutation.with_seeds`` output: one row per
+    (by, bucket, seed) with n, s1, s2, arm).
+
+    In a switchback the cluster IS the time bucket, so the treatment x is
+    constant within a cluster and the per-cluster score sum collapses to pure
+    moment algebra — no fact-row pass at all:
+
+        h_g = (x_g − x̄) · (Σ_{i∈g} y_i − n_g·α − n_g·β·x_g)
+
+    which makes the reference's recommended method
+    (``method_evaluation.ipynb:303-325`` ``CRSE_significance``) evaluable
+    inside the same multi-seed simulation sweep as the t-test methods: the
+    200-seed × 5-window CRSE grid costs two tiny (by, seed)-grain shuffles on
+    top of the shared moment table. Returns (by, seed, mean_diff=β, se) —
+    the same shape as ``permutation.order_level_t`` so rate machinery is
+    shared. Differential-tested against row-level ``crse_ols`` in
+    tests/test_inference.py."""
+    by = list(by)
+    on_ = F.col("arm") == "On"
+    g = seeded.groupBy(*by, "seed").agg(
+        F.sum("n").alias("_N"),
+        F.count(F.lit(1)).alias("_G"),
+        F.sum(F.when(on_, F.col("n"))).alias("_n_on"),
+        F.sum(F.when(~on_, F.col("n"))).alias("_n_off"),
+        F.sum(F.when(on_, F.col("s1"))).alias("_s1_on"),
+        F.sum(F.when(~on_, F.col("s1"))).alias("_s1_off"),
+    )
+    # α = control mean, β = treatment − control mean, x̄ = treated row share;
+    # empty arms propagate NULL (sum over no rows) straight to se = NULL
+    g = g.withColumns(
+        {
+            "_xbar": F.col("_n_on") / F.col("_N"),
+            "_alpha": F.col("_s1_off") / F.col("_n_off"),
+            "_beta": F.col("_s1_on") / F.col("_n_on")
+            - F.col("_s1_off") / F.col("_n_off"),
+        }
+    )
+    keys = by + ["seed"]
+    # (by, seed) grain is seeds × windows — always tiny; broadcast onto clusters
+    joined = seeded.join(broadcast(g), on=keys)
+    x = F.when(on_, F.lit(1.0)).otherwise(F.lit(0.0))
+    h = (x - F.col("_xbar")) * (
+        F.col("s1") - F.col("n") * F.col("_alpha") - F.col("n") * F.col("_beta") * x
+    )
+    meat = (
+        joined.select(*keys, h.alias("_h"))
+        .groupBy(*keys)
+        .agg(F.sum(F.col("_h") * F.col("_h")).alias("_meat"))
+    )
+    res = g.join(meat, on=keys)
+    n, ng = F.col("_N"), F.col("_G")
+    valid = (
+        (ng > 1)
+        & (n > 2)
+        & F.col("_xbar").isNotNull()
+        & (F.col("_xbar") > 0)
+        & (F.col("_xbar") < 1)
+    )
+    bread = n * F.col("_xbar") * (1 - F.col("_xbar"))  # Σ x̃² for binary x
+    correction = (ng / (ng - 1)) * ((n - 1) / (n - 2))
+    # bread*bread (not pow) so the oracle can replay the identical IEEE ops
+    se = F.when(valid, F.sqrt(correction * F.col("_meat") / (bread * bread)))
+    return res.select(*keys, F.col("_beta").alias("mean_diff"), se.alias("se"))
+
+
 def crse_ols(
     df: DataFrame,
     value_col: str,

@@ -204,3 +204,30 @@ def test_time_city_assignment_varies_by_city(spark):
     ).collect()
     diff = sum(1 for r in out if r["ax"] != r["ay"])
     assert 40 < diff < 160  # independent-ish across cities
+
+
+def test_crse_from_cluster_moments_matches_row_level(events):
+    """The moment-collapsed CRSE used by the 4-method sweep must agree with
+    the row-level crse_ols fit (same CR1 algebra, fact-row path) for every
+    seed's assignment — β exactly-ish, se to float-sum tolerance."""
+    from switchback_test_dag_spark.stats.crse import (
+        crse_from_cluster_moments,
+        crse_ols,
+    )
+
+    seeds = [0, 3, 11]
+    m = P.bucket_moments(events, "value", F.expr(BUCKET))
+    seeded = P.with_seeds(m, max(seeds) + 1).filter(F.col("seed").isin(seeds))
+    got = {
+        r["seed"]: r
+        for r in crse_from_cluster_moments(seeded).collect()
+    }
+    for seed in seeds:
+        labeled = events.withColumn(
+            "arm", P.portable_arm(BUCKET, str(seed), 0.5)
+        ).withColumn("cluster", F.expr(BUCKET))
+        exp = crse_ols(
+            labeled, "value", "arm", "Off", "On", "cluster", with_p=False
+        ).collect()[0]
+        assert got[seed]["mean_diff"] == pytest.approx(exp["beta"], rel=1e-9)
+        assert got[seed]["se"] == pytest.approx(exp["se"], rel=1e-7)

@@ -92,8 +92,14 @@ def test_sweep_and_finder_scan_once(spark, sf_dir):
     # consumers (two self-join sides + per-city std) share a single fact scan
     try:
         plan = _plan(spark, "fpr_by_window_size", sf_dir)
-        # 4 consumers: {bucket-t, order-t} × {null fpr, injected power}
-        assert plan.count("InMemoryTableScan") == 4
+        # 14 consumers of the pinned seeded-moments frame (grain windows ×
+        # buckets × seeds — tiny and scale-safe): {bucket-t, order-t} ×
+        # {null, injected} = 4, CRSE × {null, injected} = 6 (global agg,
+        # cluster join side, and the final stats join each re-read it),
+        # adjusted-p = 4 (null diffs, thresholds ×2 — once per metric branch,
+        # injected diffs). What matters at 100 TB: the PARQUET fact scan and
+        # its moments shuffle run exactly once, at cache materialization.
+        assert plan.count("InMemoryTableScan") == 14
         assert "EvalPython" not in plan
     finally:
         from switchback_test_dag_spark.caching import release_all
