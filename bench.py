@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness — runs EVERY registry query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
 
@@ -23,45 +23,10 @@ from switchback_test_dag_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# Headline set: the flagship switchback battery plus the heaviest relational
-# operators (big joins, window ranks, IQR two-scan, range join). Keys must exist
-# in the QUERIES registry.
-HEADLINE = [
-    "sb_mwu_pvalues",
-    "sb_metrics",
-    "revenue_by_segment",
-    "filters_conjunctive",
-    "iqr_filtered_stats",
-    "temporal_range_join",
-    "latest_event_per_user",
-    "bucket_means_two_level",
-    "topk_union_customers",
-    "perm_dist_thresholds",
-    "fpr_by_window_size",
-    "counterpart_city_finder",
-    "welch_mde_by_event_type",
-    "crse_beta_se",
-    "assignment_battery",
-    "doc_minhash_lsh_pairs",
-    "doc_ngram_jaccard_pairs",
-    "doc_simhash_pairs",
-    "doc_winnow_pairs",
-    "emb_cosine_topk",
-    "emb_near_dup_pairs",
-    "emb_lsh_topk",
-    "emb_ivf_topk",
-    "doc_text_profile",
-    "corpus_clean_stats",
-    "media_wav_decode",
-    "media_bmp_decode",
-    "geo_zone_containment",
-    "sql_script_stages",
-    "elt_orders_fact",
-    "events_asof_latest_order",
-    "event_sessions",
-    "stream_window_metrics",
-    "orders_rollup_counts",
-]
+# The benched set IS the registry: every queries() entry runs, so a new
+# operator can never silently drift out of the benchmark. The flagship runs
+# first (it doubles as the warmup plan family).
+FLAGSHIP = "sb_mwu_pvalues"
 
 
 def main() -> None:
@@ -69,11 +34,7 @@ def main() -> None:
 
     spark = get_spark(app_name="switchback-bench", cpus=CPUS, shuffle_partitions=CPUS)
     queries = entry_mod.queries()
-    names = [n for n in HEADLINE if n in queries]
-    # include any opt-in extras tagged by modules (e.g. dedup/similarity headliners)
-    for n in sorted(queries):
-        if n.startswith("bench_") and n not in names:
-            names.append(n)
+    names = [FLAGSHIP] + sorted(n for n in queries if n != FLAGSHIP)
 
     # warmup: JVM, parquet footer reads, codegen, and Python/Arrow UDF workers
     # (first mapInPandas call spawns 32 workers importing pandas/numpy — that
@@ -116,9 +77,14 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
-        "metric": "headline_queries_total",
+        "metric": "registry_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "n_queries": len(timings),
+        # a total summed over a partial battery is not comparable across runs
+        # with different error sets — carry an explicit marker next to value
+        "partial": bool(errors),
+        "n_errors": len(errors),
         "queries": timings,
         "runs": runs,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,

@@ -3,16 +3,17 @@ with typed metadata, processed by Arrow-batched pandas iterators via
 ``mapInPandas``.
 
 The Spark-side architecture here is the real deliverable — schema contract,
-partition-size control, Arrow batch shape, UDF iterator signature. Three
+partition-size control, Arrow batch shape, UDF iterator signature. Four
 codec paths are REAL, pure-Python, and parse actual bytes with no fake flag:
 AUDIO via ``wav.py`` (RIFF PCM16 chunk-walking codec), IMAGE via ``bmp.py``
-(24/32-bit BI_RGB DIB codec — see ``decode_bmp_features``), and VIDEO via
-``avi.py`` (RIFF uncompressed-DIB AVI: real container walking, real
-per-frame decode, real frame sampling — ``decode_avi_features`` /
-``sample_avi_frames``). Only entropy-coded formats (JPEG/PNG/H.26x) remain
-STUBBED: those genuinely need codec libraries this container lacks, so their
-decode functions raise ``NotImplementedError`` unless
-``deterministic_fake=True``, which derives pixel features from
+(24/32-bit BI_RGB DIB codec — see ``decode_bmp_features``) and ``png.py``
+(chunk-walking stdlib-zlib PNG codec with all five scanline filters — see
+``decode_png_features``), and VIDEO via ``avi.py`` (RIFF uncompressed-DIB
+AVI: real container walking, real per-frame decode, real frame sampling —
+``decode_avi_features`` / ``sample_avi_frames``). Only JPEG/H.26x remain
+STUBBED: those genuinely need DCT/motion-compensation codec libraries this
+container lacks, so their decode functions raise ``NotImplementedError``
+unless ``deterministic_fake=True``, which derives pixel features from
 ``xxhash``-style arithmetic on the payload bytes.
 
 Scale notes:
@@ -411,6 +412,86 @@ def synthesize_bmp_images(df: DataFrame, id_col: str) -> DataFrame:
 
     return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
         run, schema=MEDIA_SCHEMA
+    )
+
+
+def synthesize_png_images(df: DataFrame, id_col: str) -> DataFrame:
+    """MEDIA_SCHEMA image rows with REAL PNG payloads: per id, a
+    ``(5 + id % 11) × (5 + id % 7)`` RGB test pattern through the stdlib-zlib
+    PNG writer (``png.py``). Heights are always ≥5, so every payload contains
+    all five scanline filter types (the encoder cycles ``row % 5``) and the
+    decoder's filter inversion is exercised by every single row of the
+    fixture, not just a lucky subset."""
+    from switchback_test_dag_spark.multimodal.png import encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"].to_numpy()
+            widths = [int(5 + mid % 11) for mid in ids]
+            heights = [int(5 + mid % 7) for mid in ids]
+            payloads = [
+                encode_png(_bmp_pixels(int(mid), w, h))
+                for mid, w, h in zip(ids, widths, heights)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/png",
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int64"),
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """Parse REAL PNG bytes → the same integer-exact image features as
+    :func:`decode_bmp_features` (dimensions, payload size, channel sums,
+    position-weighted checksum), via the chunk-walking zlib codec
+    (``png.py``). Working entropy-coded image path — no
+    ``deterministic_fake``."""
+    from switchback_test_dag_spark.multimodal.png import decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ws, hs, nb, srs, sgs, sbs, wsums = [], [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                arr = decode_png(raw).astype(np.int64)
+                h, w, _ = arr.shape
+                weights = np.arange(1, h * w * 3 + 1, dtype=np.int64).reshape(
+                    h, w, 3
+                )
+                ws.append(w)
+                hs.append(h)
+                nb.append(len(raw))
+                srs.append(int(arr[:, :, 0].sum()))
+                sgs.append(int(arr[:, :, 1].sum()))
+                sbs.append(int(arr[:, :, 2].sum()))
+                wsums.append(int((arr * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": ws,
+                    "height": hs,
+                    "n_bytes": nb,
+                    "sum_r": srs,
+                    "sum_g": sgs,
+                    "sum_b": sbs,
+                    "wsum": wsums,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=IMAGE_FEATURE_SCHEMA
     )
 
 

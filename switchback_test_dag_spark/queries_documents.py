@@ -458,6 +458,79 @@ def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "media_png_decode",
+    """WITH dims AS (
+         SELECT doc_id, source, 5 + doc_id % 11 AS w, 5 + doc_id % 7 AS h
+         FROM documents
+       ), px AS (
+         SELECT d.doc_id, d.source, d.w, d.h, r.r, c.c, k.k,
+                (d.doc_id * 7 + r.r * 5 + c.c * 3 + k.k * 11) % 256 AS v
+         FROM dims d,
+              unnest(generate_series(0, d.h - 1)) AS r(r),
+              unnest(generate_series(0, d.w - 1)) AS c(c),
+              unnest(generate_series(0, 2)) AS k(k)
+       ), per AS (
+         SELECT doc_id, any_value(source) AS source,
+                any_value(w) AS w, any_value(h) AS h,
+                sum(CASE WHEN k = 0 THEN v ELSE 0 END) AS sr,
+                sum(CASE WHEN k = 1 THEN v ELSE 0 END) AS sg,
+                sum(CASE WHEN k = 2 THEN v ELSE 0 END) AS sb,
+                sum(v * ((r * w + c) * 3 + k + 1)) AS ws
+         FROM px GROUP BY doc_id
+       )
+       SELECT source, CAST(count(*) AS BIGINT) AS n_media,
+              CAST(sum(w * h) AS BIGINT) AS total_px,
+              CAST(sum(sr) AS BIGINT) AS sum_r,
+              CAST(sum(sg) AS BIGINT) AS sum_g,
+              CAST(sum(sb) AS BIGINT) AS sum_b,
+              CAST(sum(ws) AS BIGINT) AS wsum,
+              round(CAST(sum(sr) + sum(sg) + sum(sb) AS DOUBLE)
+                    / CAST(sum(w * h) * 3 AS DOUBLE), 6) AS mean_px
+       FROM per GROUP BY source""",
+)
+def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal component's entropy-coded image path: per-document PNG
+    payloads (real 8-bit truecolor files, stdlib-zlib DEFLATE, scanline
+    filters cycling through all five types — multimodal/png.py) are decoded
+    by the chunk-walking CRC-verifying parser inside Arrow-batched
+    ``mapInPandas``, yielding the same integer-exact pixel features as
+    :func:`media_bmp_decode`, aggregated per source. The oracle recomputes
+    the features from the closed-form pixel pattern: a bug anywhere in the
+    codec — chunk offsets, CRC math, inflate framing, any of the five filter
+    inversions (heights ≥5 guarantee each appears in every payload) —
+    changes a sum and breaks the match. Unlike BMP, the container size is
+    compression-dependent, so byte-size aggregates are deliberately not part
+    of this contract (pixel math is). All features are exact integers until
+    the final mean, so shuffle order cannot move any value."""
+    from switchback_test_dag_spark.multimodal.media import (
+        decode_png_features,
+        synthesize_png_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    media = synthesize_png_images(docs, "doc_id")
+    feats = decode_png_features(media)
+    joined = feats.join(docs, feats.media_id == docs.doc_id)
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_media"),
+        F.sum(F.col("width").cast("long") * F.col("height")).cast("long").alias(
+            "total_px"
+        ),
+        F.sum("sum_r").cast("long").alias("sum_r"),
+        F.sum("sum_g").cast("long").alias("sum_g"),
+        F.sum("sum_b").cast("long").alias("sum_b"),
+        F.sum("wsum").cast("long").alias("wsum"),
+        F.round(
+            (F.sum("sum_r") + F.sum("sum_g") + F.sum("sum_b")).cast("double")
+            / (F.sum(F.col("width").cast("long") * F.col("height")) * 3).cast(
+                "double"
+            ),
+            6,
+        ).alias("mean_px"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # composed corpus-cleaning pipeline
 # --------------------------------------------------------------------------- #

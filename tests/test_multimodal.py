@@ -344,3 +344,120 @@ def test_wav_spark_pipeline_decodes_real_bytes(spark):
         assert rows[mid]["n_samples"] == 16
         assert rows[mid]["sum_sq"] == int(np.dot(s, s))
         assert rows[mid]["peak"] == int(np.abs(s).max())
+
+
+# --------------------------------------------------------------------------- #
+# real PNG codec path
+# --------------------------------------------------------------------------- #
+
+
+def test_png_roundtrip_all_filters():
+    """Round-trip must be pixel-exact for shapes that exercise every scanline
+    filter (the encoder cycles row % 5, so h ≥ 5 covers None/Sub/Up/Average/
+    Paeth), including 1×1 and width-1 edge shapes."""
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal.png import decode_png, encode_png
+
+    for w, h in [(1, 1), (1, 7), (3, 5), (16, 12), (9, 6)]:
+        rng = np.random.default_rng(w * 100 + h)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def test_png_decodes_handbuilt_rgba_and_multi_idat():
+    """Independence from our own encoder: decode a hand-assembled type-6
+    (RGBA) file whose IDAT stream is split across two chunks — the walker
+    must concatenate IDATs and drop alpha."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal.png import decode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    h, w = 4, 3
+    rng = np.random.default_rng(7)
+    rgba = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    lines = bytearray()
+    for r in range(h):
+        lines.append(0)  # filter None on every row
+        lines.extend(rgba[r].tobytes())
+    z = zlib.compress(bytes(lines))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", z[: len(z) // 2])
+        + chunk(b"IDAT", z[len(z) // 2 :])
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), rgba[:, :, :3])
+
+
+def test_png_rejects_corrupt_and_unsupported():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from switchback_test_dag_spark.multimodal.png import decode_png, encode_png
+
+    px = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(5, 3, 3)
+    good = encode_png(px)
+    with _pytest.raises(ValueError):
+        decode_png(b"XX" + good[2:])  # bad signature
+    bad_crc = bytearray(good)
+    bad_crc[20] ^= 0xFF  # flip an IHDR body byte: CRC check must fire
+    with _pytest.raises(ValueError):
+        decode_png(bytes(bad_crc))
+    # 16-bit depth is unsupported: rebuild the IHDR with depth=16 + valid CRC
+    import zlib as _zlib
+
+    ihdr16 = struct.pack(">IIBBBBB", 3, 5, 16, 2, 0, 0, 0)
+    rebuilt = (
+        good[:8]
+        + struct.pack(">I", len(ihdr16))
+        + b"IHDR"
+        + ihdr16
+        + struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr16) & 0xFFFFFFFF)
+        + good[8 + 12 + 13 :]
+    )
+    with _pytest.raises(ValueError):
+        decode_png(rebuilt)
+    with _pytest.raises(ValueError):
+        decode_png(good[: len(good) // 2])  # truncated
+
+
+def test_png_spark_pipeline_decodes_real_bytes(spark):
+    """End-to-end on the cluster path: synthesize real PNG payloads, decode
+    via mapInPandas, check every feature against the closed-form pattern."""
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal.media import (
+        _bmp_pixels,
+        decode_png_features,
+        synthesize_png_images,
+    )
+
+    df = spark.range(3, 6).withColumnRenamed("id", "doc_id")
+    media = synthesize_png_images(df, "doc_id")
+    rows = {r["media_id"]: r for r in decode_png_features(media).collect()}
+    assert set(rows) == {3, 4, 5}
+    for mid in (3, 4, 5):
+        w, h = 5 + mid % 11, 5 + mid % 7
+        arr = _bmp_pixels(mid, w, h).astype(np.int64)
+        weights = np.arange(1, h * w * 3 + 1, dtype=np.int64).reshape(h, w, 3)
+        r = rows[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["sum_r"] == int(arr[:, :, 0].sum())
+        assert r["sum_g"] == int(arr[:, :, 1].sum())
+        assert r["sum_b"] == int(arr[:, :, 2].sum())
+        assert r["wsum"] == int((arr * weights).sum())
