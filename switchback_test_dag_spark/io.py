@@ -81,7 +81,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     either hour-level ``date_trunc`` (precision-insensitive) or exact ``ts_ns``
     integer math so Spark and the DuckDB oracle agree.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # session.get_spark pins this at build time; the guarded set here covers
+    # externally-built sessions (the correctness driver constructs its own),
+    # without re-issuing a conf write on every read
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_events_ts(df)

@@ -458,6 +458,19 @@ def ngram_jaccard_pairs(
         # df(h) via a count window over the h-partition: one shuffle on h
         # attaches every posting's document frequency (an agg + re-join would
         # shuffle twice for the same result)
+        # prefix bound |d| − ⌈t·|d|⌉ + 1 in EXACT integer arithmetic: the
+        # threshold is interpreted as the decimal the caller wrote (0.85 =
+        # 17/20), and ⌈num·sz/den⌉ = (num·sz + den − 1) div den — a float
+        # t·sz product can round a hair above an integral value and make
+        # ceil() overshoot, shortening the prefix below what the AllPairs
+        # lemma requires for pairs at exactly the threshold
+        from fractions import Fraction
+
+        tfrac = Fraction(str(threshold))
+        num, den = tfrac.numerator, tfrac.denominator
+        prefix_bound = (
+            F.col("sz") - F.expr(f"(({num} * sz + {den} - 1) div {den})") + F.lit(1)
+        )
         pref = (
             ex.withColumn("dfr", F.count(F.lit(1)).over(Window.partitionBy("h")))
             .withColumn(
@@ -465,12 +478,7 @@ def ngram_jaccard_pairs(
                 F.row_number().over(Window.partitionBy("doc").orderBy("dfr", "h")),
             )
             .join(sizes, "doc")
-            .filter(
-                F.col("rn")
-                <= F.col("sz")
-                - F.ceil(F.lit(float(threshold)) * F.col("sz")).cast("int")
-                + F.lit(1)
-            )
+            .filter(F.col("rn") <= prefix_bound)
             .select("doc", "h")
         )
         cand = (

@@ -166,7 +166,7 @@ def hyperplane_lsh_topk(
         F.col(vec_col).alias("qv"),
         hyperplane_signature(vec_col, n_planes, dim).alias("sig"),
     )
-    levels = int(multiprobe) if not isinstance(multiprobe, bool) else int(multiprobe)
+    levels = int(multiprobe)  # bool maps to 0/1 probe levels
     masks = ", ".join(f"{m}L" for m in _probe_masks(n_planes, levels))
     probes = F.expr(f"transform(array({masks}), m -> sig ^ m)")
     q = q.withColumn("bucket", F.explode(probes)).drop("sig")

@@ -182,12 +182,18 @@ def test_time_clustered_events_have_disjoint_file_ranges(spark, sf_dir, tmp_path
         assert hi_a <= lo_b, f"file ranges overlap: {hi_a} > {lo_b}"
     # round-trip: no rows lost by the re-layout
     assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_welch_mde_single_fact_scan(spark, sf_dir):
     # welch_mde_by_event_type: the whole-group MDE moments ride the same
     # groupBy as the per-arm Welch moments — exactly one events scan, no join
     # back to a second aggregation of the fact
     plan = _plan(spark, "welch_mde_by_event_type", sf_dir)
     assert plan.count("Scan parquet") == 1
     assert "EvalPython" not in plan
+
+
+def test_lineitem_stats_shares_cell_frame(spark, sf_dir):
     # lineitem_stats_suite: partial-aggregates at (flag, status) grain feed
     # BOTH the pivot and the flag-grain stats from one pinned ≤6-row frame
     try:
@@ -207,8 +213,11 @@ def test_winnow_plan_shares_fingerprint_scan(spark, sf_dir):
     # all-JVM arrays, no cartesian
     try:
         plan = _plan(spark, "doc_winnow_pairs", sf_dir)
-        # both self-join sides must read the persisted fingerprint frame
-        assert plan.count("InMemoryTableScan") == 2
+        # every fingerprint consumer must read the persisted frame: each
+        # self-join side re-derives the capped frame (postings scan + the
+        # max_df rare-fingerprint count's scan) = 4 cached reads, zero
+        # re-runs of the md5/winnowing transform or the documents scan
+        assert plan.count("InMemoryTableScan") == 4
         assert "CartesianProduct" not in plan
         assert "EvalPython" not in plan
     finally:
