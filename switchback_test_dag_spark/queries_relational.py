@@ -217,6 +217,70 @@ def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "salted_range_join_totals",
+    """WITH e AS (
+         SELECT event_type, user_id,
+                CAST('1995-01-01' AS DATE)
+                + CAST(epoch_ns(ts) // 86400000000000 % 2400 AS INTEGER) AS ev_date
+         FROM events WHERE user_id BETWEEN 0 AND 14
+       )
+       SELECT e.event_type, e.user_id, count(*) AS n_pairs,
+              ((sum(CAST(round((o.o_totalprice) * 1000000) AS BIGINT)) + 5000) // 10000) / 100.0 AS total
+       FROM e JOIN orders o
+         ON o.o_custkey % 15 = e.user_id
+        AND CAST(o.o_orderdate AS DATE) BETWEEN e.ev_date - 2 AND e.ev_date + 2
+       GROUP BY e.event_type, e.user_id""",
+)
+def salted_range_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOTH-SIDES-BIG variant of J5's low-cardinality temporal join,
+    executed through ``operators.relational.salted_equi_join``: the orders
+    side is salted into 8 sub-keys and the events side replicated once per
+    salt, so the shuffle join runs at 15·8 = 120 reduce tasks instead of the
+    15-task ceiling a plain shuffle join has on a 15-value key (the situation
+    where the broadcast escape of ``temporal_range_join`` is unavailable
+    because neither side fits in memory). Salting must preserve join
+    semantics EXACTLY — each matching pair meets exactly once — which is
+    precisely what this oracle pins: the DuckDB side is the plain unsalted
+    join, grouped at (event_type, user_id) grain, value-hashed against the
+    salted plan's output."""
+    from switchback_test_dag_spark.operators.relational import salted_equi_join
+
+    ev_date = F.date_add(
+        F.lit("1995-01-01").cast("date"),
+        (F.expr("ts_ns div 86400000000000") % 2400).cast("int"),
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").between(0, 14))
+        .select(
+            "event_type",
+            F.col("user_id").alias("jk"),
+            F.date_sub(ev_date, 2).alias("win_lo"),
+            F.date_add(ev_date, 2).alias("win_hi"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 15).alias("jk"),
+        F.to_date("o_orderdate").alias("o_date"),
+        "o_totalprice",
+    )
+    joined = salted_equi_join(
+        orders,
+        ev,
+        keys=["jk"],
+        salt=8,
+        extra_condition=lambda l, r: l["o_date"].between(r["win_lo"], r["win_hi"]),
+    )
+    return (
+        joined.groupBy("event_type", F.col("jk").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            spark_micro_sum("o_totalprice").alias("total"),
+        )
+    )
+
+
 # --- J3/J8: multi-key joins + aggregation ---------------------------------------
 
 

@@ -226,6 +226,15 @@ def test_winnow_plan_shares_fingerprint_scan(spark, sf_dir):
         release_caches()
 
 
+def test_salted_join_keys_include_salt(spark, sf_dir):
+    # the salted low-cardinality join must key on (jk, _salt) — widening the
+    # reduce-task ceiling — and stay an equi join (never cartesian/NLJ)
+    plan = _plan(spark, "salted_range_join_totals", sf_dir)
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
     # the 100-TB strategy for recurring big-x-big joins: both sides bucketed
     # by the join key -> SortMergeJoin with ZERO Exchange (and, with sorted
