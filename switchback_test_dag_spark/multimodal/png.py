@@ -142,7 +142,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"bad dimensions {w}x{h}")
     bpp = 3 if ctype == 2 else 4
     stride = w * bpp
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # CRC-valid chunk around a corrupt stream
+        raise ValueError(f"bad IDAT deflate stream: {exc}") from exc
     if len(raw) != h * (stride + 1):
         raise ValueError("decompressed size mismatch")
     out = np.zeros((h, stride), dtype=np.int16)

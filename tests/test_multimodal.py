@@ -461,3 +461,62 @@ def test_png_spark_pipeline_decodes_real_bytes(spark):
         assert r["sum_g"] == int(arr[:, :, 1].sum())
         assert r["sum_b"] == int(arr[:, :, 2].sum())
         assert r["wsum"] == int((arr * weights).sum())
+
+
+def test_codecs_reject_fuzz_without_crashing():
+    """Arbitrary byte soup must produce a clean ValueError (or decode, for a
+    lucky valid file) from every codec — never an IndexError/struct.error/
+    zlib.error leaking out of the parser, which inside mapInPandas would
+    surface as an opaque executor task failure instead of a data-quality
+    signal."""
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal.avi import decode_avi_dib
+    from switchback_test_dag_spark.multimodal.bmp import decode_bmp
+    from switchback_test_dag_spark.multimodal.png import decode_png, encode_png
+    from switchback_test_dag_spark.multimodal.wav import decode_wav_pcm16
+
+    rng = np.random.default_rng(0)
+    base = encode_png(rng.integers(0, 256, (6, 5, 3), dtype=np.uint8))
+    blobs = [b"", b"\x00", rng.bytes(64), rng.bytes(4096)]
+    # structured corruption: valid prefix + garbage, truncations, bit flips
+    blobs += [base[:k] for k in (4, 8, 20, len(base) - 3)]
+    for _ in range(50):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            b[rng.integers(0, len(b))] ^= int(rng.integers(1, 256))
+        blobs.append(bytes(b))
+    for dec in (decode_png, decode_bmp, decode_wav_pcm16, decode_avi_dib):
+        for blob in blobs:
+            try:
+                dec(blob)
+            except ValueError:
+                pass  # the contract: clean rejection
+
+
+def test_png_rejects_crc_valid_garbage_deflate():
+    """A chunk whose CRC is valid but whose IDAT body is not a DEFLATE stream
+    must still raise ValueError (zlib.error wrapped), not leak."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from switchback_test_dag_spark.multimodal.png import decode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"\xde\xad\xbe\xef not deflate")
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError):
+        decode_png(payload)

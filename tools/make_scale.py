@@ -107,10 +107,26 @@ def main() -> None:
             df, c, {"l_orderkey": okey, "l_partkey": pkey, "l_suppkey": skey}
         ),
     )
-    replicate(
-        "events",
-        lambda df, c: offsets(df, c, {"event_id": ekey, "user_id": ukey}),
-    )
+    def ev_copy(df, c):
+        df = df.withColumn("event_id", F.col("event_id") + F.lit(c * ekey))
+        if c == 0:
+            return df
+        # keep the low-cardinality joinable sliver (user_id ∈ [0,15), the
+        # domain of the `o_custkey % 15 = user_id` range-join key) UN-offset
+        # in every copy: a fixed-cardinality join key keeps its 15 values at
+        # any scale, so the joinable events must scale with K alongside the
+        # orders side (offsetting them — as this tool originally did — froze
+        # the join volume at the copy-0 level and the range-join benchmark
+        # stopped scaling). All other user_ids offset as before so distinct-
+        # user counts still grow ~K×.
+        return df.withColumn(
+            "user_id",
+            F.when(F.col("user_id") < 15, F.col("user_id")).otherwise(
+                F.col("user_id") + F.lit(c * ukey)
+            ),
+        )
+
+    replicate("events", ev_copy)
 
     dkey_base = (
         spark.read.parquet(os.path.join(args.src, "documents.parquet"))
