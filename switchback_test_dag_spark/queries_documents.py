@@ -344,27 +344,7 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------- #
 
 
-@query(
-    "media_bmp_decode",
-    """WITH dims AS (
-         SELECT doc_id, source, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
-         FROM documents
-       ), px AS (
-         SELECT d.doc_id, d.source, d.w, d.h, r.r, c.c, k.k,
-                (d.doc_id * 7 + r.r * 5 + c.c * 3 + k.k * 11) % 256 AS v
-         FROM dims d,
-              unnest(generate_series(0, d.h - 1)) AS r(r),
-              unnest(generate_series(0, d.w - 1)) AS c(c),
-              unnest(generate_series(0, 2)) AS k(k)
-       ), per AS (
-         SELECT doc_id, any_value(source) AS source,
-                any_value(w) AS w, any_value(h) AS h,
-                sum(CASE WHEN k = 0 THEN v ELSE 0 END) AS sr,
-                sum(CASE WHEN k = 1 THEN v ELSE 0 END) AS sg,
-                sum(CASE WHEN k = 2 THEN v ELSE 0 END) AS sb,
-                sum(v * ((r * w + c) * 3 + k + 1)) AS ws
-         FROM px GROUP BY doc_id
-       )
+_DUCK_BMP_AGG = """
        SELECT source, CAST(count(*) AS BIGINT) AS n_media,
               CAST(sum(54 + ((3 * w + 3) // 4) * 4 * h) AS BIGINT) AS total_bytes,
               CAST(max(54 + ((3 * w + 3) // 4) * 4 * h) AS BIGINT) AS max_bytes,
@@ -375,9 +355,30 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               CAST(sum(ws) AS BIGINT) AS wsum,
               round(CAST(sum(sr) + sum(sg) + sum(sb) AS DOUBLE)
                     / CAST(sum(w * h) * 3 AS DOUBLE), 6) AS mean_px
-       FROM per GROUP BY source""",
-)
-def media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+       FROM bmp_per GROUP BY source"""
+
+_DUCK_BMP_PER = """bmp_dims AS (
+         SELECT doc_id, source, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+         FROM documents
+       ), bmp_px AS (
+         SELECT d.doc_id, d.source, d.w, d.h, r.r, c.c, k.k,
+                (d.doc_id * 7 + r.r * 5 + c.c * 3 + k.k * 11) % 256 AS v
+         FROM bmp_dims d,
+              unnest(generate_series(0, d.h - 1)) AS r(r),
+              unnest(generate_series(0, d.w - 1)) AS c(c),
+              unnest(generate_series(0, 2)) AS k(k)
+       ), bmp_per AS (
+         SELECT doc_id, any_value(source) AS source,
+                any_value(w) AS w, any_value(h) AS h,
+                sum(CASE WHEN k = 0 THEN v ELSE 0 END) AS sr,
+                sum(CASE WHEN k = 1 THEN v ELSE 0 END) AS sg,
+                sum(CASE WHEN k = 2 THEN v ELSE 0 END) AS sb,
+                sum(v * ((r * w + c) * 3 + k + 1)) AS ws
+         FROM bmp_px GROUP BY doc_id
+       )"""
+
+
+def _media_bmp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal component's REAL image codec path (superseding the
     payload-byte-accounting query, whose octet_length aggregates it absorbs):
     per-document BMP payloads (canonical 24-bit bottom-up BI_RGB bytes with
@@ -420,25 +421,26 @@ def media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "media_wav_decode",
-    """WITH s AS (
+_DUCK_WAV_PER = """wav_s AS (
          SELECT d.doc_id, d.source,
                 ((d.doc_id * 31 + t.i * 17) % 65536) - 32768 AS samp
          FROM documents d, unnest(generate_series(0, 255)) AS t(i)
-       ), per AS (
+       ), wav_per AS (
          SELECT doc_id, any_value(source) AS source, count(*) AS n,
                 sum(samp * samp) AS ss, max(abs(samp)) AS pk
-         FROM s GROUP BY doc_id
-       )
+         FROM wav_s GROUP BY doc_id
+       )"""
+
+_DUCK_WAV_AGG = """
        SELECT source, CAST(count(*) AS BIGINT) AS n_media,
               CAST(sum(n) AS BIGINT) AS total_samples,
               round(sqrt(CAST(sum(ss) AS DOUBLE) / CAST(sum(n) AS DOUBLE)), 6) AS rms,
               CAST(max(pk) AS INTEGER) AS max_peak,
               CAST(sum(n) * 1000 // 8000 AS BIGINT) AS total_duration_ms
-       FROM per GROUP BY source""",
-)
-def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+       FROM wav_per GROUP BY source"""
+
+
+def _media_wav_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal component's REAL codec path: per-document WAV payloads
     (spec-conformant RIFF PCM16 bytes, stdlib-``wave``-readable — see
     multimodal/wav.py) are decoded by the chunk-walking parser inside
@@ -471,27 +473,27 @@ def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "media_png_decode",
-    """WITH dims AS (
+_DUCK_PNG_PER = """png_dims AS (
          SELECT doc_id, source, 5 + doc_id % 11 AS w, 5 + doc_id % 7 AS h
          FROM documents
-       ), px AS (
+       ), png_px AS (
          SELECT d.doc_id, d.source, d.w, d.h, r.r, c.c, k.k,
                 (d.doc_id * 7 + r.r * 5 + c.c * 3 + k.k * 11) % 256 AS v
-         FROM dims d,
+         FROM png_dims d,
               unnest(generate_series(0, d.h - 1)) AS r(r),
               unnest(generate_series(0, d.w - 1)) AS c(c),
               unnest(generate_series(0, 2)) AS k(k)
-       ), per AS (
+       ), png_per AS (
          SELECT doc_id, any_value(source) AS source,
                 any_value(w) AS w, any_value(h) AS h,
                 sum(CASE WHEN k = 0 THEN v ELSE 0 END) AS sr,
                 sum(CASE WHEN k = 1 THEN v ELSE 0 END) AS sg,
                 sum(CASE WHEN k = 2 THEN v ELSE 0 END) AS sb,
                 sum(v * ((r * w + c) * 3 + k + 1)) AS ws
-         FROM px GROUP BY doc_id
-       )
+         FROM png_px GROUP BY doc_id
+       )"""
+
+_DUCK_PNG_AGG = """
        SELECT source, CAST(count(*) AS BIGINT) AS n_media,
               CAST(sum(w * h) AS BIGINT) AS total_px,
               CAST(sum(sr) AS BIGINT) AS sum_r,
@@ -500,15 +502,16 @@ def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
               CAST(sum(ws) AS BIGINT) AS wsum,
               round(CAST(sum(sr) + sum(sg) + sum(sb) AS DOUBLE)
                     / CAST(sum(w * h) * 3 AS DOUBLE), 6) AS mean_px
-       FROM per GROUP BY source""",
-)
-def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+       FROM png_per GROUP BY source"""
+
+
+def _media_png_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal component's entropy-coded image path: per-document PNG
     payloads (real 8-bit truecolor files, stdlib-zlib DEFLATE, scanline
     filters cycling through all five types — multimodal/png.py) are decoded
     by the chunk-walking CRC-verifying parser inside Arrow-batched
     ``mapInPandas``, yielding the same integer-exact pixel features as
-    :func:`media_bmp_decode`, aggregated per source. The oracle recomputes
+    :func:`_media_bmp_agg`, aggregated per source. The oracle recomputes
     the features from the closed-form pixel pattern: a bug anywhere in the
     codec — chunk offsets, CRC math, inflate framing, any of the five filter
     inversions (heights ≥5 guarantee each appears in every payload) —
@@ -541,6 +544,107 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("mean_px"),
+    )
+
+
+def _unpivot_metrics(df: DataFrame, fmt: str) -> DataFrame:
+    """Per-source aggregate → tall (fmt, source, metric, value) frame.
+
+    All formats share one driver-hashable schema without NULL padding: every
+    feature is cast to DOUBLE (exact for these magnitudes — the largest, the
+    position-weighted checksum, stays far below 2^53 even at the 100× scale
+    fixture) and rounded to 6 so both engines see identical doubles.
+    """
+    vals = [c for c in df.columns if c != "source"]
+    casted = df.select(
+        "source", *[F.col(c).cast("double").alias(c) for c in vals]
+    )
+    tall = casted.unpivot(["source"], vals, "metric", "value")
+    return tall.select(
+        F.lit(fmt).alias("fmt"),
+        "source",
+        "metric",
+        F.round("value", 6).alias("value"),
+    )
+
+
+def _duck_unpivot(agg_cte: str, fmt: str, metrics: list[str]) -> str:
+    on = ", ".join(f"CAST({m} AS DOUBLE) AS {m}" for m in metrics)
+    return (
+        f"SELECT '{fmt}' AS fmt, source, metric, round(value, 6) AS value "
+        f"FROM (UNPIVOT {agg_cte} ON {on} INTO NAME metric VALUE value)"
+    )
+
+
+_DUCK_MEDIA_SUITE = (
+    "WITH "
+    + ",\n".join([_DUCK_BMP_PER, _DUCK_WAV_PER, _DUCK_PNG_PER])
+    + f",\nbmp_agg AS ({_DUCK_BMP_AGG}),\nwav_agg AS ({_DUCK_WAV_AGG}),"
+    + f"\npng_agg AS ({_DUCK_PNG_AGG})\n"
+    + "\nUNION ALL\n".join(
+        [
+            _duck_unpivot(
+                "bmp_agg",
+                "bmp",
+                [
+                    "n_media",
+                    "total_bytes",
+                    "max_bytes",
+                    "total_px",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                    "wsum",
+                    "mean_px",
+                ],
+            ),
+            _duck_unpivot(
+                "wav_agg",
+                "wav",
+                [
+                    "n_media",
+                    "total_samples",
+                    "rms",
+                    "max_peak",
+                    "total_duration_ms",
+                ],
+            ),
+            _duck_unpivot(
+                "png_agg",
+                "png",
+                [
+                    "n_media",
+                    "total_px",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                    "wsum",
+                    "mean_px",
+                ],
+            ),
+        ]
+    )
+)
+
+
+@query("media_decode_suite", _DUCK_MEDIA_SUITE)
+def media_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three REAL codec paths in one (fmt, source, metric) contract —
+    BMP (uncompressed DIB), WAV (RIFF PCM16), and PNG (DEFLATE + all five
+    scanline filters) payloads decoded by the pure-Python parsers inside
+    Arrow-batched ``mapInPandas`` (multimodal/{bmp,wav,png}.py), features
+    aggregated per source, then unpivoted to a shared tall schema and
+    unioned. The oracle never sees bytes: each branch recomputes the same
+    features from the closed-form payload generators (and, for BMP, the
+    container-size formula 54 + stride·h), so a parse bug anywhere — header
+    offsets, row stride, bottom-up flip, BGR order, chunk walking, CRC math,
+    inflate framing, any filter inversion — changes a value and breaks the
+    hash. PNG byte sizes are compression-dependent and deliberately excluded;
+    everything else is integer-exact until the final mean/rms."""
+    return (
+        _unpivot_metrics(_media_bmp_agg(spark, sf_dir), "bmp")
+        .unionByName(_unpivot_metrics(_media_wav_agg(spark, sf_dir), "wav"))
+        .unionByName(_unpivot_metrics(_media_png_agg(spark, sf_dir), "png"))
     )
 
 
