@@ -91,6 +91,16 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # round-4 capture truncated the recorded line from the FRONT, losing the
+    # leading headline fields; repeat them as the LAST key so any front-
+    # truncated tail still carries the totals
+    out["headline"] = {
+        "value": out["value"],
+        "n_queries": out["n_queries"],
+        "partial": out["partial"],
+        "n_errors": out["n_errors"],
+        "sf": out["sf"],
+    }
     print(json.dumps(out))
 
 
