@@ -3,17 +3,21 @@ with typed metadata, processed by Arrow-batched pandas iterators via
 ``mapInPandas``.
 
 The Spark-side architecture here is the real deliverable — schema contract,
-partition-size control, Arrow batch shape, UDF iterator signature. Four
+partition-size control, Arrow batch shape, UDF iterator signature. Five
 codec paths are REAL, pure-Python, and parse actual bytes with no fake flag:
 AUDIO via ``wav.py`` (RIFF PCM16 chunk-walking codec), IMAGE via ``bmp.py``
-(24/32-bit BI_RGB DIB codec — see ``decode_bmp_features``) and ``png.py``
+(24/32-bit BI_RGB DIB codec — see ``decode_bmp_features``), ``png.py``
 (chunk-walking stdlib-zlib PNG codec with all five scanline filters — see
-``decode_png_features``), and VIDEO via ``avi.py`` (RIFF uncompressed-DIB
-AVI: real container walking, real per-frame decode, real frame sampling —
-``decode_avi_features`` / ``sample_avi_frames``). Only JPEG/H.26x remain
-STUBBED: those genuinely need DCT/motion-compensation codec libraries this
-container lacks, so their decode functions raise ``NotImplementedError``
-unless ``deterministic_fake=True``, which derives pixel features from
+``decode_png_features``), and ``jpeg.py`` (baseline sequential JFIF:
+optimal-Huffman entropy codec, DCT, quantization — see
+``decode_jpeg_features``; being lossy, its contract is coefficient-bit-exact
+roundtrip plus byte-exact reference reconstruction, pytest-gated), and VIDEO
+via ``avi.py`` (RIFF uncompressed-DIB AVI: real container walking, real
+per-frame decode, real frame sampling — ``decode_avi_features`` /
+``sample_avi_frames``). Only H.26x-class motion-compensated video remains
+STUBBED: that genuinely needs codec libraries this container lacks, so the
+generic decode raises ``NotImplementedError`` unless
+``deterministic_fake=True``, which derives pixel features from
 ``xxhash``-style arithmetic on the payload bytes.
 
 Scale notes:
@@ -466,6 +470,87 @@ def decode_png_features(media: DataFrame) -> DataFrame:
             for payload in pdf["payload"]:
                 raw = bytes(payload)
                 arr = decode_png(raw).astype(np.int64)
+                h, w, _ = arr.shape
+                weights = np.arange(1, h * w * 3 + 1, dtype=np.int64).reshape(
+                    h, w, 3
+                )
+                ws.append(w)
+                hs.append(h)
+                nb.append(len(raw))
+                srs.append(int(arr[:, :, 0].sum()))
+                sgs.append(int(arr[:, :, 1].sum()))
+                sbs.append(int(arr[:, :, 2].sum()))
+                wsums.append(int((arr * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": ws,
+                    "height": hs,
+                    "n_bytes": nb,
+                    "sum_r": srs,
+                    "sum_g": sgs,
+                    "sum_b": sbs,
+                    "wsum": wsums,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
+def synthesize_jpeg_images(df: DataFrame, id_col: str, quality: int = 90) -> DataFrame:
+    """MEDIA_SCHEMA image rows with REAL baseline JPEG payloads: per id, a
+    ``(8 + id % 9) × (8 + id % 5)`` RGB test pattern through the optimal-
+    Huffman baseline encoder (``jpeg.py``). Dimensions are chosen so most
+    images need edge padding to the 8×8 MCU grid (width 8–16, height 8–12),
+    making pad-and-crop part of the exercised path."""
+    from switchback_test_dag_spark.multimodal.jpeg import encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"].to_numpy()
+            widths = [int(8 + mid % 9) for mid in ids]
+            heights = [int(8 + mid % 5) for mid in ids]
+            payloads = [
+                encode_jpeg(_bmp_pixels(int(mid), w, h), quality=quality)[0]
+                for mid, w, h in zip(ids, widths, heights)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int64"),
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_jpeg_features(media: DataFrame) -> DataFrame:
+    """Parse REAL baseline JPEG bytes → the same image-feature columns as
+    :func:`decode_bmp_features`, via the full entropy-decode + dequantize +
+    IDCT path (``jpeg.py``). JPEG being lossy, the features describe the
+    RECONSTRUCTED pixels — deterministic given the payload, but not the
+    closed-form source pattern, so the value contract lives in pytest
+    (coefficient-bit-exact roundtrip; byte-exact equality with the encoder's
+    reference reconstruction; quality-bounded error vs the source)."""
+    from switchback_test_dag_spark.multimodal.jpeg import decode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ws, hs, nb, srs, sgs, sbs, wsums = [], [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                arr = decode_jpeg(raw).astype(np.int64)
                 h, w, _ = arr.shape
                 weights = np.arange(1, h * w * 3 + 1, dtype=np.int64).reshape(
                     h, w, 3

@@ -234,16 +234,22 @@ def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def salted_range_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BOTH-SIDES-BIG variant of J5's low-cardinality temporal join,
-    executed through ``operators.relational.salted_equi_join``: the orders
-    side is salted into 8 sub-keys and the events side replicated once per
-    salt, so the shuffle join runs at 15·8 = 120 reduce tasks instead of the
-    15-task ceiling a plain shuffle join has on a 15-value key (the situation
-    where the broadcast escape of ``temporal_range_join`` is unavailable
-    because neither side fits in memory). Salting must preserve join
-    semantics EXACTLY — each matching pair meets exactly once — which is
-    precisely what this oracle pins: the DuckDB side is the plain unsalted
-    join, grouped at (event_type, user_id) grain, value-hashed against the
-    salted plan's output."""
+    executed through ``operators.relational.salted_equi_join`` — plus the
+    aggregate-pushdown rewrite that makes it survive data growth. Because
+    this shape's candidate volume grows ~K² under K× data (fixed-cardinality
+    key: K× orders match K× events per key — measured 14.8× wall at 10×
+    data in the expanded form), the orders side is pre-aggregated BELOW the
+    join to (jk, o_date) grain carrying (n_orders, exact micro-unit sum):
+    the join then expands events × compressed-date-groups (bounded by
+    15 keys × distinct dates, independent of |orders|), and the final
+    per-(event_type, user_id) totals are weighted sums — integer-exact, so
+    the result is IDENTICAL to the expanded join's. The events side (the
+    remaining big side) is salted into 8 sub-keys and the compressed side
+    replicated per salt, lifting the 15-task reduce ceiling to 120. Both
+    claims are pinned by the oracle, which stays the NAIVE plain unsalted
+    expanded join in DuckDB, value-hashed at (event_type, user_id) grain:
+    a pair met twice under salting, or a pushdown that miscounts a weight,
+    breaks the hash."""
     from switchback_test_dag_spark.operators.relational import salted_equi_join
 
     ev_date = F.date_add(
@@ -260,23 +266,33 @@ def salted_range_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_add(ev_date, 2).alias("win_hi"),
         )
     )
-    orders = load_table(spark, sf_dir, "orders").select(
-        (F.col("o_custkey") % 15).alias("jk"),
-        F.to_date("o_orderdate").alias("o_date"),
-        "o_totalprice",
+    orders_agg = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_custkey") % 15).alias("jk"),
+            F.to_date("o_orderdate").alias("o_date"),
+            F.expr("CAST(round(o_totalprice * 1000000, 0) AS BIGINT)").alias(
+                "micro"
+            ),
+        )
+        .groupBy("jk", "o_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("micro").alias("micro_sum"),
+        )
     )
     joined = salted_equi_join(
-        orders,
         ev,
+        orders_agg,
         keys=["jk"],
         salt=8,
-        extra_condition=lambda l, r: l["o_date"].between(r["win_lo"], r["win_hi"]),
+        extra_condition=lambda l, r: r["o_date"].between(l["win_lo"], l["win_hi"]),
     )
     return (
         joined.groupBy("event_type", F.col("jk").alias("user_id"))
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            spark_micro_sum("o_totalprice").alias("total"),
+            F.sum("n_orders").cast("long").alias("n_pairs"),
+            (F.expr("(sum(micro_sum) + 5000) div 10000") / 100.0).alias("total"),
         )
     )
 

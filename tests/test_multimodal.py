@@ -473,6 +473,7 @@ def test_codecs_reject_fuzz_without_crashing():
 
     from switchback_test_dag_spark.multimodal.avi import decode_avi_dib
     from switchback_test_dag_spark.multimodal.bmp import decode_bmp
+    from switchback_test_dag_spark.multimodal.jpeg import decode_jpeg
     from switchback_test_dag_spark.multimodal.png import decode_png, encode_png
     from switchback_test_dag_spark.multimodal.wav import decode_wav_pcm16
 
@@ -486,7 +487,7 @@ def test_codecs_reject_fuzz_without_crashing():
         for _ in range(rng.integers(1, 6)):
             b[rng.integers(0, len(b))] ^= int(rng.integers(1, 256))
         blobs.append(bytes(b))
-    for dec in (decode_png, decode_bmp, decode_wav_pcm16, decode_avi_dib):
+    for dec in (decode_png, decode_bmp, decode_wav_pcm16, decode_avi_dib, decode_jpeg):
         for blob in blobs:
             try:
                 dec(blob)
@@ -520,3 +521,128 @@ def test_png_rejects_crc_valid_garbage_deflate():
     )
     with _pytest.raises(ValueError):
         decode_png(payload)
+
+
+def test_jpeg_roundtrip_coefficient_exact_and_reference_equal():
+    """The lossy codec's exactness contract: (a) the decoder recovers the
+    encoder's quantized coefficient blocks BIT-exactly (entropy coding, DC
+    prediction, zigzag, byte stuffing are all integer-exact), and (b) its
+    pixel output equals the encoder-side reference reconstruction (same
+    dequantize+IDCT+color numpy path) byte-for-byte, across shapes that
+    exercise MCU padding and qualities that change every quant step."""
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal import jpeg as J
+
+    rng = np.random.default_rng(7)
+    for (h, w) in [(8, 8), (13, 21), (5, 9), (40, 40)]:
+        for q in (50, 90):
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            data, state = J.encode_jpeg(px, quality=q)
+            blocks, qtabs, shape = J.decode_jpeg_blocks(data)
+            assert shape == (h, w)
+            for b_dec, b_enc in zip(blocks, state["blocks"]):
+                assert np.array_equal(b_dec, b_enc)
+            for t_dec, t_enc in zip(qtabs, state["qtabs"]):
+                assert np.array_equal(t_dec, t_enc)
+            assert np.array_equal(
+                J.decode_jpeg(data), J.reference_reconstruction(state)
+            )
+
+
+def test_jpeg_quality_bounds_reconstruction_error():
+    """The reconstruction must be CLOSE to the source (catches transform
+    bugs the roundtrip contract cannot — e.g. a transposed IDCT reproduces
+    under (a)+(b) above but wrecks fidelity) and error must shrink as quality
+    rises; flat color is exactly lossless."""
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal import jpeg as J
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    smooth = np.stack(
+        [
+            (20 + yy * 2 + xx * 3).clip(0, 255),
+            (50 + yy * 1 + xx * 2).clip(0, 255),
+            (100 + yy * 3).clip(0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    errs = []
+    for q in (50, 75, 90, 100):
+        out = J.decode_jpeg(J.encode_jpeg(smooth, quality=q)[0])
+        errs.append(np.abs(out.astype(int) - smooth.astype(int)).mean())
+    assert errs[-1] < 1.0, f"q=100 error too high: {errs[-1]}"
+    assert errs[0] < 5.0, f"q=50 error too high on smooth ramp: {errs[0]}"
+    assert errs[-1] <= errs[0] + 1e-9, f"error must not grow with quality: {errs}"
+    flat = np.full((16, 16, 3), 137, dtype=np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(flat, quality=90)[0])
+    assert np.array_equal(out, flat)
+
+
+def test_jpeg_rejects_fuzz_and_unsupported():
+    """Byte soup, truncations, and bit flips must raise a clean ValueError
+    (never IndexError/struct.error); unsupported SOFs likewise."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from switchback_test_dag_spark.multimodal import jpeg as J
+
+    rng = np.random.default_rng(1)
+    base, _ = J.encode_jpeg(
+        rng.integers(0, 256, size=(10, 12, 3), dtype=np.uint8), quality=80
+    )
+    blobs = [b"", b"\xff\xd8", rng.bytes(64), rng.bytes(4096)]
+    blobs += [base[:k] for k in (2, 10, 40, len(base) - 3)]
+    for _ in range(50):
+        b = bytearray(base)
+        for _ in range(int(rng.integers(1, 6))):
+            b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+        blobs.append(bytes(b))
+    for blob in blobs:
+        try:
+            J.decode_jpeg(blob)
+        except ValueError:
+            pass  # the contract: clean rejection
+    # progressive SOF2 must be refused, not mis-decoded
+    progressive = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError):
+        J.decode_jpeg(progressive)
+
+
+def test_jpeg_spark_pipeline_decodes_real_bytes(spark):
+    """End-to-end on the cluster path: synthesize real baseline JPEG payloads,
+    decode via mapInPandas, and check each feature row equals the driver-side
+    replay (decode of the same payload) — plus a fidelity bound vs the
+    closed-form source pattern."""
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    from switchback_test_dag_spark.multimodal.media import (
+        _bmp_pixels,
+        decode_jpeg_features,
+        synthesize_jpeg_images,
+    )
+
+    df = spark.range(3, 6).withColumnRenamed("id", "doc_id")
+    media = synthesize_jpeg_images(df, "doc_id", quality=90)
+    rows = {r["media_id"]: r for r in decode_jpeg_features(media).collect()}
+    assert set(rows) == {3, 4, 5}
+    for mid in (3, 4, 5):
+        w, h = 8 + mid % 9, 8 + mid % 5
+        src = _bmp_pixels(mid, w, h)
+        payload, _ = encode_jpeg(src, quality=90)
+        arr = decode_jpeg(payload).astype(np.int64)
+        weights = np.arange(1, h * w * 3 + 1, dtype=np.int64).reshape(h, w, 3)
+        r = rows[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_bytes"] == len(payload)
+        assert r["sum_r"] == int(arr[:, :, 0].sum())
+        assert r["sum_g"] == int(arr[:, :, 1].sum())
+        assert r["sum_b"] == int(arr[:, :, 2].sum())
+        assert r["wsum"] == int((arr * weights).sum())
+        # fidelity: reconstructed pattern within quantization error of source
+        err = np.abs(arr - src.astype(np.int64)).mean()
+        assert err < 20.0, f"id {mid}: mean abs err {err}"
