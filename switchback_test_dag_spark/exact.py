@@ -42,6 +42,23 @@ def spark_micro_sum(expr: str) -> Column:
     )
 
 
+def spark_micro_sum_wide(expr: str) -> Column:
+    """As :func:`spark_micro_sum`, with a DECIMAL(38,0) accumulator — the
+    documented headroom escape for sums whose absolute micro total can exceed
+    BIGINT (~9.2e18). Needed wherever the summed row count is itself a join
+    EXPANSION (e.g. a K²-growing range-join pair set: 100× data → ~3e18 micro
+    units overflowed the long sum under ANSI mode). DuckDB needs no twin
+    change: its BIGINT sum already promotes to HUGEINT. ``div`` on the
+    decimal returns BIGINT, so the final cents math is unchanged."""
+    return (
+        F.expr(
+            f"(sum(CAST(round(({expr}) * 1000000, 0) AS DECIMAL(38,0))) + 5000)"
+            " div 10000"
+        )
+        / 100.0
+    )
+
+
 def spark_micro_avg(expr: str) -> Column:
     """Spark: exact 2-decimal mean of SQL expression ``expr``."""
     return (

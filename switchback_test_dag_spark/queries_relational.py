@@ -16,7 +16,11 @@ from pyspark.sql.functions import broadcast
 from switchback_test_dag_spark.io import load_table
 from switchback_test_dag_spark.operators import relational as R
 from switchback_test_dag_spark.plans.buckets import hr_interval, time_bucket
-from switchback_test_dag_spark.exact import duck_micro_sum, spark_micro_sum
+from switchback_test_dag_spark.exact import (
+    duck_micro_sum,
+    spark_micro_sum,
+    spark_micro_sum_wide,
+)
 from switchback_test_dag_spark.queries import query
 
 
@@ -212,7 +216,9 @@ def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            spark_micro_sum("o_totalprice").alias("total"),
+            # the pair set grows ~K^2 under K-times data: BIGINT micro sums
+            # overflowed at the 100x point, so this sum runs wide
+            spark_micro_sum_wide("o_totalprice").alias("total"),
         )
     )
 
@@ -292,7 +298,14 @@ def salted_range_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("event_type", F.col("jk").alias("user_id"))
         .agg(
             F.sum("n_orders").cast("long").alias("n_pairs"),
-            (F.expr("(sum(micro_sum) + 5000) div 10000") / 100.0).alias("total"),
+            # same K^2-headroom reasoning as temporal_range_join: accumulate
+            # the group micro sums in DECIMAL(38,0) before the cents division
+            (
+                F.expr(
+                    "(sum(CAST(micro_sum AS DECIMAL(38,0))) + 5000) div 10000"
+                )
+                / 100.0
+            ).alias("total"),
         )
     )
 
