@@ -22,6 +22,38 @@ from switchback_test_dag_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# per-query wall cap (seconds; 0 disables): a hung or runaway query at a big
+# scale factor must cost its own slot, not the whole benchmark — the partial
+# marker already makes an incomplete battery honest
+QUERY_TIMEOUT = float(os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT", "900"))
+
+
+def _timed_count(spark, fn, name: str, timeout_s: float) -> int:
+    """Run fn(spark, SF_DIR).count() with a wall cap, cancelling the query's
+    job group on expiry (thread-local job groups — pinned-thread mode)."""
+    import threading
+
+    if not timeout_s:
+        return fn(spark, SF_DIR).count()
+    result: dict = {}
+
+    def run() -> None:
+        try:
+            spark.sparkContext.setJobGroup(name, f"bench:{name}", True)
+            result["n"] = fn(spark, SF_DIR).count()
+        except Exception as exc:  # noqa: BLE001 - re-raised on the main thread
+            result["exc"] = exc
+
+    t = threading.Thread(target=run, daemon=True, name=f"bench-{name}")
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        spark.sparkContext.cancelJobGroup(name)
+        t.join(30)
+        raise TimeoutError(f"exceeded {timeout_s:.0f}s; job group cancelled")
+    if "exc" in result:
+        raise result["exc"]
+    return result["n"]
 
 # The benched set IS the registry: every queries() entry runs, so a new
 # operator can never silently drift out of the benchmark. The flagship runs
@@ -62,7 +94,7 @@ def main() -> None:
         for _ in range(n_runs):
             t0 = time.perf_counter()
             try:
-                queries[name](spark, SF_DIR).count()
+                _timed_count(spark, queries[name], name, QUERY_TIMEOUT)
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 break

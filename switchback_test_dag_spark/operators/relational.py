@@ -78,22 +78,128 @@ def anti_join_on_keys(
     return df.join(broadcast(keys_df.select(*keys).distinct()), on=list(keys), how="left_anti")
 
 
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[float],
+    by: Sequence[str] = (),
+    out_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact interpolated quantiles (``percentile``/``quantile_cont``
+    semantics) with BOUNDED executor memory — the warehouse-scale form.
+
+    Spark's builtin exact ``percentile`` buffers a value→count map of the
+    entire group inside one aggregation buffer, so a single large group can
+    OOM an executor no matter how many are available (measured locally: it
+    is also the cost center of the IQR query — near-unique doubles compress
+    nothing). This computes the same numbers from scalable primitives only:
+
+    1. map-side-combinable ``groupBy(by, value)`` count — duplicates collapse
+       here, so heavy ties cost one row, not one buffered entry each;
+    2. a running-sum window (``RANGE UNBOUNDED PRECEDING`` — streaming O(1)
+       frame over an external, spillable sort) assigns each distinct value
+       its cumulative 1-indexed end position;
+    3. per requested ``p``, the two neighbor positions of rank
+       ``p·(n−1)`` (0-indexed, exactly the builtin's definition) are picked
+       by a conditional aggregate (each matches exactly one row) and
+       interpolated as ``lo + (rank − floor(rank))·(hi − lo)`` — the
+       builtin's formula, so results are bit-compatible.
+
+    NULLs are ignored like the builtin; empty groups yield no row. Returns
+    one row per group with ``out_cols`` (default ``q0, q1, ...``) as DOUBLE.
+    """
+    if out_cols is None:
+        out_cols = [f"q{i}" for i in range(len(probs))]
+    vals = df.filter(F.col(value_col).isNotNull()).select(*by, value_col)
+    counts = vals.groupBy(*by, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    totals = counts.groupBy(*by).agg(F.sum("_c").alias("_n"))
+    if by:
+        w = Window.partitionBy(*by).orderBy(value_col)
+        cum = counts.withColumn("_cum", F.sum("_c").over(w))
+    else:
+        # GLOBAL quantile: a bare ORDER BY window would stream every distinct
+        # value through one task. Range-partition instead (ascending value
+        # ranges land on ascending partition ids — the range partitioner's
+        # invariant): parallel per-partition running sums, then a tiny
+        # one-row-per-partition offset frame broadcast back.
+        parts = counts.repartitionByRange(F.col(value_col)).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        local_w = Window.partitionBy("_pid").orderBy(value_col)
+        local = parts.withColumn("_lcum", F.sum("_c").over(local_w))
+        ptot = local.groupBy("_pid").agg(F.sum("_c").alias("_pc"))
+        off_w = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = ptot.withColumn(
+            "_off", F.coalesce(F.sum("_pc").over(off_w), F.lit(0))
+        )
+        cum = (
+            local.join(broadcast(offs.select("_pid", "_off")), "_pid")
+            .withColumn("_cum", F.col("_lcum") + F.col("_off"))
+            .drop("_pid", "_lcum", "_off")
+        )
+    joined = (
+        cum.join(totals, on=list(by)) if by else cum.crossJoin(broadcast(totals))
+    )
+    v = F.col(value_col).cast("double")
+    prev = F.col("_cum") - F.col("_c")
+    aggs = [F.min("_n").alias("_n")]
+    for i, p in enumerate(probs):
+        rank = F.lit(float(p)) * (F.col("_n") - 1)  # 0-indexed, builtin's def
+        lo_pos = F.floor(rank) + 1  # 1-indexed multiset positions
+        hi_pos = F.ceil(rank) + 1
+        aggs.append(
+            F.max(F.when((prev < lo_pos) & (lo_pos <= F.col("_cum")), v)).alias(
+                f"_lo{i}"
+            )
+        )
+        aggs.append(
+            F.max(F.when((prev < hi_pos) & (hi_pos <= F.col("_cum")), v)).alias(
+                f"_hi{i}"
+            )
+        )
+    gb = joined.groupBy(*by).agg(*aggs)
+    out = []
+    for i, p in enumerate(probs):
+        rank = F.lit(float(p)) * (F.col("_n") - 1)
+        frac = rank - F.floor(rank)
+        out.append(
+            (
+                F.col(f"_lo{i}")
+                + frac * (F.col(f"_hi{i}") - F.col(f"_lo{i}"))
+            ).alias(out_cols[i])
+        )
+    return gb.select(*by, *out)
+
+
 def iqr_bounds(
     df: DataFrame, value_cols: Sequence[str], by: Sequence[str] = ()
 ) -> DataFrame:
     """P7 (half 1): per-group [q1 − 1.5·IQR, q3 + 1.5·IQR] bounds per KPI
-    (deep_dive_analyses.ipynb:2410-2414). Uses exact ``percentile`` (one shuffle
-    for all columns); swap to ``percentile_approx`` at warehouse scale where the
-    t-digest error is acceptable."""
-    aggs = []
+    (deep_dive_analyses.ipynb:2410-2414). Quartiles come from
+    :func:`exact_quantiles` — exact ``percentile`` numbers without the
+    builtin's whole-group aggregation buffer (the 100 TB hazard), one
+    scalable quantile pass per KPI column joined on the group keys."""
+    bounds: DataFrame | None = None
     for c in value_cols:
-        q1 = F.expr(f"percentile(`{c}`, 0.25)")
-        q3 = F.expr(f"percentile(`{c}`, 0.75)")
-        aggs += [
+        q = exact_quantiles(
+            df, c, [0.25, 0.75], by=by, out_cols=[f"_{c}_q1", f"_{c}_q3"]
+        )
+        q1, q3 = F.col(f"_{c}_q1"), F.col(f"_{c}_q3")
+        q = q.select(
+            *by,
             (q1 - 1.5 * (q3 - q1)).alias(f"{c}_lo"),
             (q3 + 1.5 * (q3 - q1)).alias(f"{c}_hi"),
-        ]
-    return df.groupBy(*by).agg(*aggs)
+        )
+        if bounds is None:
+            bounds = q
+        elif by:
+            bounds = bounds.join(q, on=list(by), how="outer")
+        else:
+            bounds = bounds.crossJoin(q)
+    assert bounds is not None, "iqr_bounds needs at least one value column"
+    return bounds
 
 
 def iqr_filter(

@@ -56,3 +56,95 @@ def test_asof_rejects_column_collision(spark):
         asof_join_backward(
             left, right, on="k", left_time="t", right_time="rt", right_cols=["val"]
         )
+
+
+# --- exact_quantiles: the bounded-memory percentile -----------------------------
+
+
+def _q_diff(spark, rows, probs, by):
+    """Differential harness: exact_quantiles must reproduce the builtin exact
+    percentile (same type-7 interpolation) bit-for-bit."""
+    from switchback_test_dag_spark.operators.relational import exact_quantiles
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        tuple(r[k] for k in by): [r[f"q{i}"] for i in range(len(probs))]
+        for r in exact_quantiles(df, "v", probs, by=by).collect()
+    }
+    plist = ", ".join(
+        f"percentile(v, {p}) AS q{i}" for i, p in enumerate(probs)
+    )
+    ref_df = (
+        df.groupBy(*by).agg(*[F.expr(e) for e in plist.split(", ")])
+        if by
+        else df.agg(*[F.expr(e) for e in plist.split(", ")])
+    )
+    want = {
+        tuple(r[k] for k in by): [r[f"q{i}"] for i in range(len(probs))]
+        for r in ref_df.collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_exact_quantiles_matches_builtin_grouped(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for g in ("a", "b", "c"):
+        n = {"a": 101, "b": 64, "c": 1}[g]
+        for _ in range(n):
+            # heavy ties on purpose: duplicates must collapse, not shift ranks
+            rows.append((g, float(rng.choice([1, 2, 2, 3, 5, 5, 5, 8, 13]))))
+    rows.append(("a", None))  # NULLs ignored like the builtin
+    _q_diff(spark, rows, [0.0, 0.25, 0.5, 0.75, 0.9, 1.0], by=["g"])
+
+
+def test_exact_quantiles_matches_builtin_global(spark):
+    """The by=() branch (range-partitioned parallel cumsum) must agree too."""
+    import random
+
+    rng = random.Random(11)
+    rows = [("x", rng.uniform(-50, 50)) for _ in range(257)]
+    _q_diff(spark, rows, [0.25, 0.5, 0.75], by=[])
+
+
+def test_exact_quantiles_plan_has_no_percentile_buffer(spark):
+    """The point of the operator: the physical plan must contain NO exact
+    `percentile` aggregate (whose buffer holds the whole group) — only
+    scalable count/sum aggregates and a running-sum window."""
+    from switchback_test_dag_spark.operators.relational import exact_quantiles
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    plan = exact_quantiles(df, "v", [0.25, 0.75], by=["g"])._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan.lower()
+
+
+def test_iqr_bounds_multi_column_still_agrees(spark):
+    """iqr_bounds now routes through exact_quantiles; its fences must equal
+    the builtin-percentile formula for several KPI columns at once."""
+    import random
+
+    from switchback_test_dag_spark.operators.relational import iqr_bounds
+
+    rng = random.Random(3)
+    rows = [
+        ("a" if i % 3 else "b", rng.uniform(0, 100), float(rng.randint(0, 9)))
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in iqr_bounds(df, ["x", "y"], by=["g"]).collect()}
+    ref = df.groupBy("g").agg(
+        F.expr("percentile(x, 0.25)").alias("xq1"),
+        F.expr("percentile(x, 0.75)").alias("xq3"),
+        F.expr("percentile(y, 0.25)").alias("yq1"),
+        F.expr("percentile(y, 0.75)").alias("yq3"),
+    )
+    for r in ref.collect():
+        g = got[r["g"]]
+        assert g["x_lo"] == r["xq1"] - 1.5 * (r["xq3"] - r["xq1"])
+        assert g["x_hi"] == r["xq3"] + 1.5 * (r["xq3"] - r["xq1"])
+        assert g["y_lo"] == r["yq1"] - 1.5 * (r["yq3"] - r["yq1"])
+        assert g["y_hi"] == r["yq3"] + 1.5 * (r["yq3"] - r["yq1"])
