@@ -102,8 +102,11 @@ def exact_quantiles(
     3. per requested ``p``, the two neighbor positions of rank
        ``p·(n−1)`` (0-indexed, exactly the builtin's definition) are picked
        by a conditional aggregate (each matches exactly one row) and
-       interpolated as ``lo + (rank − floor(rank))·(hi − lo)`` — the
-       builtin's formula, so results are bit-compatible.
+       interpolated as ``lo + (rank − floor(rank))·(hi − lo)`` — exactly
+       DuckDB ``quantile_cont``'s form (the driver oracle), and within 1 ulp
+       of Spark's builtin ``percentile`` (whose symmetric
+       ``(1−frac)·lo + frac·hi`` form can differ in the last bit for
+       non-dyadic probs).
 
     NULLs are ignored like the builtin; empty groups yield no row. Returns
     one row per group with ``out_cols`` (default ``q0, q1, ...``) as DOUBLE.

@@ -63,7 +63,13 @@ def test_asof_rejects_column_collision(spark):
 
 def _q_diff(spark, rows, probs, by):
     """Differential harness: exact_quantiles must reproduce the builtin exact
-    percentile (same type-7 interpolation) bit-for-bit."""
+    percentile — bit-for-bit when the interpolation weight is exact, and within
+    1 ulp otherwise (the builtin's symmetric ``(1-frac)·lo + frac·hi`` form can
+    differ by one ulp from the ``lo + frac·(hi-lo)`` form — which is what
+    DuckDB ``quantile_cont``, the driver oracle, computes — for non-dyadic
+    probs)."""
+    import math
+
     from switchback_test_dag_spark.operators.relational import exact_quantiles
 
     df = spark.createDataFrame(rows, "g string, v double")
@@ -71,21 +77,25 @@ def _q_diff(spark, rows, probs, by):
         tuple(r[k] for k in by): [r[f"q{i}"] for i in range(len(probs))]
         for r in exact_quantiles(df, "v", probs, by=by).collect()
     }
-    plist = ", ".join(
-        f"percentile(v, {p}) AS q{i}" for i, p in enumerate(probs)
-    )
-    ref_df = (
-        df.groupBy(*by).agg(*[F.expr(e) for e in plist.split(", ")])
-        if by
-        else df.agg(*[F.expr(e) for e in plist.split(", ")])
-    )
+    ref_exprs = [
+        F.expr(f"percentile(v, {p})").alias(f"q{i}") for i, p in enumerate(probs)
+    ]
+    ref_df = df.groupBy(*by).agg(*ref_exprs) if by else df.agg(*ref_exprs)
     want = {
         tuple(r[k] for k in by): [r[f"q{i}"] for i in range(len(probs))]
         for r in ref_df.collect()
     }
     assert set(got) == set(want)
     for k in want:
-        assert got[k] == want[k], (k, got[k], want[k])
+        for a, b in zip(got[k], want[k]):
+            if a == b:  # covers None == None and exact matches
+                continue
+            assert a is not None and b is not None, (k, got[k], want[k])
+            assert abs(a - b) <= math.ulp(max(abs(a), abs(b))), (
+                k,
+                got[k],
+                want[k],
+            )
 
 
 def test_exact_quantiles_matches_builtin_grouped(spark):
@@ -108,7 +118,10 @@ def test_exact_quantiles_matches_builtin_global(spark):
 
     rng = random.Random(11)
     rows = [("x", rng.uniform(-50, 50)) for _ in range(257)]
-    _q_diff(spark, rows, [0.25, 0.5, 0.75], by=[])
+    # 0.1/0.9 are non-dyadic: rank = p·256 is non-integral and frac carries
+    # rounding, surfacing the 1-ulp interpolation-form difference _q_diff
+    # tolerates (the dyadic probs stay bit-exact)
+    _q_diff(spark, rows, [0.1, 0.25, 0.5, 0.75, 0.9], by=[])
 
 
 def test_exact_quantiles_plan_has_no_percentile_buffer(spark):
