@@ -57,8 +57,9 @@ def _timed_count(spark, fn, name: str, timeout_s: float) -> int:
 
 # The benched set IS the registry: every queries() entry runs, so a new
 # operator can never silently drift out of the benchmark. The flagship runs
-# first (it doubles as the warmup plan family).
-FLAGSHIP = "sb_mwu_pvalues"
+# first (it doubles as the warmup plan family); its name comes from the
+# registry so bench.py can never drift from what entry() actually runs.
+from switchback_test_dag_spark.queries import FLAGSHIP  # noqa: E402
 
 
 def main() -> None:
@@ -71,21 +72,27 @@ def main() -> None:
     # warmup: JVM, parquet footer reads, codegen, and Python/Arrow UDF workers
     # (first mapInPandas call spawns 32 workers importing pandas/numpy — that
     # one-time cost belongs to session startup, not whichever query hits it
-    # first)
-    queries[names[0]](spark, SF_DIR).count()
+    # first). Routed through _timed_count so a hung flagship at a big scale
+    # factor costs one cancelled job group, not the whole benchmark; expiry
+    # here is non-fatal — the measured runs below carry their own caps.
+    try:
+        _timed_count(spark, queries[names[0]], "warmup", QUERY_TIMEOUT)
+    except Exception as exc:  # noqa: BLE001 - warmup is best-effort
+        print(f"warmup: {type(exc).__name__}: {exc}", file=sys.stderr)
     spark.range(0, 1 << 10, 1, CPUS).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
 
-    # best-of-N (default 2): single runs on this box show up to 20x variance
+    # best-of-N (default 3): single runs on this box show up to 20x variance
     # from transient system noise on identical plans; the min measures plan
-    # execution. All raw runs are persisted under "runs" so the variance
-    # itself is auditable. A query that errors is recorded (not fatal): the
-    # rest of the battery still produces timings — a partial benchmark beats
-    # a crashed one.
+    # execution (the round-5 n=3 audit showed best-of-2 still conflates
+    # first-touch warmup with plan cost — e.g. assignment_battery 3.45→0.63 s).
+    # All raw runs are persisted under "runs" so the variance itself is
+    # auditable. A query that errors is recorded (not fatal): the rest of the
+    # battery still produces timings — a partial benchmark beats a crashed one.
     from switchback_test_dag_spark.caching import release_all
 
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}

@@ -14,11 +14,13 @@ optimal-Huffman entropy codec, DCT, quantization — see
 roundtrip plus byte-exact reference reconstruction, pytest-gated), and VIDEO
 via ``avi.py`` (RIFF uncompressed-DIB AVI: real container walking, real
 per-frame decode, real frame sampling — ``decode_avi_features`` /
-``sample_avi_frames``). Only H.26x-class motion-compensated video remains
-STUBBED: that genuinely needs codec libraries this container lacks, so the
-generic decode raises ``NotImplementedError`` unless
-``deterministic_fake=True``, which derives pixel features from
-``xxhash``-style arithmetic on the payload bytes.
+``sample_avi_frames``). The GENERIC feature path (``decode_features`` /
+``sample_frames``) dispatches on magic bytes to those five real parsers —
+no fake flags anywhere. Only H.26x-class motion-compensated video remains
+STUBBED: that genuinely needs codec libraries this container lacks, so
+ISO-BMFF/``ftyp`` containers and Annex-B elementary streams raise a loud
+``NotImplementedError`` from the format detector; payloads with no known
+magic raise ``ValueError`` (a data-quality signal, not a crash).
 
 Scale notes:
 - payloads ride in parquet binary columns; never ``collect()`` them;
@@ -32,7 +34,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -81,7 +82,9 @@ FRAME_SCHEMA = StructType(
 
 def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Build a MEDIA_SCHEMA-shaped table from any text source (fixture stand-in
-    for real scraped payloads): payload = utf-8 bytes, metadata derived."""
+    for real scraped payloads): payload = utf-8 bytes, metadata derived. These
+    payloads carry NO media magic bytes, so the decode path rejects them with
+    ``ValueError`` — the fixture for the unknown-format quality signal."""
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -93,72 +96,137 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _fake_feature(payload: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in for a decoded-image feature vector: sha256-seeded
-    per-dimension values in [0, 1)."""
+def detect_media_format(raw: bytes) -> str:
+    """Magic-bytes dispatch for the generic decode path: returns one of
+    ``bmp | png | jpeg | wav | avi``. ISO-BMFF (``ftyp`` — MP4/MOV holding
+    H.26x) and bare Annex-B elementary streams raise ``NotImplementedError``
+    (the documented motion-compensated-video stub: decoding them genuinely
+    needs codec libraries this container lacks); anything else raises
+    ``ValueError`` — a per-payload data-quality signal callers may catch,
+    never a crash from inside a parser."""
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if raw[:2] == b"BM":
+        return "bmp"
+    if raw[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        return "wav"
+    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+        return "avi"
+    if len(raw) >= 12 and raw[4:8] == b"ftyp":
+        raise NotImplementedError(
+            "ISO-BMFF (MP4/MOV) containers hold H.26x-class motion-compensated "
+            "video; decoding requires codec libraries unavailable here"
+        )
+    if raw[:4] == b"\x00\x00\x00\x01" or raw[:3] == b"\x00\x00\x01":
+        raise NotImplementedError(
+            "Annex-B elementary stream (H.26x-class); decoding requires codec "
+            "libraries unavailable here"
+        )
+    raise ValueError("unrecognized media payload: no known magic bytes")
+
+
+def _decode_image(raw: bytes, fmt: str):
+    """fmt ∈ {bmp, png, jpeg} → (h, w, 3) uint8 RGB via the real parsers."""
+    if fmt == "bmp":
+        from switchback_test_dag_spark.multimodal.bmp import decode_bmp
+
+        return decode_bmp(raw)
+    if fmt == "png":
+        from switchback_test_dag_spark.multimodal.png import decode_png
+
+        return decode_png(raw)
+    from switchback_test_dag_spark.multimodal.jpeg import decode_jpeg
+
+    return decode_jpeg(raw)
+
+
+def _pooled(values, dim: int) -> list[float]:
+    """Fixed-dim descriptor from a variable-length [0, 1] sample array:
+    contiguous-bucket mean pooling (the classic resize-to-thumbnail step),
+    empty buckets → 0. Deterministic and order-preserving."""
+    n = len(values)
     out = []
-    h = payload or b""
     for i in range(dim):
-        d = hashlib.sha256(h + i.to_bytes(4, "little")).digest()
-        out.append(int.from_bytes(d[:8], "little") / 2**64)
+        a, b = (i * n) // dim, ((i + 1) * n) // dim
+        out.append(float(values[a:b].mean()) if b > a else 0.0)
     return out
 
 
-def decode_features(
-    media: DataFrame, dim: int = 16, deterministic_fake: bool = False
-) -> DataFrame:
-    """Decode payloads → fixed-dim feature vectors via ``mapInPandas``.
-
-    With real codecs this is: decode image → resize → model/handcrafted
-    features. Here the codec is stubbed (see module docstring); the Arrow
-    batch iteration, schema contract and partition behavior are real.
-    """
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "media codecs unavailable in this environment; "
-                    "pass deterministic_fake=True to exercise the plumbing"
-                )
-            payloads = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "feature": payloads.map(lambda b: _fake_feature(b or b"", dim)),
-                }
-            )
-
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
-
-
-def sample_frames(
-    media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8,
-    deterministic_fake: bool = False,
-) -> DataFrame:
-    """Frame sampling: one row per sampled frame per video. The fake slices the
-    payload every ``every_n_bytes``; a real implementation seeks keyframes.
-    Few-rows-out per input keeps the explode inside the decode task."""
+def decode_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Generic decode: payload → fixed-dim feature vector via ``mapInPandas``,
+    dispatching on magic bytes to the five REAL pure-Python codecs
+    (:func:`detect_media_format`). Images (BMP/PNG/JPEG) pool normalized
+    pixels, audio (WAV) pools normalized PCM16 samples, video (AVI) pools
+    normalized pixels across all frames — each via :func:`_pooled`, so one
+    schema serves every modality. Unknown payloads raise ``ValueError`` per
+    row (callers pre-filter or let the task fail loudly); H.26x-class video
+    raises the documented ``NotImplementedError``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from switchback_test_dag_spark.multimodal.avi import decode_avi_dib
+        from switchback_test_dag_spark.multimodal.wav import decode_wav_pcm16
+
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "media codecs unavailable; pass deterministic_fake=True"
-                )
-            ids, idxs, frames = [], [], []
+            ids, nbs, feats = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                payload = payload or b""
-                for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                raw = bytes(payload) if payload is not None else b""
+                fmt = detect_media_format(raw)
+                if fmt in ("bmp", "png", "jpeg"):
+                    vals = _decode_image(raw, fmt).astype(np.float64).ravel() / 255.0
+                elif fmt == "wav":
+                    _rate, _ch, s = decode_wav_pcm16(raw)
+                    vals = (s.astype(np.float64) + 32768.0) / 65535.0
+                else:  # avi
+                    _fps, frames = decode_avi_dib(raw)
+                    vals = frames.astype(np.float64).ravel() / 255.0
+                ids.append(mid)
+                nbs.append(len(raw))
+                feats.append(_pooled(vals, dim))
+            yield pd.DataFrame({"media_id": ids, "n_bytes": nbs, "feature": feats})
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2, max_frames: int = 8) -> DataFrame:
+    """Generic frame sampling via the same magic-bytes dispatch: video (AVI)
+    emits every ``every_n``-th decoded frame's raw RGB (capped at
+    ``max_frames``); still images emit their single decoded frame as index 0;
+    audio raises ``ValueError`` (no frames to sample). Few-rows-out per input
+    keeps the explode inside the decode task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from switchback_test_dag_spark.multimodal.avi import decode_avi_dib
+
+        for pdf in batches:
+            ids, idxs, blobs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                fmt = detect_media_format(raw)
+                if fmt == "avi":
+                    _fps, frames = decode_avi_dib(raw)
+                    taken = 0
+                    for j in range(0, len(frames), every_n):
+                        if taken >= max_frames:
+                            break
+                        ids.append(mid)
+                        idxs.append(j)
+                        blobs.append(frames[j].tobytes())
+                        taken += 1
+                elif fmt in ("bmp", "png", "jpeg"):
                     ids.append(mid)
-                    idxs.append(i)
-                    frames.append(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
+                    idxs.append(0)
+                    blobs.append(_decode_image(raw, fmt).tobytes())
+                else:
+                    raise ValueError(f"cannot sample frames from {fmt} audio")
             yield pd.DataFrame(
-                {"media_id": ids, "frame_idx": idxs, "frame_bytes": frames}
+                {"media_id": ids, "frame_idx": idxs, "frame_bytes": blobs}
             )
 
-    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+    return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
 
 
 def repartition_by_bytes(
@@ -174,6 +242,71 @@ def repartition_by_bytes(
     return media.repartition(n, "media_id")
 
 
+def synthesize_mixed_media(df: DataFrame, id_col: str) -> DataFrame:
+    """One MEDIA_SCHEMA table spanning ALL FIVE real codecs — the dispatch
+    fixture: format is ``id % 5`` (bmp, png, jpeg, wav, avi), every payload
+    built by the corresponding real encoder over the closed-form test
+    patterns used by the per-format synthesizers, with matching kind/mime
+    metadata. Exercises :func:`detect_media_format` on every branch."""
+    from switchback_test_dag_spark.multimodal.avi import encode_avi_dib
+    from switchback_test_dag_spark.multimodal.bmp import encode_bmp24
+    from switchback_test_dag_spark.multimodal.jpeg import encode_jpeg
+    from switchback_test_dag_spark.multimodal.png import encode_png
+    from switchback_test_dag_spark.multimodal.wav import encode_wav_pcm16
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                fmt = mid % 5
+                if fmt == 0:
+                    w, h = 8 + mid % 9, 6 + mid % 5
+                    payloads.append(encode_bmp24(_bmp_pixels(mid, w, h)))
+                    kinds.append("image"), mimes.append("image/bmp")
+                    ws.append(w), hs.append(h), durs.append(None)
+                elif fmt == 1:
+                    w, h = 5 + mid % 11, 5 + mid % 7
+                    payloads.append(encode_png(_bmp_pixels(mid, w, h)))
+                    kinds.append("image"), mimes.append("image/png")
+                    ws.append(w), hs.append(h), durs.append(None)
+                elif fmt == 2:
+                    w, h = 8 + mid % 9, 8 + mid % 5
+                    payloads.append(encode_jpeg(_bmp_pixels(mid, w, h), quality=90)[0])
+                    kinds.append("image"), mimes.append("image/jpeg")
+                    ws.append(w), hs.append(h), durs.append(None)
+                elif fmt == 3:
+                    i = np.arange(256, dtype=np.int64)
+                    samples = ((mid * 31 + i * 17) % 65536 - 32768).astype("<i2")
+                    payloads.append(encode_wav_pcm16(samples, 8000))
+                    kinds.append("audio"), mimes.append("audio/wav")
+                    ws.append(None), hs.append(None), durs.append(256 * 1000 // 8000)
+                else:
+                    frames = np.stack(
+                        [_bmp_pixels(mid * 1009 + j, 8, 6) for j in range(6)]
+                    )
+                    payloads.append(encode_avi_dib(frames, fps=10))
+                    kinds.append("video"), mimes.append("video/x-msvideo")
+                    ws.append(8), hs.append(6), durs.append(600)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": kinds,
+                    "payload": payloads,
+                    "mime": mimes,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
 # --------------------------------------------------------------------------- #
 # real video path (pure-Python uncompressed-DIB AVI codec — see avi.py)
 # --------------------------------------------------------------------------- #
@@ -185,6 +318,7 @@ VIDEO_FEATURE_SCHEMA = StructType(
         StructField("n_frames", IntegerType(), False),
         StructField("width", IntegerType(), False),
         StructField("height", IntegerType(), False),
+        StructField("n_bytes", LongType(), False),
         StructField("sum_px", LongType(), False),
         StructField("frame0_wsum", LongType(), False),
     ]
@@ -232,19 +366,21 @@ def synthesize_avi_videos(
 
 def decode_avi_features(media: DataFrame) -> DataFrame:
     """Parse REAL AVI bytes → integer-exact video features: frame count, fps,
-    geometry, total pixel sum across all frames, and the first frame's
-    position-weighted checksum (row/channel/stride bug detector, as in
-    :func:`decode_bmp_features`). The working video codec path — no
-    ``deterministic_fake``."""
+    geometry, container byte size (closed-form for uncompressed DIB:
+    ``224 + n·(8 + stride·h)`` — oracle-replayable byte accounting), total
+    pixel sum across all frames, and the first frame's position-weighted
+    checksum (row/channel/stride bug detector, as in
+    :func:`decode_bmp_features`). The working video codec path."""
     from switchback_test_dag_spark.multimodal.avi import decode_avi_dib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            fpss, nfs, ws, hs, sums, w0 = [], [], [], [], [], []
+            fpss, nfs, ws, hs, nbs, sums, w0 = [], [], [], [], [], [], []
             for payload in pdf["payload"]:
-                fps, frames = decode_avi_dib(bytes(payload))
+                raw = bytes(payload)
+                fps, frames = decode_avi_dib(raw)
                 n, h, w, _ = frames.shape
                 f0 = frames[0].astype(np.int64)
                 weights = np.arange(1, h * w * 3 + 1, dtype=np.int64).reshape(
@@ -254,6 +390,7 @@ def decode_avi_features(media: DataFrame) -> DataFrame:
                 nfs.append(n)
                 ws.append(w)
                 hs.append(h)
+                nbs.append(len(raw))
                 sums.append(int(frames.astype(np.int64).sum()))
                 w0.append(int((f0 * weights).sum()))
             yield pd.DataFrame(
@@ -263,6 +400,7 @@ def decode_avi_features(media: DataFrame) -> DataFrame:
                     "n_frames": nfs,
                     "width": ws,
                     "height": hs,
+                    "n_bytes": nbs,
                     "sum_px": sums,
                     "frame0_wsum": w0,
                 }

@@ -84,6 +84,7 @@ def exact_quantiles(
     probs: Sequence[float],
     by: Sequence[str] = (),
     out_cols: Sequence[str] | None = None,
+    wide_groups: bool | None = None,
 ) -> DataFrame:
     """Exact interpolated quantiles (``percentile``/``quantile_cont``
     semantics) with BOUNDED executor memory — the warehouse-scale form.
@@ -110,35 +111,55 @@ def exact_quantiles(
 
     NULLs are ignored like the builtin; empty groups yield no row. Returns
     one row per group with ``out_cols`` (default ``q0, q1, ...``) as DOUBLE.
+
+    ``wide_groups`` picks the cumulative-sum strategy (default: True iff
+    ``by`` is empty):
+
+    - False (many modest groups, e.g. per-(bucket, test-group)): one
+      ``Window.partitionBy(by).orderBy(value)`` running sum — one shuffle,
+      external spillable sort per group.
+    - True (zero or FEW groups, each potentially huge — the 100 TB hazard
+      where a per-group window serializes a whole group through one task):
+      range-partition on ``(by..., value)`` so each group's values ascend
+      across ascending partition ids, run parallel per-partition local sums,
+      then broadcast back a tiny one-row-per-(partition, group) offset frame.
+      The offset frame has ≤ partitions + groups rows, so this mode is for
+      low-cardinality ``by`` only — with millions of groups the offsets stop
+      being broadcastable, and the per-group window is the right plan anyway.
     """
     if out_cols is None:
         out_cols = [f"q{i}" for i in range(len(probs))]
+    if wide_groups is None:
+        wide_groups = not by
     vals = df.filter(F.col(value_col).isNotNull()).select(*by, value_col)
     counts = vals.groupBy(*by, value_col).agg(F.count(F.lit(1)).alias("_c"))
     totals = counts.groupBy(*by).agg(F.sum("_c").alias("_n"))
-    if by:
+    if not wide_groups:
         w = Window.partitionBy(*by).orderBy(value_col)
         cum = counts.withColumn("_cum", F.sum("_c").over(w))
     else:
-        # GLOBAL quantile: a bare ORDER BY window would stream every distinct
-        # value through one task. Range-partition instead (ascending value
-        # ranges land on ascending partition ids — the range partitioner's
-        # invariant): parallel per-partition running sums, then a tiny
-        # one-row-per-partition offset frame broadcast back.
-        parts = counts.repartitionByRange(F.col(value_col)).withColumn(
-            "_pid", F.spark_partition_id()
-        )
-        local_w = Window.partitionBy("_pid").orderBy(value_col)
+        # Parallel cumulative sum: ascending (by..., value) ranges land on
+        # ascending partition ids (the range partitioner's invariant), so a
+        # per-(pid, by) local running sum plus a per-(by) prefix offset over
+        # partition subtotals reconstructs the exact global cumsum. The
+        # offset window orders the per-(pid, group) subtotal frame by _pid —
+        # a single task per group, but over ≤ #partitions rows, not data.
+        parts = counts.repartitionByRange(
+            *[F.col(c) for c in by], F.col(value_col)
+        ).withColumn("_pid", F.spark_partition_id())
+        local_w = Window.partitionBy("_pid", *by).orderBy(value_col)
         local = parts.withColumn("_lcum", F.sum("_c").over(local_w))
-        ptot = local.groupBy("_pid").agg(F.sum("_c").alias("_pc"))
-        off_w = Window.orderBy("_pid").rowsBetween(
+        ptot = local.groupBy("_pid", *by).agg(F.sum("_c").alias("_pc"))
+        off_w = Window.partitionBy(*by).orderBy("_pid").rowsBetween(
             Window.unboundedPreceding, -1
         )
         offs = ptot.withColumn(
             "_off", F.coalesce(F.sum("_pc").over(off_w), F.lit(0))
         )
         cum = (
-            local.join(broadcast(offs.select("_pid", "_off")), "_pid")
+            local.join(
+                broadcast(offs.select("_pid", *by, "_off")), ["_pid", *by]
+            )
             .withColumn("_cum", F.col("_lcum") + F.col("_off"))
             .drop("_pid", "_lcum", "_off")
         )
@@ -182,27 +203,39 @@ def iqr_bounds(
     """P7 (half 1): per-group [q1 − 1.5·IQR, q3 + 1.5·IQR] bounds per KPI
     (deep_dive_analyses.ipynb:2410-2414). Quartiles come from
     :func:`exact_quantiles` — exact ``percentile`` numbers without the
-    builtin's whole-group aggregation buffer (the 100 TB hazard), one
-    scalable quantile pass per KPI column joined on the group keys."""
-    bounds: DataFrame | None = None
-    for c in value_cols:
-        q = exact_quantiles(
-            df, c, [0.25, 0.75], by=by, out_cols=[f"_{c}_q1", f"_{c}_q3"]
-        )
-        q1, q3 = F.col(f"_{c}_q1"), F.col(f"_{c}_q3")
-        q = q.select(
-            *by,
-            (q1 - 1.5 * (q3 - q1)).alias(f"{c}_lo"),
-            (q3 + 1.5 * (q3 - q1)).alias(f"{c}_hi"),
-        )
-        if bounds is None:
-            bounds = q
-        elif by:
-            bounds = bounds.join(q, on=list(by), how="outer")
-        else:
-            bounds = bounds.crossJoin(q)
-    assert bounds is not None, "iqr_bounds needs at least one value column"
-    return bounds
+    builtin's whole-group aggregation buffer (the 100 TB hazard).
+
+    Single-pass at any KPI width: the KPI columns are MELTED
+    (``stack`` → one (group, kpi, value) row each), quantiled in ONE
+    ``exact_quantiles`` pass over ``(by..., _kpi)``, and pivoted back to the
+    wide ``{kpi}_lo/{kpi}_hi`` fence frame — so the reference's 13-KPI IQR
+    cleaning costs one quantile pipeline, not 13 (the pivot's value list is
+    ``value_cols``, so no extra distinct scan and a stable schema). When
+    ``by`` is empty the melted groups are just the KPIs — few and huge — so
+    the pass uses the range-partitioned parallel cumsum (``wide_groups``)."""
+    assert value_cols, "iqr_bounds needs at least one value column"
+    pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in value_cols)
+    melted = df.select(
+        *by, F.expr(f"stack({len(value_cols)}, {pairs}) as (_kpi, _v)")
+    )
+    q = exact_quantiles(
+        melted,
+        "_v",
+        [0.25, 0.75],
+        by=[*by, "_kpi"],
+        out_cols=["_q1", "_q3"],
+        wide_groups=not by,
+    )
+    q1, q3 = F.col("_q1"), F.col("_q3")
+    fenced = q.select(
+        *by,
+        "_kpi",
+        (q1 - 1.5 * (q3 - q1)).alias("lo"),
+        (q3 + 1.5 * (q3 - q1)).alias("hi"),
+    )
+    return fenced.groupBy(*by).pivot("_kpi", list(value_cols)).agg(
+        F.first("lo").alias("lo"), F.first("hi").alias("hi")
+    )
 
 
 def iqr_filter(
@@ -210,9 +243,11 @@ def iqr_filter(
 ) -> DataFrame:
     """P7: drop rows outside the IQR fence on *every* KPI (NULLs survive, matching
     pandas comparison semantics). Bounds are broadcast back — one extra scan, no
-    row-level sort."""
+    row-level sort. LEFT join: a group whose rows are NULL in every KPI gets no
+    bounds row (exact_quantiles drops empty groups), and its rows must survive
+    via the NULL-passes coalesce below, not vanish in an inner join."""
     bounds = iqr_bounds(df, value_cols, by)
-    joined = df.join(broadcast(bounds), on=list(by)) if by else df.crossJoin(
+    joined = df.join(broadcast(bounds), on=list(by), how="left") if by else df.crossJoin(
         broadcast(bounds)
     )
     cond = F.lit(True)

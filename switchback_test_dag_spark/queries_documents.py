@@ -547,6 +547,112 @@ def _media_png_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_AVI_PER = """avi_px AS (
+         SELECT d.doc_id, d.source, j.j, r.r, c.c, k.k,
+                ((d.doc_id * 1009 + j.j) * 7 + r.r * 5 + c.c * 3 + k.k * 11) % 256 AS v
+         FROM documents d,
+              unnest(generate_series(0, 5)) AS j(j),
+              unnest(generate_series(0, 5)) AS r(r),
+              unnest(generate_series(0, 7)) AS c(c),
+              unnest(generate_series(0, 2)) AS k(k)
+       ), avi_per AS (
+         SELECT doc_id, any_value(source) AS source,
+                sum(v) AS spx,
+                sum(CASE WHEN j = 0 THEN v * ((r * 8 + c) * 3 + k + 1) ELSE 0 END) AS f0w
+         FROM avi_px GROUP BY doc_id
+       )"""
+
+# uncompressed-DIB AVI container size is closed-form: 224 header bytes plus
+# n_frames chunks of (8 + stride*h), stride = 4-byte-aligned 3*w — the same
+# spec arithmetic the writer implements, derived independently here
+_DUCK_AVI_AGG = """
+       SELECT source, CAST(count(*) AS BIGINT) AS n_media,
+              CAST(count(*) * 6 AS BIGINT) AS total_frames,
+              CAST(10 AS BIGINT) AS fps_max,
+              CAST(count(*) * 6 * 8 * 6 AS BIGINT) AS total_px,
+              CAST(count(*) * (224 + 6 * (8 + ((3 * 8 + 3) // 4) * 4 * 6)) AS BIGINT)
+                  AS total_bytes,
+              CAST(sum(spx) AS BIGINT) AS sum_px,
+              CAST(sum(f0w) AS BIGINT) AS frame0_wsum
+       FROM avi_per GROUP BY source"""
+
+
+def _media_avi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal component's REAL video path in the driver-oracled suite:
+    per-document AVI payloads (6 deterministic 8×6 RGB frames through the
+    uncompressed-DIB writer — multimodal/avi.py) are decoded by the real
+    container walker inside Arrow-batched ``mapInPandas``. Two independent
+    contracts ride the hash: pixel math (total/frame-0 checksums replayed
+    from the closed-form frame generator) and CONTAINER BYTE ACCOUNTING (the
+    oracle recomputes payload size from the RIFF spec arithmetic
+    ``224 + n·(8 + stride·h)``, so any header/chunk layout drift in the
+    writer or a short read in the walker breaks the match)."""
+    from switchback_test_dag_spark.multimodal.media import (
+        decode_avi_features,
+        synthesize_avi_videos,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    media = synthesize_avi_videos(docs, "doc_id", n_frames=6, width=8, height=6)
+    feats = decode_avi_features(media)
+    joined = feats.join(docs, feats.media_id == docs.doc_id)
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_media"),
+        F.sum("n_frames").cast("long").alias("total_frames"),
+        F.max("fps").cast("long").alias("fps_max"),
+        F.sum(
+            F.col("width").cast("long") * F.col("height") * F.col("n_frames")
+        ).cast("long").alias("total_px"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum("sum_px").cast("long").alias("sum_px"),
+        F.sum("frame0_wsum").cast("long").alias("frame0_wsum"),
+    )
+
+
+_DUCK_JPEG_PER = """jpeg_dims AS (
+         SELECT doc_id, source, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
+         FROM documents
+       )"""
+
+_DUCK_JPEG_AGG = """
+       SELECT source, CAST(count(*) AS BIGINT) AS n_media,
+              CAST(sum(w * h) AS BIGINT) AS total_px,
+              CAST(sum(w) AS BIGINT) AS total_w,
+              CAST(sum(h) AS BIGINT) AS total_h
+       FROM jpeg_dims GROUP BY source"""
+
+
+def _media_jpeg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lossy-codec path's driver-oracled slice: per-document baseline JPEG
+    payloads (optimal-Huffman encoder, multimodal/jpeg.py) are decoded by the
+    FULL entropy-decode + dequantize + IDCT parser inside ``mapInPandas``;
+    the suite hashes the decoder-reported geometry (closed-form per doc_id,
+    so a dimension/marker-parse bug breaks the match) and the per-source
+    payload counts. Reconstructed pixel values are quantization-dependent and
+    not SQL-replayable — their exactness contract (coefficient-bit-exact
+    roundtrip, byte-exact reference reconstruction, fidelity bound) lives in
+    tests/test_multimodal.py. A decode failure on any payload fails the whole
+    query, so the driver hash still certifies the decoder RUNS end-to-end on
+    every payload."""
+    from switchback_test_dag_spark.multimodal.media import (
+        decode_jpeg_features,
+        synthesize_jpeg_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    media = synthesize_jpeg_images(docs, "doc_id", quality=90)
+    feats = decode_jpeg_features(media)
+    joined = feats.join(docs, feats.media_id == docs.doc_id)
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_media"),
+        F.sum(F.col("width").cast("long") * F.col("height")).cast("long").alias(
+            "total_px"
+        ),
+        F.sum("width").cast("long").alias("total_w"),
+        F.sum("height").cast("long").alias("total_h"),
+    )
+
+
 def _unpivot_metrics(df: DataFrame, fmt: str) -> DataFrame:
     """Per-source aggregate → tall (fmt, source, metric, value) frame.
 
@@ -578,9 +684,12 @@ def _duck_unpivot(agg_cte: str, fmt: str, metrics: list[str]) -> str:
 
 _DUCK_MEDIA_SUITE = (
     "WITH "
-    + ",\n".join([_DUCK_BMP_PER, _DUCK_WAV_PER, _DUCK_PNG_PER])
+    + ",\n".join(
+        [_DUCK_BMP_PER, _DUCK_WAV_PER, _DUCK_PNG_PER, _DUCK_AVI_PER, _DUCK_JPEG_PER]
+    )
     + f",\nbmp_agg AS ({_DUCK_BMP_AGG}),\nwav_agg AS ({_DUCK_WAV_AGG}),"
-    + f"\npng_agg AS ({_DUCK_PNG_AGG})\n"
+    + f"\npng_agg AS ({_DUCK_PNG_AGG}),\navi_agg AS ({_DUCK_AVI_AGG}),"
+    + f"\njpeg_agg AS ({_DUCK_JPEG_AGG})\n"
     + "\nUNION ALL\n".join(
         [
             _duck_unpivot(
@@ -622,6 +731,24 @@ _DUCK_MEDIA_SUITE = (
                     "mean_px",
                 ],
             ),
+            _duck_unpivot(
+                "avi_agg",
+                "avi",
+                [
+                    "n_media",
+                    "total_frames",
+                    "fps_max",
+                    "total_px",
+                    "total_bytes",
+                    "sum_px",
+                    "frame0_wsum",
+                ],
+            ),
+            _duck_unpivot(
+                "jpeg_agg",
+                "jpeg",
+                ["n_media", "total_px", "total_w", "total_h"],
+            ),
         ]
     )
 )
@@ -629,22 +756,28 @@ _DUCK_MEDIA_SUITE = (
 
 @query("media_decode_suite", _DUCK_MEDIA_SUITE)
 def media_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three REAL codec paths in one (fmt, source, metric) contract —
-    BMP (uncompressed DIB), WAV (RIFF PCM16), and PNG (DEFLATE + all five
-    scanline filters) payloads decoded by the pure-Python parsers inside
-    Arrow-batched ``mapInPandas`` (multimodal/{bmp,wav,png}.py), features
-    aggregated per source, then unpivoted to a shared tall schema and
-    unioned. The oracle never sees bytes: each branch recomputes the same
-    features from the closed-form payload generators (and, for BMP, the
-    container-size formula 54 + stride·h), so a parse bug anywhere — header
+    """ALL FIVE real codec paths in one (fmt, source, metric) contract — BMP
+    (uncompressed DIB), WAV (RIFF PCM16), PNG (DEFLATE + all five scanline
+    filters), AVI (RIFF container walk + per-frame DIB decode), and baseline
+    JPEG (entropy decode + dequantize + IDCT) payloads decoded by the
+    pure-Python parsers inside Arrow-batched ``mapInPandas``
+    (multimodal/{bmp,wav,png,avi,jpeg}.py), features aggregated per source,
+    then unpivoted to a shared tall schema and unioned. The oracle never sees
+    bytes: each branch recomputes its metrics from closed-form payload
+    generators and spec arithmetic (BMP container size 54 + stride·h; AVI
+    container size 224 + n·(8 + stride·h)), so a parse bug anywhere — header
     offsets, row stride, bottom-up flip, BGR order, chunk walking, CRC math,
-    inflate framing, any filter inversion — changes a value and breaks the
-    hash. PNG byte sizes are compression-dependent and deliberately excluded;
-    everything else is integer-exact until the final mean/rms."""
+    inflate framing, filter inversion — changes a value and breaks the hash.
+    Compression-dependent quantities (PNG/JPEG byte sizes, JPEG reconstructed
+    pixel sums) are deliberately excluded from the hash — their exactness
+    contracts are pytest-gated (see ``_media_jpeg_agg``); everything else is
+    integer-exact until the final mean/rms."""
     return (
         _unpivot_metrics(_media_bmp_agg(spark, sf_dir), "bmp")
         .unionByName(_unpivot_metrics(_media_wav_agg(spark, sf_dir), "wav"))
         .unionByName(_unpivot_metrics(_media_png_agg(spark, sf_dir), "png"))
+        .unionByName(_unpivot_metrics(_media_avi_agg(spark, sf_dir), "avi"))
+        .unionByName(_unpivot_metrics(_media_jpeg_agg(spark, sf_dir), "jpeg"))
     )
 
 

@@ -1,5 +1,6 @@
-"""Multimodal plumbing tests: schema contract, Arrow batch shape, deterministic
-fake decode, frame sampling fan-out, stub behavior without codecs."""
+"""Multimodal plumbing tests: schema contract, Arrow batch shape, real
+magic-bytes dispatch across all five codecs, frame sampling fan-out, and the
+documented H.26x stub / unknown-payload rejection."""
 
 from __future__ import annotations
 
@@ -18,6 +19,14 @@ def media(spark):
     return MM.synthesize_media(docs, "doc_id", "text")
 
 
+@pytest.fixture(scope="module")
+def mixed(spark):
+    # ids 0..24 → five payloads of each of the five formats (fmt = id % 5)
+    return MM.synthesize_mixed_media(
+        spark.range(0, 25).withColumnRenamed("id", "doc_id"), "doc_id"
+    )
+
+
 def test_media_schema_contract(media):
     # names + types must match the contract; nullability is advisory in Spark
     got = [(f.name, f.dataType) for f in media.schema.fields]
@@ -25,41 +34,106 @@ def test_media_schema_contract(media):
     assert got == want
 
 
-def test_decode_features_deterministic(media):
-    feats = MM.decode_features(media, dim=8, deterministic_fake=True)
+def test_detect_media_format_all_branches():
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal.avi import encode_avi_dib
+    from switchback_test_dag_spark.multimodal.bmp import encode_bmp24
+    from switchback_test_dag_spark.multimodal.jpeg import encode_jpeg
+    from switchback_test_dag_spark.multimodal.png import encode_png
+    from switchback_test_dag_spark.multimodal.wav import encode_wav_pcm16
+
+    px = MM._bmp_pixels(1, 8, 8)
+    assert MM.detect_media_format(encode_bmp24(px)) == "bmp"
+    assert MM.detect_media_format(encode_png(px)) == "png"
+    assert MM.detect_media_format(encode_jpeg(px, quality=90)[0]) == "jpeg"
+    assert (
+        MM.detect_media_format(
+            encode_wav_pcm16(np.array([1, -1], dtype=np.int16), 8000)
+        )
+        == "wav"
+    )
+    assert MM.detect_media_format(encode_avi_dib(px[None, ...], fps=10)) == "avi"
+    with pytest.raises(ValueError, match="magic"):
+        MM.detect_media_format(b"plain utf-8 text, not media")
+    # documented H.26x-class stubs
+    with pytest.raises(NotImplementedError, match="ISO-BMFF"):
+        MM.detect_media_format(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 16)
+    with pytest.raises(NotImplementedError, match="Annex-B"):
+        MM.detect_media_format(b"\x00\x00\x00\x01\x67\x42")
+
+
+def test_decode_features_real_dispatch(spark, mixed):
+    """decode_features must route every payload through its REAL codec: the
+    pooled features are cross-checked against a driver-side numpy replay of
+    decode + pooling for one payload of each modality."""
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal.avi import decode_avi_dib
+    from switchback_test_dag_spark.multimodal.wav import decode_wav_pcm16
+
+    feats = MM.decode_features(mixed, dim=8)
     assert feats.schema == MM.FEATURE_SCHEMA
-    rows = feats.orderBy("media_id").collect()
-    assert len(rows) == 50
-    assert all(len(r["feature"]) == 8 for r in rows)
-    assert all(0.0 <= v < 1.0 for r in rows for v in r["feature"])
-    # deterministic: same input → same feature
-    rows2 = MM.decode_features(media, dim=8, deterministic_fake=True).orderBy(
-        "media_id"
-    ).collect()
-    assert [r["feature"] for r in rows] == [r["feature"] for r in rows2]
-    # n_bytes matches payload length
-    by_id = {r["media_id"]: r["n_bytes"] for r in rows}
-    for r in media.select("media_id", F.octet_length("payload").alias("n")).collect():
-        assert by_id[r["media_id"]] == r["n"]
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 25
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in mixed.select("media_id", "payload").collect()
+    }
+    for mid, raw in payloads.items():
+        assert rows[mid]["n_bytes"] == len(raw)
+    # one driver-side replay per modality: image (png id 1, jpeg id 2),
+    # audio (id 3), video (id 4)
+    for mid in (1, 2, 3, 4):
+        raw = payloads[mid]
+        fmt = MM.detect_media_format(raw)
+        if fmt in ("bmp", "png", "jpeg"):
+            vals = MM._decode_image(raw, fmt).astype(np.float64).ravel() / 255.0
+        elif fmt == "wav":
+            _r, _c, s = decode_wav_pcm16(raw)
+            vals = (s.astype(np.float64) + 32768.0) / 65535.0
+        else:
+            _f, frames = decode_avi_dib(raw)
+            vals = frames.astype(np.float64).ravel() / 255.0
+        assert rows[mid]["feature"] == MM._pooled(vals, 8), (mid, fmt)
 
 
-def test_decode_without_codec_raises(media):
-    with pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
-        MM.decode_features(media, deterministic_fake=False).collect()
+def test_decode_features_rejects_unknown_payloads(media):
+    with pytest.raises(Exception, match="ValueError|magic"):
+        MM.decode_features(media).collect()
 
 
-def test_sample_frames_fanout(media):
-    frames = MM.sample_frames(media, every_n_bytes=64, max_frames=4,
-                              deterministic_fake=True)
+def test_sample_frames_real_dispatch(spark, mixed):
+    """Video payloads emit every 2nd decoded frame (6 frames → idx 0/2/4);
+    still images emit exactly one frame whose bytes are the decoded RGB;
+    audio payloads raise."""
+    import numpy as np
+
+    visual = mixed.filter(F.col("kind") != "audio")
+    frames = MM.sample_frames(visual, every_n=2, max_frames=8)
     assert frames.schema == MM.FRAME_SCHEMA
-    per_doc = frames.groupBy("media_id").count().collect()
-    assert len(per_doc) == 50
-    assert all(1 <= r["count"] <= 4 for r in per_doc)
-    # frame bytes reassemble a prefix of the payload
-    one = frames.filter(F.col("media_id") == per_doc[0]["media_id"]).orderBy(
-        "frame_idx"
-    ).collect()
-    assert all(len(r["frame_bytes"]) <= 64 for r in one)
+    rows = frames.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append(r)
+    for mid, rs in per.items():
+        if mid % 5 == 4:  # avi
+            assert sorted(r["frame_idx"] for r in rs) == [0, 2, 4]
+            want = MM._bmp_pixels(mid * 1009 + 2, 8, 6).tobytes()
+            assert bytes(next(r for r in rs if r["frame_idx"] == 2)["frame_bytes"]) == want
+        else:  # still image: one frame, decoded RGB
+            assert [r["frame_idx"] for r in rs] == [0]
+            raw = bytes(
+                mixed.filter(F.col("media_id") == mid).select("payload").collect()[0][0]
+            )
+            fmt = MM.detect_media_format(raw)
+            got = np.frombuffer(bytes(rs[0]["frame_bytes"]), dtype=np.uint8)
+            assert np.array_equal(
+                got, MM._decode_image(raw, fmt).ravel()
+            )
+    audio = mixed.filter(F.col("kind") == "audio")
+    with pytest.raises(Exception, match="cannot sample frames"):
+        MM.sample_frames(audio).collect()
 
 
 def test_repartition_by_bytes(media):

@@ -161,3 +161,66 @@ def test_iqr_bounds_multi_column_still_agrees(spark):
         assert g["x_hi"] == r["xq3"] + 1.5 * (r["xq3"] - r["xq1"])
         assert g["y_lo"] == r["yq1"] - 1.5 * (r["yq3"] - r["yq1"])
         assert g["y_hi"] == r["yq3"] + 1.5 * (r["yq3"] - r["yq1"])
+
+
+def test_iqr_bounds_single_pass_any_kpi_width(spark):
+    """The melt-based iqr_bounds must cost the SAME number of shuffles no
+    matter how many KPI columns are fenced (one exact_quantiles pass over the
+    melted (group, kpi) frame — not one pipeline per column)."""
+    from switchback_test_dag_spark.operators.relational import iqr_bounds
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0, 3.0), ("a", 4.0, 5.0, 6.0), ("b", 7.0, 8.0, 9.0)],
+        "g string, x double, y double, z double",
+    )
+
+    def n_exchanges(cols):
+        plan = (
+            iqr_bounds(df, cols, by=["g"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return plan.count("Exchange")
+
+    assert n_exchanges(["x"]) == n_exchanges(["x", "y"]) == n_exchanges(["x", "y", "z"])
+
+
+def test_exact_quantiles_wide_groups_matches_grouped_window(spark):
+    """wide_groups=True (range-partitioned parallel cumsum, now generalized to
+    grouped quantiles) must agree with the per-group-window strategy exactly."""
+    import random
+
+    from switchback_test_dag_spark.operators.relational import exact_quantiles
+
+    rng = random.Random(5)
+    rows = [
+        (g, rng.uniform(-10, 10))
+        for g in ("a", "b")
+        for _ in range(120 if g == "a" else 37)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    probs = [0.1, 0.25, 0.5, 0.75, 1.0]
+    kw = dict(by=["g"], out_cols=[f"q{i}" for i in range(len(probs))])
+    narrow = {r["g"]: r for r in exact_quantiles(df, "v", probs, **kw).collect()}
+    wide = {
+        r["g"]: r
+        for r in exact_quantiles(df, "v", probs, wide_groups=True, **kw).collect()
+    }
+    assert set(narrow) == set(wide) == {"a", "b"}
+    for g in narrow:
+        for i in range(len(probs)):
+            assert narrow[g][f"q{i}"] == wide[g][f"q{i}"], (g, i)
+
+
+def test_iqr_filter_keeps_all_null_groups(spark):
+    """A group whose rows are NULL in every KPI column produces no bounds row;
+    iqr_filter must still keep its rows (NULL comparisons pass the fence)."""
+    from switchback_test_dag_spark.operators.relational import iqr_filter
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 2, 1, 2, 3, 2, 1000)]
+    rows += [("n", None), ("n", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = iqr_filter(df, ["x"], by=["g"]).collect()
+    assert sum(1 for r in out if r["g"] == "n") == 2  # survived, not inner-joined away
+    assert 1000.0 not in {r["x"] for r in out}  # the fence still fences
