@@ -782,6 +782,102 @@ def media_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# generic magic-bytes dispatch (decode_features over a mixed-format corpus)
+# --------------------------------------------------------------------------- #
+
+# j's pooling bucket under exact_quantiles-style integer boundaries
+# a_b = (b*n)//dim is b = ((dim*(j+1) - 1) // n) — the closed form of
+# "largest b with (b*n)//dim <= j", replayed identically on both engines
+_DUCK_DISPATCH = """
+WITH bmpd AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 5 = 0
+), bmp_vals AS (
+  SELECT d.doc_id, (r.r * d.w + c.c) * 3 + k.k AS j, d.w * d.h * 3 AS n,
+         ((d.doc_id * 7 + r.r * 5 + c.c * 3 + k.k * 11) % 256) / 255.0 AS v
+  FROM bmpd d,
+       unnest(generate_series(0, d.h - 1)) AS r(r),
+       unnest(generate_series(0, d.w - 1)) AS c(c),
+       unnest(generate_series(0, 2)) AS k(k)
+), pngd AS (
+  SELECT doc_id, 5 + doc_id % 11 AS w, 5 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 5 = 1
+), png_vals AS (
+  SELECT d.doc_id, (r.r * d.w + c.c) * 3 + k.k AS j, d.w * d.h * 3 AS n,
+         ((d.doc_id * 7 + r.r * 5 + c.c * 3 + k.k * 11) % 256) / 255.0 AS v
+  FROM pngd d,
+       unnest(generate_series(0, d.h - 1)) AS r(r),
+       unnest(generate_series(0, d.w - 1)) AS c(c),
+       unnest(generate_series(0, 2)) AS k(k)
+), wav_vals AS (
+  SELECT d.doc_id, t.i AS j, 256 AS n,
+         ((d.doc_id * 31 + t.i * 17) % 65536) / 65535.0 AS v
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 3) d,
+       unnest(generate_series(0, 255)) AS t(i)
+), avi_vals AS (
+  SELECT d.doc_id, f.f * 144 + (r.r * 8 + c.c) * 3 + k.k AS j, 864 AS n,
+         (((d.doc_id * 1009 + f.f) * 7 + r.r * 5 + c.c * 3 + k.k * 11) % 256)
+             / 255.0 AS v
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d,
+       unnest(generate_series(0, 5)) AS f(f),
+       unnest(generate_series(0, 5)) AS r(r),
+       unnest(generate_series(0, 7)) AS c(c),
+       unnest(generate_series(0, 2)) AS k(k)
+), tagged AS (
+  SELECT 'bmp' AS fmt, * FROM bmp_vals
+  UNION ALL SELECT 'png', * FROM png_vals
+  UNION ALL SELECT 'wav', * FROM wav_vals
+  UNION ALL SELECT 'avi', * FROM avi_vals
+), pooled AS (
+  SELECT fmt, doc_id, CAST((8 * (j + 1) - 1) // n AS INTEGER) AS dim_idx,
+         avg(v) AS pv
+  FROM tagged GROUP BY fmt, doc_id, (8 * (j + 1) - 1) // n
+)
+SELECT fmt, dim_idx, CAST(count(*) AS BIGINT) AS n_media,
+       round(avg(pv), 6) AS mean_feature
+FROM pooled GROUP BY fmt, dim_idx
+"""
+
+
+@query("media_dispatch_features", _DUCK_DISPATCH)
+def media_dispatch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERIC decode path under the driver hash: a mixed-format corpus
+    (``synthesize_mixed_media`` — format = doc_id % 5, every payload built by
+    a real encoder) flows through ``decode_features``'s magic-bytes dispatch
+    (multimodal/media.py) with NO format hints, and the pooled feature
+    vectors are exploded and averaged per (format, dimension). The oracle
+    replays decode + bucket pooling closed-form for the four LOSSLESS
+    formats (bmp/png/wav/avi) — any dispatch mistake (wrong codec for a
+    magic), any decode bug, or any pooling-boundary drift moves a mean and
+    breaks the hash. JPEG payloads (doc_id % 5 = 2) are excluded here: their
+    reconstructed pixels are quantization-dependent, so their dispatch
+    coverage lives in ``media_decode_suite``'s jpeg rows and the pytest
+    bit-exactness contracts."""
+    from switchback_test_dag_spark.multimodal.media import (
+        decode_features,
+        synthesize_mixed_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    replayable = docs.filter(F.col("doc_id") % 5 != 2)
+    media = synthesize_mixed_media(replayable, "doc_id")
+    feats = decode_features(media, dim=8)
+    tall = feats.select(
+        "media_id", F.posexplode("feature").alias("dim_idx", "value")
+    )
+    fmt = (
+        F.when(F.col("media_id") % 5 == 0, "bmp")
+        .when(F.col("media_id") % 5 == 1, "png")
+        .when(F.col("media_id") % 5 == 3, "wav")
+        .otherwise("avi")
+    )
+    return tall.groupBy(fmt.alias("fmt"), "dim_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_media"),
+        F.round(F.avg("value"), 6).alias("mean_feature"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # composed corpus-cleaning pipeline
 # --------------------------------------------------------------------------- #
 
