@@ -596,8 +596,7 @@ def decode_png_features(media: DataFrame) -> DataFrame:
     """Parse REAL PNG bytes → the same integer-exact image features as
     :func:`decode_bmp_features` (dimensions, payload size, channel sums,
     position-weighted checksum), via the chunk-walking zlib codec
-    (``png.py``). Working entropy-coded image path — no
-    ``deterministic_fake``."""
+    (``png.py``). The working entropy-coded image path."""
     from switchback_test_dag_spark.multimodal.png import decode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -724,8 +723,7 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
     position-weighted checksum ``wsum = Σ v·((r·w + c)·3 + k + 1)`` that
     changes under any row-order, channel-order, or stride mistake. All
     outputs are exact integers, so downstream aggregates are
-    order-independent. The working image codec path — no
-    ``deterministic_fake``."""
+    order-independent. The working uncompressed image codec path."""
     from switchback_test_dag_spark.multimodal.bmp import decode_bmp
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -769,8 +767,8 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
     """Parse REAL WAV bytes → integer-exact audio features per payload:
     sample count (from the data chunk), rate (from fmt), energy ``sum_sq``
     and ``peak`` as exact integers so any downstream aggregate is
-    order-independent (no float-sum parity hazards). This is the working
-    codec path of the multimodal component — no ``deterministic_fake``."""
+    order-independent (no float-sum parity hazards). The working audio
+    codec path of the multimodal component."""
     from switchback_test_dag_spark.multimodal.wav import decode_wav_pcm16
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

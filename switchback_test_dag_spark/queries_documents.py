@@ -378,6 +378,25 @@ _DUCK_BMP_PER = """bmp_dims AS (
        )"""
 
 
+def _fanout_docs(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Right-size the per-document codec stages: the documents parquet is
+    compact (text compresses well), so `maxPartitionBytes` yields only a
+    handful of scan splits — 1 at sf0.1, 8 at the 100x point — and the
+    CPU-heavy Python encode/decode stages inherit that, idling most cores
+    (measured: media_decode_suite ran ~11-way effective on 32 cores at 100x).
+    Payload-byte budgets (`repartition_by_bytes`) are the wrong dial BEFORE
+    synthesis when rows are still tiny ids; instead target ~500 docs per
+    Arrow task, clamped to 4x the core count (each Python task costs ~20 ms
+    of scheduling/Arrow setup locally, so a fixed 4x-cores fan-out measurably
+    HURTS small inputs — 0.9 s -> 3.1 s on the sf0.1 bmp branch). The row
+    count is one cheap metadata-backed job; the shuffled frame is a 2-column
+    sliver."""
+    target = min(
+        df.count() // 500 + 1, spark.sparkContext.defaultParallelism * 4
+    )
+    return df.repartition(int(target)) if target > 1 else df
+
+
 def _media_bmp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal component's REAL image codec path (superseding the
     payload-byte-accounting query, whose octet_length aggregates it absorbs):
@@ -396,7 +415,9 @@ def _media_bmp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_bmp_images,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = _fanout_docs(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    )
     media = synthesize_bmp_images(docs, "doc_id")
     feats = decode_bmp_features(media)
     joined = feats.join(docs, feats.media_id == docs.doc_id)
@@ -455,7 +476,9 @@ def _media_wav_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_wav_audio,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = _fanout_docs(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    )
     media = synthesize_wav_audio(docs, "doc_id", n_samples=256, sample_rate=8000)
     feats = decode_wav_features(media)
     joined = feats.join(docs, feats.media_id == docs.doc_id)
@@ -524,7 +547,9 @@ def _media_png_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_png_images,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = _fanout_docs(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    )
     media = synthesize_png_images(docs, "doc_id")
     feats = decode_png_features(media)
     joined = feats.join(docs, feats.media_id == docs.doc_id)
@@ -592,7 +617,9 @@ def _media_avi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_avi_videos,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = _fanout_docs(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    )
     media = synthesize_avi_videos(docs, "doc_id", n_frames=6, width=8, height=6)
     feats = decode_avi_features(media)
     joined = feats.join(docs, feats.media_id == docs.doc_id)
@@ -639,7 +666,9 @@ def _media_jpeg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_jpeg_images,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = _fanout_docs(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    )
     media = synthesize_jpeg_images(docs, "doc_id", quality=90)
     feats = decode_jpeg_features(media)
     joined = feats.join(docs, feats.media_id == docs.doc_id)
@@ -650,6 +679,112 @@ def _media_jpeg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("width").cast("long").alias("total_w"),
         F.sum("height").cast("long").alias("total_h"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# generic magic-bytes dispatch (decode_features over a mixed-format corpus)
+# --------------------------------------------------------------------------- #
+
+# j's pooling bucket under exact_quantiles-style integer boundaries
+# a_b = (b*n)//dim is b = ((dim*(j+1) - 1) // n) — the closed form of
+# "largest b with (b*n)//dim <= j", replayed identically on both engines
+_DUCK_DISPATCH_PER = """bmpd AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 5 = 0
+), bmp_vals AS (
+  SELECT d.doc_id, (r.r * d.w + c.c) * 3 + k.k AS j, d.w * d.h * 3 AS n,
+         ((d.doc_id * 7 + r.r * 5 + c.c * 3 + k.k * 11) % 256) / 255.0 AS v
+  FROM bmpd d,
+       unnest(generate_series(0, d.h - 1)) AS r(r),
+       unnest(generate_series(0, d.w - 1)) AS c(c),
+       unnest(generate_series(0, 2)) AS k(k)
+), pngd AS (
+  SELECT doc_id, 5 + doc_id % 11 AS w, 5 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 5 = 1
+), png_vals AS (
+  SELECT d.doc_id, (r.r * d.w + c.c) * 3 + k.k AS j, d.w * d.h * 3 AS n,
+         ((d.doc_id * 7 + r.r * 5 + c.c * 3 + k.k * 11) % 256) / 255.0 AS v
+  FROM pngd d,
+       unnest(generate_series(0, d.h - 1)) AS r(r),
+       unnest(generate_series(0, d.w - 1)) AS c(c),
+       unnest(generate_series(0, 2)) AS k(k)
+), wav_vals AS (
+  SELECT d.doc_id, t.i AS j, 256 AS n,
+         ((d.doc_id * 31 + t.i * 17) % 65536) / 65535.0 AS v
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 3) d,
+       unnest(generate_series(0, 255)) AS t(i)
+), avi_vals AS (
+  SELECT d.doc_id, f.f * 144 + (r.r * 8 + c.c) * 3 + k.k AS j, 864 AS n,
+         (((d.doc_id * 1009 + f.f) * 7 + r.r * 5 + c.c * 3 + k.k * 11) % 256)
+             / 255.0 AS v
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d,
+       unnest(generate_series(0, 5)) AS f(f),
+       unnest(generate_series(0, 5)) AS r(r),
+       unnest(generate_series(0, 7)) AS c(c),
+       unnest(generate_series(0, 2)) AS k(k)
+), tagged AS (
+  SELECT 'bmp' AS fmt, * FROM bmp_vals
+  UNION ALL SELECT 'png', * FROM png_vals
+  UNION ALL SELECT 'wav', * FROM wav_vals
+  UNION ALL SELECT 'avi', * FROM avi_vals
+), pooled AS (
+  SELECT fmt, doc_id, CAST((8 * (j + 1) - 1) // n AS INTEGER) AS dim_idx,
+         avg(v) AS pv
+  FROM tagged GROUP BY fmt, doc_id, (8 * (j + 1) - 1) // n
+)"""
+
+# the dispatch facts reshaped onto the suite's tall (fmt, source, metric,
+# value) schema: per-dimension corpus means plus a per-format media count
+_DUCK_DISPATCH_TALL = """
+SELECT 'dispatch_' || fmt AS fmt, 'all' AS source,
+       'dim' || CAST(dim_idx AS VARCHAR) || '_mean' AS metric,
+       round(avg(pv), 6) AS value
+FROM pooled GROUP BY fmt, dim_idx
+UNION ALL
+SELECT 'dispatch_' || fmt AS fmt, 'all' AS source, 'n_media' AS metric,
+       CAST(count(DISTINCT doc_id) AS DOUBLE) AS value
+FROM pooled GROUP BY fmt
+"""
+
+
+def _media_dispatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERIC decode path under the driver hash: a mixed-format corpus
+    (``synthesize_mixed_media`` — format = doc_id % 5, every payload built by
+    a real encoder) flows through ``decode_features``'s magic-bytes dispatch
+    (multimodal/media.py) with NO format hints, and the pooled feature
+    vectors are exploded and averaged per (format, dimension). The oracle
+    replays decode + bucket pooling closed-form for the four LOSSLESS
+    formats (bmp/png/wav/avi) — any dispatch mistake (wrong codec for a
+    magic), any decode bug, or any pooling-boundary drift moves a mean and
+    breaks the hash. JPEG payloads (doc_id % 5 = 2) are excluded here: their
+    reconstructed pixels are quantization-dependent, so their dispatch
+    coverage lives in the suite's jpeg rows and the pytest bit-exactness
+    contracts. NOT separately registered: the driver's correctness harness
+    samples the FIRST 50 registered queries, so these facts ride inside
+    ``media_decode_suite``'s tall schema instead of spilling past the
+    window."""
+    from switchback_test_dag_spark.multimodal.media import (
+        decode_features,
+        synthesize_mixed_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    replayable = _fanout_docs(spark, docs.filter(F.col("doc_id") % 5 != 2))
+    media = synthesize_mixed_media(replayable, "doc_id")
+    feats = decode_features(media, dim=8)
+    tall = feats.select(
+        "media_id", F.posexplode("feature").alias("dim_idx", "value")
+    )
+    fmt = (
+        F.when(F.col("media_id") % 5 == 0, "bmp")
+        .when(F.col("media_id") % 5 == 1, "png")
+        .when(F.col("media_id") % 5 == 3, "wav")
+        .otherwise("avi")
+    )
+    return tall.groupBy(fmt.alias("fmt"), "dim_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_media"),
+        F.round(F.avg("value"), 6).alias("mean_feature"),
     )
 
 
@@ -685,7 +820,14 @@ def _duck_unpivot(agg_cte: str, fmt: str, metrics: list[str]) -> str:
 _DUCK_MEDIA_SUITE = (
     "WITH "
     + ",\n".join(
-        [_DUCK_BMP_PER, _DUCK_WAV_PER, _DUCK_PNG_PER, _DUCK_AVI_PER, _DUCK_JPEG_PER]
+        [
+            _DUCK_BMP_PER,
+            _DUCK_WAV_PER,
+            _DUCK_PNG_PER,
+            _DUCK_AVI_PER,
+            _DUCK_JPEG_PER,
+            _DUCK_DISPATCH_PER,
+        ]
     )
     + f",\nbmp_agg AS ({_DUCK_BMP_AGG}),\nwav_agg AS ({_DUCK_WAV_AGG}),"
     + f"\npng_agg AS ({_DUCK_PNG_AGG}),\navi_agg AS ({_DUCK_AVI_AGG}),"
@@ -749,6 +891,7 @@ _DUCK_MEDIA_SUITE = (
                 "jpeg",
                 ["n_media", "total_px", "total_w", "total_h"],
             ),
+            _DUCK_DISPATCH_TALL,
         ]
     )
 )
@@ -768,112 +911,40 @@ def media_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     container size 224 + n·(8 + stride·h)), so a parse bug anywhere — header
     offsets, row stride, bottom-up flip, BGR order, chunk walking, CRC math,
     inflate framing, filter inversion — changes a value and breaks the hash.
-    Compression-dependent quantities (PNG/JPEG byte sizes, JPEG reconstructed
-    pixel sums) are deliberately excluded from the hash — their exactness
+    The suite also carries the GENERIC magic-bytes dispatch rows
+    (fmt='dispatch_*': ``decode_features`` over a mixed-format corpus with no
+    format hints, pooled features replayed closed-form — see
+    ``_media_dispatch_agg``). Compression-dependent quantities (PNG/JPEG byte
+    sizes, JPEG reconstructed pixel sums) are deliberately excluded from the hash — their exactness
     contracts are pytest-gated (see ``_media_jpeg_agg``); everything else is
     integer-exact until the final mean/rms."""
+    disp = _media_dispatch_agg(spark, sf_dir)
+    disp_dims = disp.select(
+        F.concat(F.lit("dispatch_"), F.col("fmt")).alias("fmt"),
+        F.lit("all").alias("source"),
+        F.concat(
+            F.lit("dim"), F.col("dim_idx").cast("string"), F.lit("_mean")
+        ).alias("metric"),
+        F.col("mean_feature").alias("value"),
+    )
+    disp_n = (
+        disp.groupBy("fmt")
+        .agg(F.first("n_media").alias("n"))
+        .select(
+            F.concat(F.lit("dispatch_"), F.col("fmt")).alias("fmt"),
+            F.lit("all").alias("source"),
+            F.lit("n_media").alias("metric"),
+            F.col("n").cast("double").alias("value"),
+        )
+    )
     return (
         _unpivot_metrics(_media_bmp_agg(spark, sf_dir), "bmp")
         .unionByName(_unpivot_metrics(_media_wav_agg(spark, sf_dir), "wav"))
         .unionByName(_unpivot_metrics(_media_png_agg(spark, sf_dir), "png"))
         .unionByName(_unpivot_metrics(_media_avi_agg(spark, sf_dir), "avi"))
         .unionByName(_unpivot_metrics(_media_jpeg_agg(spark, sf_dir), "jpeg"))
-    )
-
-
-# --------------------------------------------------------------------------- #
-# generic magic-bytes dispatch (decode_features over a mixed-format corpus)
-# --------------------------------------------------------------------------- #
-
-# j's pooling bucket under exact_quantiles-style integer boundaries
-# a_b = (b*n)//dim is b = ((dim*(j+1) - 1) // n) — the closed form of
-# "largest b with (b*n)//dim <= j", replayed identically on both engines
-_DUCK_DISPATCH = """
-WITH bmpd AS (
-  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
-  FROM documents WHERE doc_id % 5 = 0
-), bmp_vals AS (
-  SELECT d.doc_id, (r.r * d.w + c.c) * 3 + k.k AS j, d.w * d.h * 3 AS n,
-         ((d.doc_id * 7 + r.r * 5 + c.c * 3 + k.k * 11) % 256) / 255.0 AS v
-  FROM bmpd d,
-       unnest(generate_series(0, d.h - 1)) AS r(r),
-       unnest(generate_series(0, d.w - 1)) AS c(c),
-       unnest(generate_series(0, 2)) AS k(k)
-), pngd AS (
-  SELECT doc_id, 5 + doc_id % 11 AS w, 5 + doc_id % 7 AS h
-  FROM documents WHERE doc_id % 5 = 1
-), png_vals AS (
-  SELECT d.doc_id, (r.r * d.w + c.c) * 3 + k.k AS j, d.w * d.h * 3 AS n,
-         ((d.doc_id * 7 + r.r * 5 + c.c * 3 + k.k * 11) % 256) / 255.0 AS v
-  FROM pngd d,
-       unnest(generate_series(0, d.h - 1)) AS r(r),
-       unnest(generate_series(0, d.w - 1)) AS c(c),
-       unnest(generate_series(0, 2)) AS k(k)
-), wav_vals AS (
-  SELECT d.doc_id, t.i AS j, 256 AS n,
-         ((d.doc_id * 31 + t.i * 17) % 65536) / 65535.0 AS v
-  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 3) d,
-       unnest(generate_series(0, 255)) AS t(i)
-), avi_vals AS (
-  SELECT d.doc_id, f.f * 144 + (r.r * 8 + c.c) * 3 + k.k AS j, 864 AS n,
-         (((d.doc_id * 1009 + f.f) * 7 + r.r * 5 + c.c * 3 + k.k * 11) % 256)
-             / 255.0 AS v
-  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d,
-       unnest(generate_series(0, 5)) AS f(f),
-       unnest(generate_series(0, 5)) AS r(r),
-       unnest(generate_series(0, 7)) AS c(c),
-       unnest(generate_series(0, 2)) AS k(k)
-), tagged AS (
-  SELECT 'bmp' AS fmt, * FROM bmp_vals
-  UNION ALL SELECT 'png', * FROM png_vals
-  UNION ALL SELECT 'wav', * FROM wav_vals
-  UNION ALL SELECT 'avi', * FROM avi_vals
-), pooled AS (
-  SELECT fmt, doc_id, CAST((8 * (j + 1) - 1) // n AS INTEGER) AS dim_idx,
-         avg(v) AS pv
-  FROM tagged GROUP BY fmt, doc_id, (8 * (j + 1) - 1) // n
-)
-SELECT fmt, dim_idx, CAST(count(*) AS BIGINT) AS n_media,
-       round(avg(pv), 6) AS mean_feature
-FROM pooled GROUP BY fmt, dim_idx
-"""
-
-
-@query("media_dispatch_features", _DUCK_DISPATCH)
-def media_dispatch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The GENERIC decode path under the driver hash: a mixed-format corpus
-    (``synthesize_mixed_media`` — format = doc_id % 5, every payload built by
-    a real encoder) flows through ``decode_features``'s magic-bytes dispatch
-    (multimodal/media.py) with NO format hints, and the pooled feature
-    vectors are exploded and averaged per (format, dimension). The oracle
-    replays decode + bucket pooling closed-form for the four LOSSLESS
-    formats (bmp/png/wav/avi) — any dispatch mistake (wrong codec for a
-    magic), any decode bug, or any pooling-boundary drift moves a mean and
-    breaks the hash. JPEG payloads (doc_id % 5 = 2) are excluded here: their
-    reconstructed pixels are quantization-dependent, so their dispatch
-    coverage lives in ``media_decode_suite``'s jpeg rows and the pytest
-    bit-exactness contracts."""
-    from switchback_test_dag_spark.multimodal.media import (
-        decode_features,
-        synthesize_mixed_media,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    replayable = docs.filter(F.col("doc_id") % 5 != 2)
-    media = synthesize_mixed_media(replayable, "doc_id")
-    feats = decode_features(media, dim=8)
-    tall = feats.select(
-        "media_id", F.posexplode("feature").alias("dim_idx", "value")
-    )
-    fmt = (
-        F.when(F.col("media_id") % 5 == 0, "bmp")
-        .when(F.col("media_id") % 5 == 1, "png")
-        .when(F.col("media_id") % 5 == 3, "wav")
-        .otherwise("avi")
-    )
-    return tall.groupBy(fmt.alias("fmt"), "dim_idx").agg(
-        F.count(F.lit(1)).cast("long").alias("n_media"),
-        F.round(F.avg("value"), 6).alias("mean_feature"),
+        .unionByName(disp_dims)
+        .unionByName(disp_n)
     )
 
 

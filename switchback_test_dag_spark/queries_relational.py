@@ -19,7 +19,7 @@ from switchback_test_dag_spark.plans.buckets import hr_interval, time_bucket
 from switchback_test_dag_spark.exact import (
     duck_micro_sum,
     spark_micro_sum,
-    spark_micro_sum_wide,
+    spark_wide_total_from_micro,
 )
 from switchback_test_dag_spark.queries import query
 
@@ -176,15 +176,28 @@ def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied post-probe. Event days are mapped into the orders era (the fixtures'
     eras are disjoint) so the range predicate genuinely selects.
 
-    Scale shape: the equi key ``o_custkey % 15 = user_id`` IMPLIES
-    ``user_id ∈ [0, 15)`` — a domain constraint Catalyst cannot derive, so it
-    is pushed explicitly. It prunes the events side to the joinable sliver at
-    the scan (PushedFilters), which keeps that side broadcastable: probe-side
-    parallelism then tracks the orders scan instead of being capped at 15
-    reduce tasks (the k-distinct-key ceiling a shuffle join would have; for
-    the both-sides-big variant of this shape see
-    ``operators.relational.salted_equi_join``). Measured at the sf1 scale
-    point: 18.6 s (15-task shuffle join) → broadcast form in seconds."""
+    Scale shape, two structural moves (the oracle stays the NAIVE expanded
+    join in DuckDB, so both are value-hash-verified, not assumed):
+
+    1. The equi key ``o_custkey % 15 = user_id`` IMPLIES ``user_id ∈ [0, 15)``
+       — a domain constraint Catalyst cannot derive, so it is pushed
+       explicitly and prunes the events side to the joinable sliver at the
+       scan (PushedFilters).
+    2. AGGREGATE PUSHDOWN below the join: this shape's candidate volume grows
+       ~K² under K× data (fixed-cardinality key — K× orders match K× events
+       per key; the un-pushed expanded form measured 188 s at the 100× point),
+       but the query only needs per-event-type totals, so orders are
+       pre-aggregated to (key, order-date) grain carrying
+       ``(n_orders, exact micro-unit sum)``. That grain is bounded by
+       15 keys × distinct dates — INDEPENDENT of |orders| — which also makes
+       it broadcastable forever: the join is a broadcast hash probe over the
+       events sliver (parallelism tracks the events scan, no 15-reduce-task
+       ceiling), each event row matching ≤ window-width date groups instead
+       of every individual order. Totals are then weighted integer-exact
+       sums, accumulated in DECIMAL(38,0) for K² headroom (BIGINT micro sums
+       overflowed at 100×). The salted variant of the same shape (for when
+       the compressed side ISN'T broadcastable) is
+       ``salted_range_join_totals``."""
     ev_date = F.date_add(
         F.lit("1995-01-01").cast("date"),
         (F.expr("ts_ns div 86400000000000") % 2400).cast("int"),
@@ -197,28 +210,37 @@ def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "user_id",
             # window bounds computed ONCE per event row: the range predicate
-            # is evaluated per PROBE PAIR (rows × bucket size), so any
-            # parse/arithmetic left inside the condition multiplies by the
-            # candidate count, not the row count
+            # is evaluated per PROBE PAIR, so any parse/arithmetic left
+            # inside the condition multiplies by the candidate count
             F.date_sub(ev_date, 2).alias("win_lo"),
             F.date_add(ev_date, 2).alias("win_hi"),
         )
     )
-    orders = load_table(spark, sf_dir, "orders").withColumn(
-        "o_date", F.to_date("o_orderdate")  # parse once per order, not per pair
+    orders_agg = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_custkey") % 15).alias("jk"),
+            F.to_date("o_orderdate").alias("o_date"),  # parse once per order
+            F.expr("CAST(round(o_totalprice * 1000000, 0) AS BIGINT)").alias(
+                "micro"
+            ),
+        )
+        .groupBy("jk", "o_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("micro").alias("micro_sum"),
+        )
     )
     cond = (
-        (orders.o_custkey % 15 == ev.user_id)
-        & orders.o_date.between(ev.win_lo, ev.win_hi)
+        (orders_agg.jk == ev.user_id)
+        & orders_agg.o_date.between(ev.win_lo, ev.win_hi)
     )
     return (
-        ev.join(orders, cond)
+        ev.join(broadcast(orders_agg), cond)
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            # the pair set grows ~K^2 under K-times data: BIGINT micro sums
-            # overflowed at the 100x point, so this sum runs wide
-            spark_micro_sum_wide("o_totalprice").alias("total"),
+            F.sum("n_orders").cast("long").alias("n_pairs"),
+            spark_wide_total_from_micro("micro_sum").alias("total"),
         )
     )
 
@@ -299,13 +321,8 @@ def salted_range_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n_orders").cast("long").alias("n_pairs"),
             # same K^2-headroom reasoning as temporal_range_join: accumulate
-            # the group micro sums in DECIMAL(38,0) before the cents division
-            (
-                F.expr(
-                    "(sum(CAST(micro_sum AS DECIMAL(38,0))) + 5000) div 10000"
-                )
-                / 100.0
-            ).alias("total"),
+            # the pushed-down micro partials in DECIMAL(38,0)
+            spark_wide_total_from_micro("micro_sum").alias("total"),
         )
     )
 
