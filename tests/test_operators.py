@@ -224,3 +224,40 @@ def test_iqr_filter_keeps_all_null_groups(spark):
     out = iqr_filter(df, ["x"], by=["g"]).collect()
     assert sum(1 for r in out if r["g"] == "n") == 2  # survived, not inner-joined away
     assert 1000.0 not in {r["x"] for r in out}  # the fence still fences
+
+
+# --- exact micro-unit money sums (wide accumulators) ---------------------------
+
+
+def test_wide_micro_sum_forms_agree(spark):
+    """The DECIMAL(38,0) wide accumulator must produce the same cents as the
+    BIGINT form within its range, and the pushdown companion
+    (spark_wide_total_from_micro over pre-rounded per-group partials) must
+    equal the direct row-level wide sum — the invariant the range-join
+    aggregate pushdown rests on."""
+    from switchback_test_dag_spark.exact import (
+        spark_micro_sum,
+        spark_micro_sum_wide,
+        spark_wide_total_from_micro,
+    )
+
+    rows = [
+        ("a", 1.005),
+        ("a", 2.994999),
+        ("a", -0.115),
+        ("b", 123456.78),
+        ("b", 0.004999),
+        ("b", 7e9),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    base = df.agg(spark_micro_sum("v").alias("t")).collect()[0]["t"]
+    wide = df.agg(spark_micro_sum_wide("v").alias("t")).collect()[0]["t"]
+    assert wide == base
+    # push partial micro sums below a "join" (per-group grain), re-aggregate
+    partial = df.groupBy("g").agg(
+        F.expr("sum(CAST(round(v * 1000000, 0) AS BIGINT))").alias("micro_sum")
+    )
+    pushed = partial.agg(
+        spark_wide_total_from_micro("micro_sum").alias("t")
+    ).collect()[0]["t"]
+    assert pushed == wide
