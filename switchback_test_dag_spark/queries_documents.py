@@ -78,9 +78,36 @@ _DUCK_QUALITY = f"""(
 )"""
 
 
+# PII differential: every 10th doc gets a deterministic synthetic email
+# appended (both engines replay the same injection), so the pattern counts
+# and the redaction length delta are non-trivially value-hashed — zeros on
+# the injected slice would mean a broken pattern, nonzeros elsewhere a
+# false-positive regression. Patterns are spliced with single backslashes for
+# DuckDB (its standard strings don't process escapes; Spark SQL literals do,
+# hence the doubled form in text/analysis.PII_PATTERNS).
+def _duck_pii_sql() -> tuple[str, str]:
+    pats = {k: p.replace("\\\\", "\\") for k, p in TA.PII_PATTERNS.items()}
+    hits = " + ".join(
+        f"len(regexp_extract_all(aug, '{p}'))" for p in pats.values()
+    )
+    red = "aug"
+    for name, p in pats.items():
+        red = f"regexp_replace({red}, '{p}', '<{name}>', 'g')"
+    return hits, red
+
+
+_DUCK_PII_HITS, _DUCK_PII_RED = _duck_pii_sql()
+
+_DUCK_AUG = (
+    "CASE WHEN doc_id % 10 = 0 THEN text || ' contact u' || CAST(doc_id AS VARCHAR)"
+    " || '@ex.com' ELSE text END"
+)
+
+
 @query(
     "doc_text_profile",
-    f"""SELECT source,
+    f"""WITH d AS (SELECT source, text, {_DUCK_AUG} AS aug FROM documents)
+       SELECT source,
               count(*) AS n_docs,
               CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS total_tokens,
               CAST(sum(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]'))) AS BIGINT) AS total_bpe_tokens,
@@ -88,18 +115,42 @@ _DUCK_QUALITY = f"""(
               round(avg({_DUCK_QUALITY}), 6) AS avg_quality,
               count(CASE WHEN {_DUCK_QUALITY} >= 0.75 THEN 1 END) AS n_high,
               count(CASE WHEN {_duck_lang_case()} = 'en' THEN 1 END) AS n_lang_en,
-              count(CASE WHEN {_duck_lang_case()} != 'en' THEN 1 END) AS n_lang_other
-       FROM documents GROUP BY source""",
+              count(CASE WHEN {_duck_lang_case()} != 'en' THEN 1 END) AS n_lang_other,
+              CAST(sum({_DUCK_PII_HITS}) AS BIGINT) AS total_pii_hits,
+              count(CASE WHEN {_DUCK_PII_HITS} > 0 THEN 1 END) AS n_pii_docs,
+              CAST(sum(length(aug) - length({_DUCK_PII_RED})) AS BIGINT)
+                  AS redact_chars_removed
+       FROM d GROUP BY source""",
 )
 def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis suite per source, one documents scan: token counting
     (whitespace + BPE-ish regex) for corpus budgeting, composite quality
     scoring (length/stopword/punctuation/word-length — the cheap pre-filter of
-    a pretraining pipeline), and the language-ID heuristic (stopword-profile
-    argmax) folded into per-source language counts."""
+    a pretraining pipeline), the language-ID heuristic (stopword-profile
+    argmax) folded into per-source language counts, and the PII hygiene pass
+    (``text/analysis.pii_counts`` / ``redact_pii`` — email/card/phone/IP
+    patterns as pure codegen expressions) counted and length-audited against
+    a deterministic email injection both engines replay."""
     docs = load_table(spark, sf_dir, "documents")
     qs = TA.quality_score("text")
     lang = TA.lang_id("text")
+    aug = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.com"),
+        ),
+    ).otherwise(F.col("text"))
+    docs = docs.withColumn("aug", aug)
+    pii_total = F.expr(
+        "aggregate(map_values(_pii), 0, (acc, x) -> acc + x)"
+    )
+    docs = docs.withColumn("_pii", TA.pii_counts("aug")).withColumn(
+        "_pii_n", pii_total
+    )
+    red_delta = F.length("aug") - F.length(TA.redact_pii("aug"))
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(TA.token_count("text")).cast("long").alias("total_tokens"),
@@ -109,6 +160,9 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(qs >= 0.75, 1)).alias("n_high"),
         F.count(F.when(lang == "en", 1)).alias("n_lang_en"),
         F.count(F.when(lang != "en", 1)).alias("n_lang_other"),
+        F.sum("_pii_n").cast("long").alias("total_pii_hits"),
+        F.count(F.when(F.col("_pii_n") > 0, 1)).alias("n_pii_docs"),
+        F.sum(red_delta).cast("long").alias("redact_chars_removed"),
     )
 
 

@@ -177,3 +177,48 @@ def rolling_fingerprint(text_col: str, window: int = 8, keep_every: int = 16) ->
         f"""array_sort(filter(transform({grams}, s -> xxhash64(s)),
                               h -> pmod(h, {keep_every}) = 0))"""
     )
+
+
+# --------------------------------------------------------------------------- #
+# PII detection / redaction (pretraining-corpus hygiene)
+# --------------------------------------------------------------------------- #
+
+# Conservative, high-precision patterns (the standard pre-redaction set a
+# training-data pipeline runs BEFORE tokenization). Each is spliced into Spark
+# SQL literals via F.expr, hence the doubled backslashes. Order matters for
+# redaction: emails first (their local part would otherwise survive as a
+# word), then long digit runs (cards), then phones, then IPs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    # 13-19 digits with optional single space/dash separators (card-shaped)
+    "card": r"\\b\\d(?:[ -]?\\d){12,18}\\b",
+    # +intl or (area) prefixed, 7+ digits with common separators
+    "phone": r"(?:\\+\\d{1,3}[ -]?)?(?:\\(\\d{2,4}\\)[ -]?)?\\d{3}[ -]\\d{3,4}[ -]?\\d{0,4}\\b",
+    "ipv4": r"\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+}
+
+
+def pii_counts(text_col: str) -> Column:
+    """Per-document PII hit counts as a ``map<string, int>`` — one codegen
+    pass, no UDF; the corpus-audit side of redaction (sum the map values per
+    source to rank leaky slices before deciding scrub policy)."""
+    entries = ", ".join(
+        f"'{name}', CAST(size(regexp_extract_all({text_col}, '{pat}', 0)) AS INT)"
+        for name, pat in PII_PATTERNS.items()
+    )
+    return F.expr(f"map({entries})")
+
+
+def redact_pii(text_col: str, token_fmt: str = "<{kind}>") -> Column:
+    """Replace every PII match with a typed placeholder token (``<email>``,
+    ``<card>``, ...): a chain of native ``regexp_replace`` calls — pure
+    column expression inside whole-stage codegen, so scrubbing a 100 TB
+    corpus is a narrow map stage with zero shuffle. Patterns apply in
+    ``PII_PATTERNS`` order (emails before digit runs), and placeholders
+    contain no digits/@, so later patterns cannot re-match earlier
+    redactions."""
+    out = f"({text_col})"
+    for name, pat in PII_PATTERNS.items():
+        token = token_fmt.format(kind=name)
+        out = f"regexp_replace({out}, '{pat}', '{token}')"
+    return F.expr(out)
