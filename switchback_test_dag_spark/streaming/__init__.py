@@ -1,5 +1,6 @@
 from switchback_test_dag_spark.streaming.windows import (
     run_stream_to_memory,
+    session_window_sessions,
     stream_dedup,
     stream_events,
     windowed_bucket_metrics,
@@ -7,6 +8,7 @@ from switchback_test_dag_spark.streaming.windows import (
 
 __all__ = [
     "run_stream_to_memory",
+    "session_window_sessions",
     "stream_dedup",
     "stream_events",
     "windowed_bucket_metrics",

@@ -159,6 +159,36 @@ def stream_dedup(
     return events.dropDuplicates(list(key_cols))
 
 
+def session_window_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    by: Sequence[str] = ("user_id",),
+) -> DataFrame:
+    """Streaming sessionization via native ``session_window`` — the streaming
+    twin of the batch gap sessionization (``queries_relational.event_sessions``
+    uses the same expression in batch mode, where it is oracle-checked against
+    the classic gaps-and-islands SQL).
+
+    Dynamic-length windows merge in the aggregation state per key; the
+    watermark closes (and evicts) a session once event time passes its end +
+    gap, so state is O(open sessions per key), bounded regardless of stream
+    volume. In append mode each session emits exactly once, on close — the
+    shape a downstream session-fact sink wants. Works on batch frames too
+    (watermark no-op), which is how the differential test pins equivalence."""
+    with_wm = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        with_wm.groupBy(*by, F.session_window("ts", gap).alias("session"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *by,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def running_group_moments(
     events: DataFrame,
     by: Sequence[str] = ("event_type",),

@@ -195,3 +195,57 @@ def test_stream_dedup_matches_batch_and_bounds_state(spark, sf_dir, tmp_path):
     batch = load_table(spark, sf_dir, "events")
     assert got.count() == batch.count()  # each duplicated key emitted once
     assert got.select(F.countDistinct("event_id")).first()[0] == batch.count()
+
+
+def test_streaming_session_windows_match_batch(spark, sf_dir, tmp_path):
+    """Native session_window through the micro-batch path (append mode, state
+    carried across maxFilesPerTrigger=1 batches) must agree with the batch run
+    of the same expression. Append emits a session only once the watermark
+    passes its end, so sessions inside the final watermark horizon legitimately
+    never flush: the differential is two-sided bounds around that horizon —
+    every emitted session is a true batch session (no corrupt merges across
+    micro-batch boundaries), and every batch session closed strictly before
+    the final watermark was emitted (no lost state)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from switchback_test_dag_spark.streaming import session_window_sessions
+
+    # split the fixture into three CHRONOLOGICAL files with increasing mtimes
+    # (the file source replays them oldest-first): a random split would let the
+    # first micro-batch advance the watermark to near-global-max and correctly
+    # drop the rest as late — realistic ingestion arrives in time order
+    import time as _time
+
+    src = str(tmp_path / "events_split")
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.selectExpr(
+        "percentile_approx(cast(ts as long), array(0.33, 0.66)) AS p"
+    ).collect()[0]["p"]
+    ts_l = F.col("ts").cast("long")
+    thirds = [
+        ev.filter(ts_l <= cuts[0]),
+        ev.filter((ts_l > cuts[0]) & (ts_l <= cuts[1])),
+        ev.filter(ts_l > cuts[1]),
+    ]
+    for part in thirds:
+        part.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic replay order
+
+    stream = stream_events(spark, src, max_files_per_trigger=1)
+    streamed = session_window_sessions(stream, gap="30 minutes", watermark="2 hours")
+    run_stream_to_memory(
+        streamed, "session_windows", str(tmp_path), output_mode="append"
+    )
+    got = set(_sorted_rows(spark.table("session_windows")))
+
+    batch_df = session_window_sessions(load_table(spark, sf_dir, "events"))
+    expected = set(_sorted_rows(batch_df))
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=2)
+    closed = {r for r in expected if r[2] < horizon}  # r[2] = session_end
+
+    assert len(got) > 0
+    assert got <= expected, "streamed session not present in batch result"
+    assert closed <= got, "batch-closed session missing from append output"
