@@ -239,16 +239,52 @@ def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------- #
 
 
-@query("doc_minhash_lsh_pairs", _DUCK_JACCARD_PAIRS)
-def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, exact-Jaccard verified at threshold 0.85.
+# the LSH pair query also labels each pair with its duplicate CLUSTER
+# (connected component, canonical min-id label); the oracle replays the
+# component computation as a recursive reachability CTE over the exact pairs
+_DUCK_LSH_COMPONENTS = (
+    _DUCK_JACCARD_PAIRS.replace(
+        "SELECT doc_a, doc_b, round(i * 1.0 / u, 4) AS jaccard\nFROM pairs WHERE u > 0 AND i * 1.0 / u >= 0.85",
+        """, fpairs AS (
+  SELECT doc_a, doc_b, round(i * 1.0 / u, 4) AS jaccard
+  FROM pairs WHERE u > 0 AND i * 1.0 / u >= 0.85
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM fpairs
+  UNION SELECT doc_b, doc_a FROM fpairs
+), reach AS (
+  SELECT a AS node, a AS r FROM sym
+  UNION
+  SELECT s.a, rr.r FROM sym s JOIN reach rr ON s.b = rr.node
+), comp AS (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+)
+SELECT p.doc_a, p.doc_b, p.jaccard, c.component
+FROM fpairs p JOIN comp c ON p.doc_a = c.node""",
+    ).replace("WITH tk AS (", "WITH RECURSIVE tk AS (")
+)
 
-    Oracle is the brute-force all-pairs Jaccard: at the fixture's similarity
-    margins (planted dups ≥ 0.9) the LSH miss probability is < 1e-7, so the
-    approximate path must reproduce the exact result."""
+
+@query("doc_minhash_lsh_pairs", _DUCK_LSH_COMPONENTS)
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified at threshold 0.85,
+    each pair labeled with its duplicate CLUSTER id
+    (``text/dedup.connected_components`` — iterative min-label propagation,
+    the canonical-keeper step pairwise dedup policies get wrong on
+    transitive duplicates).
+
+    Oracle is the brute-force all-pairs Jaccard (at the fixture's similarity
+    margins — planted dups ≥ 0.9 — the LSH miss probability is < 1e-7, so
+    the approximate path must reproduce the exact result) with the component
+    labels replayed as a recursive reachability CTE: an iteration bug that
+    under-propagates a label, or a symmetry bug that misses a direction,
+    breaks the hash."""
     docs = load_table(spark, sf_dir, "documents")
-    return TD.minhash_lsh_pairs(
+    pairs = TD.minhash_lsh_pairs(
         docs, "doc_id", "text", shingle_n=3, k=64, bands=16, threshold=0.85
+    )
+    comp = TD.connected_components(pairs, "doc_a", "doc_b")
+    return pairs.join(
+        comp.select(F.col("node").alias("doc_a"), "component"), "doc_a"
     )
 
 

@@ -713,3 +713,77 @@ def embedding_near_dup_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# --------------------------------------------------------------------------- #
+# connected components over near-dup pair graphs (cluster -> canonical keeper)
+# --------------------------------------------------------------------------- #
+
+
+def connected_components(
+    pairs: DataFrame, src: str, dst: str, max_iter: int = 50
+) -> DataFrame:
+    """(node, component) labeling of the undirected pair graph — the step a
+    production dedup pipeline needs BETWEEN pair generation and keeper
+    selection: pairwise drop-the-greater (``minhash_dedup``) can orphan
+    transitive duplicates (A~B, B~C but A!~C keeps A and C), while a
+    component gives one canonical keeper (its min id) per duplicate CLUSTER.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own and its neighbors' labels — one shuffle per round, converging in
+    O(graph diameter) rounds. Near-dup graphs are dense clusters of mutually
+    similar docs, so the diameter is tiny (fixtures: 2 rounds; pathological
+    chains are bounded by ``max_iter``). Each round ends in
+    ``localCheckpoint`` — load-bearing: it truncates the lineage so the plan
+    does not double every iteration, and the convergence `count()` would
+    otherwise recompute the whole chain. At 100 TB the same loop runs with
+    the alternating large-star/small-star optimization (Kiveris et al.,
+    "Connected Components in MapReduce") to collapse high-diameter graphs in
+    O(log² n) rounds; the propagation form here is the diameter-bounded
+    special case that dedup graphs satisfy.
+    """
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("component").alias("nc")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("nc").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "graph diameter exceeds the dedup-cluster assumption; use a "
+        "large-star/small-star variant for this input"
+    )

@@ -393,3 +393,38 @@ def test_pii_counts_and_redaction(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation must match a driver-side union-find on a graph
+    with a long path (diameter 5 → several propagation rounds), a separate
+    triangle, an isolated edge, and non-min-first edge orderings."""
+    from switchback_test_dag_spark.text.dedup import connected_components
+
+    edges = [
+        (5, 4), (4, 3), (3, 2), (2, 1), (1, 0),   # path 0..5
+        (10, 12), (12, 11), (10, 11),             # triangle
+        (20, 21),                                 # isolated edge
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "a", "b").collect()
+    }
+    assert got == want
+    assert got[5] == 0 and got[12] == 10 and got[21] == 20
