@@ -281,7 +281,10 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = TD.minhash_lsh_pairs(
         docs, "doc_id", "text", shingle_n=3, k=64, bands=16, threshold=0.85
-    )
+    # materialize the pair set once: it feeds BOTH the component computation
+    # and the final label join — without the boundary the whole LSH pipeline
+    # runs twice
+    ).localCheckpoint()
     comp = TD.connected_components(pairs, "doc_a", "doc_b")
     return pairs.join(
         comp.select(F.col("node").alias("doc_a"), "component"), "doc_a"

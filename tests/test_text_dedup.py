@@ -422,9 +422,25 @@ def test_connected_components_matches_union_find(spark):
     want = {n: find(n) for n in parent}
 
     df = spark.createDataFrame(edges, "a long, b long")
-    got = {
-        r["node"]: r["component"]
-        for r in connected_components(df, "a", "b").collect()
-    }
-    assert got == want
-    assert got[5] == 0 and got[12] == 10 and got[21] == 20
+    for thresh in (1_000_000, 0):  # driver union-find AND distributed propagation
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                df, "a", "b", driver_threshold=thresh
+            ).collect()
+        }
+        assert got == want, f"driver_threshold={thresh}"
+        assert got[5] == 0 and got[12] == 10 and got[21] == 20
+
+
+def test_component_dedup_collapses_clusters(spark):
+    """Cluster-canonical keeper: {A~C, B~C} is ONE cluster — component_dedup
+    keeps only A, while the pairwise C4 policy would keep A and B."""
+    from switchback_test_dag_spark.text.dedup import component_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "doc_a long, doc_b long")
+    kept = sorted(r["doc_id"] for r in component_dedup(docs, "doc_id", pairs).collect())
+    assert kept == [1, 9]  # 2 and 3 collapse into cluster keeper 1; 9 untouched
