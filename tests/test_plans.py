@@ -34,6 +34,16 @@ def test_range_join_stays_hash_join(spark, sf_dir):
     plan = _plan(spark, "temporal_range_join", sf_dir)
     assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # aggregate pushdown pin: the BROADCAST side must be the (key, order-date)
+    # pre-aggregation of orders — its grain is independent of |orders|, which
+    # is what keeps it broadcastable and kills the K² pair expansion (the
+    # un-pushed expanded form measured 188.7 s at the 100x point)
+    import re
+
+    bx = plan.index("BroadcastExchange")
+    assert re.search(r"HashAggregate\(keys=\[jk#\d+L?, o_date#\d+", plan[bx:]), (
+        "broadcast side is not the pre-aggregated orders frame"
+    )
 
 
 def test_filters_pushed_to_scan(spark, sf_dir):
