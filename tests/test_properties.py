@@ -174,3 +174,72 @@ def test_prefix_filtered_jaccard_matches_reference(spark, docs, threshold):
         ).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------- #
+# exact_quantiles (both cumsum strategies) vs a pure-Python reference
+# --------------------------------------------------------------------------- #
+
+
+def _ref_quantile(vals, p):
+    """The builtin's definition: 0-indexed rank p*(n-1) over the sorted
+    multiset, linear interpolation lo + frac*(hi - lo)."""
+    s = sorted(vals)
+    rank = p * (len(s) - 1)
+    import math
+
+    lo, hi = s[math.floor(rank)], s[math.ceil(rank)]
+    return lo + (rank - math.floor(rank)) * (hi - lo)
+
+
+@_SLOW
+@given(
+    rows=st.lists(
+        st.tuples(_KEYS, st.one_of(st.none(), st.integers(-5, 5))),
+        min_size=1,
+        max_size=24,
+    ),
+    probs=st.lists(
+        st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_exact_quantiles_property(spark, rows, probs):
+    """Generated inputs biased toward ties, NULLs, single-value and
+    empty-after-NULL groups: both cumsum strategies must agree with the
+    pure-Python sorted-multiset reference to 1 ulp on every group, and
+    groups with no non-NULL values must yield no row."""
+    import math
+
+    from switchback_test_dag_spark.operators.relational import exact_quantiles
+
+    df = spark.createDataFrame(
+        [(g, float(v) if v is not None else None) for g, v in rows],
+        "g long, v double",
+    )
+    want = {}
+    by_g: dict = {}
+    for g, v in rows:
+        if v is not None:
+            by_g.setdefault(g, []).append(float(v))
+    for g, vals in by_g.items():
+        want[g] = [_ref_quantile(vals, p) for p in probs]
+
+    for wide in (False, True):
+        got = {
+            r["g"]: [r[f"q{i}"] for i in range(len(probs))]
+            for r in exact_quantiles(
+                df, "v", probs, by=["g"], wide_groups=wide
+            ).collect()
+        }
+        assert set(got) == set(want), f"wide_groups={wide}"
+        for g in want:
+            for a, b in zip(got[g], want[g]):
+                assert a == b or abs(a - b) <= math.ulp(max(abs(a), abs(b))), (
+                    wide,
+                    g,
+                    got[g],
+                    want[g],
+                )
