@@ -1,0 +1,84 @@
+"""Deterministic stratified sampling: exact counts, partition-invariance, and
+an in-process DuckDB replay of the portable-hash sample membership (the same
+oracle shape the registry queries use, without spending a registry slot)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from switchback_test_dag_spark.io import load_table
+from switchback_test_dag_spark.plans.sampling import (
+    stratified_exact_sample,
+    stratified_fraction_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_k_per_stratum_and_partition_invariance(spark):
+    docs = load_table(spark, SF, "documents")
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sample = stratified_exact_sample(docs, ["source"], "doc_id", k=7, seed=3)
+    got = {r["source"]: r["n"] for r in sample.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {s: min(7, n) for s, n in sizes.items()}
+    # membership is a pure function of (id, seed): any repartitioning of the
+    # input must produce the SAME ids, and a different seed a different set
+    ids = {r["doc_id"] for r in sample.select("doc_id").collect()}
+    ids_repart = {
+        r["doc_id"]
+        for r in stratified_exact_sample(
+            docs.repartition(13), ["source"], "doc_id", k=7, seed=3
+        ).select("doc_id").collect()
+    }
+    assert ids == ids_repart
+    ids_seed4 = {
+        r["doc_id"]
+        for r in stratified_exact_sample(docs, ["source"], "doc_id", k=7, seed=4)
+        .select("doc_id").collect()
+    }
+    assert ids != ids_seed4
+
+
+def test_fraction_sample_exact_counts_and_mix_map(spark):
+    docs = load_table(spark, SF, "documents")
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    some = sorted(sizes)[:3]
+    mix = {some[0]: 1.0, some[1]: 0.5, some[2]: 0.2}  # data-mixing recipe
+    sample = stratified_fraction_sample(docs, ["source"], "doc_id", mix, seed=1)
+    got = {r["source"]: r["n"] for r in sample.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = {s: int(sizes[s] * f + 0.5) for s, f in mix.items() if int(sizes[s] * f + 0.5) > 0}
+    assert got == want  # strata outside the recipe are dropped entirely
+
+
+def test_portable_sample_membership_replays_in_duckdb(spark):
+    """The portable-hash variant's EXACT membership must be reproducible by
+    an independent engine: DuckDB computes the same md5-prefix permutation
+    ranks over the same parquet and must select the same doc_ids."""
+    docs = load_table(spark, SF, "documents")
+    sample = stratified_exact_sample(
+        docs, ["source"], "doc_id", k=5, seed=9, portable=True
+    )
+    got = {r["doc_id"] for r in sample.select("doc_id").collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = {
+        r[0]
+        for r in con.execute(
+            """
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':9'), 1, 16),
+                                doc_id
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= 5
+            """
+        ).fetchall()
+    }
+    assert got == want
