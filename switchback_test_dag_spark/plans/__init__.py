@@ -1,10 +1,16 @@
-"""Time-unit bucketing and seeded On/Off assignment strategies (SURVEY §2 F18-F20,
-T12-T17) — the switchback randomization layer."""
+"""Time-unit bucketing, seeded On/Off assignment strategies (SURVEY §2 F18-F20,
+T12-T17) — the switchback randomization layer — and deterministic stratified
+sampling (sampling.py), which extends the same portable-seeded-hash idiom to
+corpus subsetting / data mixing."""
 
 from switchback_test_dag_spark.plans.buckets import (
     hr_interval,
     hr_of_day,
     time_bucket,
+)
+from switchback_test_dag_spark.plans.sampling import (
+    stratified_exact_sample,
+    stratified_fraction_sample,
 )
 from switchback_test_dag_spark.plans.assignment import (
     alternating_assignment,
@@ -25,4 +31,6 @@ __all__ = [
     "counterpart_assignment",
     "time_city_assignment",
     "zone_flip",
+    "stratified_exact_sample",
+    "stratified_fraction_sample",
 ]

@@ -199,7 +199,9 @@ def minhash_dedup(
     df: DataFrame, id_col: str, text_col: str, **lsh_kwargs
 ) -> DataFrame:
     """Drop near-duplicates: every doc appearing as the greater id of a
-    near-dup pair is removed (greedy min-id keeper — the C4-style policy)."""
+    near-dup pair is removed (greedy min-id keeper — the C4-style policy).
+    For cluster-canonical semantics (one keeper per CONNECTED duplicate
+    cluster, collapsing transitive chains) use :func:`component_dedup`."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
