@@ -8,13 +8,27 @@ unacceptable when a data mixture is part of a training recipe. These
 operators are exact and deterministic: membership is a pure function of
 (row id, seed), independent of partitioning, cluster size, or row order.
 
-Scale shape: one shuffle keyed on the strata (the window's partition), with
-the per-row ordering key a seeded ``xxhash64`` — uniform, so the window sort
-is skew-free even when the id space is clustered. The ``TABLESAMPLE``-style
-fraction variant first computes per-stratum counts (a map-side-combined agg,
-broadcast back) so targets are exact integers, then takes the same hash-top-k
-slice. Selection is by rank over a hash permutation, i.e. a simple random
-sample without replacement per stratum, reproducible forever from the seed.
+Scale shape — the few-huge-strata case is the design point: a data-mixing
+recipe ({"web": 0.1, "books": 1.0}) has a handful of strata, each a large
+slice of the corpus, so a per-stratum ``row_number`` window (one task per
+stratum — a multi-TB single-executor sort at 100 TB) is exactly the wrong
+plan. Instead the global per-stratum rank is reconstructed the same way
+``operators.relational.exact_quantiles`` reconstructs its parallel running
+sum: range-partition on ``(strata..., hash, id)`` so each stratum's hash
+order ascends across ascending partition ids, take a LOCAL ``row_number``
+per (partition, stratum) — bounded by partition size, never stratum size —
+and add a broadcast per-(partition, stratum) offset (the count of same-
+stratum rows in earlier partitions). The offset frame has ≤ partitions ×
+strata rows — metadata, not data. The seeded ``xxhash64`` ordering key is
+uniform, so the RANGE partitioner splits every stratum evenly regardless of
+how the id space is clustered; stratum-size skew is then irrelevant because
+no plan step ever gathers a whole stratum into one task.
+
+The ``TABLESAMPLE``-style fraction variant first computes per-stratum counts
+(a map-side-combined agg, broadcast back) so targets are exact integers,
+then takes the same hash-top-k slice. Selection is by rank over a hash
+permutation, i.e. a simple random sample without replacement per stratum,
+reproducible forever from the seed.
 
 Reference tie-in: the reference randomizes experiment assignment by seeded
 hashing (SURVEY §2 T12); this extends the same portable-seeded-hash idiom to
@@ -29,26 +43,72 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+_H, _PID, _LRK, _OPID, _OFF = "_sgs_h", "_sgs_pid", "_sgs_lrk", "_sgs_opid", "_sgs_off"
 
-def _rank_in_stratum(
-    strata: Sequence[str], id_col: str, seed: int, portable: bool
-):
-    """1-based rank of each row within its stratum under the seeded hash
-    permutation; (hash, id) ordering makes the rank total even on a hash
-    tie. ``portable=True`` swaps xxhash64 for an md5-prefix permutation that
-    exists verbatim in DuckDB/BigQuery/Trino — slower, but lets an external
-    engine replay the EXACT sample membership (the pytest oracle uses it);
-    production keeps the cheap xxhash64."""
+
+def _permutation_hash(id_col: str, seed: int, portable: bool):
+    """The seeded per-row ordering key. ``portable=True`` swaps xxhash64 for
+    an md5-prefix permutation that exists verbatim in DuckDB/BigQuery/Trino —
+    slower, but lets an external engine replay the EXACT sample membership
+    (the driver oracle and the pytest replay use it); production keeps the
+    cheap xxhash64."""
     if portable:
-        h = F.substring(
+        return F.substring(
             F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
             1,
             16,
         )
-    else:
-        h = F.xxhash64(F.col(id_col), F.lit(seed))
-    w = Window.partitionBy(*strata).orderBy(h, F.col(id_col))
-    return F.row_number().over(w)
+    return F.xxhash64(F.col(id_col), F.lit(seed))
+
+
+def _with_stratum_rank(
+    df: DataFrame,
+    strata: Sequence[str],
+    id_col: str,
+    seed: int,
+    portable: bool,
+    rank_col: str = "_rk",
+) -> DataFrame:
+    """Attach the 1-based rank of each row within its stratum under the seeded
+    hash permutation, with NO single-task-per-stratum stage.
+
+    (hash, id) ordering makes the rank total even on a hash tie (``id_col``
+    must be unique per row), and the rank depends only on that total order —
+    not on where the range partitioner happens to place its boundaries — so
+    membership stays a pure function of (id, seed). NULL stratum values form
+    their own stratum (groupBy semantics): the offset join is null-safe.
+    """
+    hashed = df.withColumn(_H, _permutation_hash(id_col, seed, portable))
+    # ascending (strata..., hash, id) ranges land on ascending partition ids
+    # (the range partitioner's invariant); keys are unique, so assignment is
+    # order-consistent and the reconstructed global rank is exact
+    parts = hashed.repartitionByRange(
+        *[F.col(c) for c in strata], F.col(_H), F.col(id_col)
+    ).withColumn(_PID, F.spark_partition_id())
+    local_w = Window.partitionBy(_PID, *strata).orderBy(_H, id_col)
+    local = parts.withColumn(_LRK, F.row_number().over(local_w))
+    # per-(partition, stratum) row counts -> prefix offsets over partition ids:
+    # a window over the tiny subtotal frame (≤ partitions × strata rows)
+    ptot = parts.groupBy(_PID, *strata).agg(F.count(F.lit(1)).alias("_pc"))
+    off_w = (
+        Window.partitionBy(*strata)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = ptot.withColumn(_OFF, F.coalesce(F.sum("_pc").over(off_w), F.lit(0)))
+    offs = offs.select(
+        F.col(_PID).alias(_OPID),
+        *[F.col(c).alias(f"_sgs_s{i}") for i, c in enumerate(strata)],
+        _OFF,
+    )
+    cond = F.col(_PID) == F.col(_OPID)
+    for i, c in enumerate(strata):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_sgs_s{i}"))
+    return (
+        local.join(broadcast(offs), cond)
+        .withColumn(rank_col, (F.col(_LRK) + F.col(_OFF)).cast("int"))
+        .drop(_H, _PID, _LRK, _OPID, _OFF, *[f"_sgs_s{i}" for i in range(len(strata))])
+    )
 
 
 def stratified_exact_sample(
@@ -65,7 +125,7 @@ def stratified_exact_sample(
     partitioning or arrival order — so re-running on a different cluster
     reproduces the sample bit-for-bit. ``id_col`` must be unique per row."""
     return (
-        df.withColumn("_rk", _rank_in_stratum(strata, id_col, seed, portable))
+        _with_stratum_rank(df, strata, id_col, seed, portable)
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
@@ -84,9 +144,11 @@ def stratified_fraction_sample(
     ``sampleBy`` whose realized count is binomial. ``fractions`` is either a
     single float or a map keyed by the FIRST stratum column's value (the
     data-mixing recipe shape: {"web": 0.1, "books": 1.0, ...}); strata
-    missing from the map default to 0 (dropped). Two passes over the frame:
-    a map-side-combined count per stratum broadcast back, then the hash-rank
-    slice — no collect of data rows."""
+    missing from the map default to 0 (dropped), and a NULL-valued stratum is
+    always dropped (the target join is an equi-join, matching the map's
+    no-NULL-key reality). Two passes over the frame: a map-side-combined
+    count per stratum broadcast back, then the hash-rank slice — no collect
+    of data rows."""
     counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("_n"))
     if isinstance(fractions, Mapping):
         frac = F.lit(0.0)
@@ -97,9 +159,9 @@ def stratified_fraction_sample(
     targets = counts.withColumn(
         "_target", F.floor(F.col("_n") * frac + 0.5).cast("long")
     ).drop("_n")
+    with_target = df.join(broadcast(targets), on=list(strata))
     return (
-        df.join(broadcast(targets), on=list(strata))
-        .withColumn("_rk", _rank_in_stratum(strata, id_col, seed, portable))
+        _with_stratum_rank(with_target, strata, id_col, seed, portable)
         .filter(F.col("_rk") <= F.col("_target"))
         .drop("_rk", "_target")
     )

@@ -51,6 +51,79 @@ def test_fraction_sample_exact_counts_and_mix_map(spark):
     assert got == want  # strata outside the recipe are dropped entirely
 
 
+def _legacy_rank_sample(docs, strata, id_col, k, seed, portable):
+    """The round-6 single-window form (one task per stratum) — kept here ONLY
+    as the differential reference for the scale-safe reconstruction."""
+    from pyspark.sql import Window
+
+    if portable:
+        h = F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+            1,
+            16,
+        )
+    else:
+        h = F.xxhash64(F.col(id_col), F.lit(seed))
+    w = Window.partitionBy(*strata).orderBy(h, F.col(id_col))
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def test_scale_safe_rank_matches_legacy_window_membership(spark):
+    """The range-partitioned local-rank + broadcast-offset reconstruction must
+    produce EXACTLY the membership of the per-stratum row_number window it
+    replaced (the rank is a pure function of the (hash, id) total order, not
+    of partition boundaries)."""
+    docs = load_table(spark, SF, "documents")
+    for portable in (False, True):
+        for k in (1, 7, 10_000):  # k > |stratum| = keep-everything edge
+            new = {
+                r["doc_id"]
+                for r in stratified_exact_sample(
+                    docs, ["source"], "doc_id", k=k, seed=11, portable=portable
+                ).select("doc_id").collect()
+            }
+            old = {
+                r["doc_id"]
+                for r in _legacy_rank_sample(
+                    docs, ["source"], "doc_id", k=k, seed=11, portable=portable
+                ).select("doc_id").collect()
+            }
+            assert new == old, (portable, k)
+
+
+def test_sampling_plan_has_no_single_task_per_stratum_stage(spark):
+    """100 TB pin: the data-path rank must never put a whole stratum through
+    one task. Every row_number window over the data must be partitioned by
+    (_sgs_pid, strata) — partition-size-bounded — and the data shuffle must be
+    the RANGE partitioning on (strata, hash, id), not a hash exchange on the
+    strata alone."""
+    docs = load_table(spark, SF, "documents")
+    sample = stratified_exact_sample(docs, ["source"], "doc_id", k=7, seed=3)
+    plan = sample._jdf.queryExecution().executedPlan().toString()
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines, "rank window missing from plan"
+    for ln in rn_lines:
+        assert "_sgs_pid" in ln, f"per-stratum single-task window remains: {ln}"
+    assert "rangepartitioning(source" in plan, "range shuffle on (strata, hash) missing"
+
+
+def test_null_stratum_is_sampled_not_dropped(spark):
+    """A NULL stratum value is a stratum (groupBy semantics): the offset join
+    is null-safe, so exact sampling keeps min(k, n) of its rows."""
+    docs = load_table(spark, SF, "documents").withColumn(
+        "src2", F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(F.col("source"))
+    )
+    n_null = docs.filter(F.col("src2").isNull()).count()
+    assert n_null > 5
+    sample = stratified_exact_sample(docs, ["src2"], "doc_id", k=5, seed=2)
+    got = sample.filter(F.col("src2").isNull()).count()
+    assert got == min(5, n_null)
+
+
 def test_portable_sample_membership_replays_in_duckdb(spark):
     """The portable-hash variant's EXACT membership must be reproducible by
     an independent engine: DuckDB computes the same md5-prefix permutation
