@@ -78,6 +78,26 @@ def anti_join_on_keys(
     return df.join(broadcast(keys_df.select(*keys).distinct()), on=list(keys), how="left_anti")
 
 
+def _null_safe_equi_join(
+    left: DataFrame, right: DataFrame, keys: Sequence[str], hint_broadcast: bool = False
+) -> DataFrame:
+    """Equi-join on ``keys`` with ``<=>`` semantics so a NULL key matches a NULL
+    key (groupBy treats NULL as a group; a plain equi-join would silently drop
+    it). Right-side key columns are dropped after the join, mirroring
+    ``on=list`` output shape. Still a hash-joinable equality condition —
+    EqualNullSafe compiles to a null-safe hash key, not a nested loop."""
+    renamed = right
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__nsj_{k}")
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__nsj_{k}"))
+        cond = c if cond is None else cond & c
+    if hint_broadcast:
+        renamed = broadcast(renamed)
+    return left.join(renamed, cond).drop(*[f"__nsj_{k}" for k in keys])
+
+
 def exact_quantiles(
     df: DataFrame,
     value_col: str,
@@ -109,8 +129,10 @@ def exact_quantiles(
        ``(1−frac)·lo + frac·hi`` form can differ in the last bit for
        non-dyadic probs).
 
-    NULLs are ignored like the builtin; empty groups yield no row. Returns
-    one row per group with ``out_cols`` (default ``q0, q1, ...``) as DOUBLE.
+    NULL *values* are ignored like the builtin; empty groups yield no row.
+    NULL *group keys* form a group of their own (the internal by-key joins are
+    null-safe), matching ``groupBy(by).agg(percentile(...))``. Returns one row
+    per group with ``out_cols`` (default ``q0, q1, ...``) as DOUBLE.
 
     ``wide_groups`` picks the cumulative-sum strategy (default: True iff
     ``by`` is empty):
@@ -157,14 +179,21 @@ def exact_quantiles(
             "_off", F.coalesce(F.sum("_pc").over(off_w), F.lit(0))
         )
         cum = (
-            local.join(
-                broadcast(offs.select("_pid", *by, "_off")), ["_pid", *by]
+            _null_safe_equi_join(
+                local,
+                offs.select("_pid", *by, "_off"),
+                ["_pid", *by],
+                hint_broadcast=True,
             )
             .withColumn("_cum", F.col("_lcum") + F.col("_off"))
             .drop("_pid", "_lcum", "_off")
         )
+    # null-safe: a group whose key is NULL must keep its quantile row, exactly
+    # like the builtin percentile's groupBy semantics
     joined = (
-        cum.join(totals, on=list(by)) if by else cum.crossJoin(broadcast(totals))
+        _null_safe_equi_join(cum, totals, list(by))
+        if by
+        else cum.crossJoin(broadcast(totals))
     )
     v = F.col(value_col).cast("double")
     prev = F.col("_cum") - F.col("_c")

@@ -186,6 +186,36 @@ def test_iqr_bounds_single_pass_any_kpi_width(spark):
     assert n_exchanges(["x"]) == n_exchanges(["x", "y"]) == n_exchanges(["x", "y", "z"])
 
 
+def test_exact_quantiles_null_group_key_kept(spark):
+    """A NULL group key is a group (groupBy semantics): both cumsum strategies
+    must emit its quantile row — the internal by-key joins are null-safe, so
+    the NULL group cannot vanish the way a plain equi-join would drop it."""
+    import random
+
+    from switchback_test_dag_spark.operators.relational import exact_quantiles
+
+    rng = random.Random(13)
+    rows = [(None if i % 4 == 0 else ("a" if i % 2 else "b"), rng.uniform(0, 9))
+            for i in range(61)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    probs = [0.25, 0.5, 0.75]
+    ref = {
+        r["g"]: [r[f"q{i}"] for i in range(len(probs))]
+        for r in df.groupBy("g").agg(
+            *[F.expr(f"percentile(v, {p})").alias(f"q{i}") for i, p in enumerate(probs)]
+        ).collect()
+    }
+    assert None in ref
+    for wide in (False, True):
+        got = {
+            r["g"]: [r[f"q{i}"] for i in range(len(probs))]
+            for r in exact_quantiles(df, "v", probs, by=["g"], wide_groups=wide).collect()
+        }
+        assert set(got) == set(ref) == {None, "a", "b"}, f"wide_groups={wide}"
+        for g in ref:
+            assert got[g] == ref[g], (wide, g)
+
+
 def test_exact_quantiles_wide_groups_matches_grouped_window(spark):
     """wide_groups=True (range-partitioned parallel cumsum, now generalized to
     grouped quantiles) must agree with the per-group-window strategy exactly."""
