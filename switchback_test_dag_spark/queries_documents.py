@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from switchback_test_dag_spark.io import load_table
+from switchback_test_dag_spark.plans import sampling as PS
 from switchback_test_dag_spark.queries import query
 from switchback_test_dag_spark.text import analysis as TA
 from switchback_test_dag_spark.text import dedup as TD
@@ -85,28 +86,63 @@ _DUCK_QUALITY = f"""(
 # false-positive regression. Patterns are spliced with single backslashes for
 # DuckDB (its standard strings don't process escapes; Spark SQL literals do,
 # hence the doubled form in text/analysis.PII_PATTERNS).
-def _duck_pii_sql() -> tuple[str, str]:
+def _duck_pii_sql() -> tuple[str, str, str]:
     pats = {k: p.replace("\\\\", "\\") for k, p in TA.PII_PATTERNS.items()}
     hits = " + ".join(
         f"len(regexp_extract_all(aug, '{p}'))" for p in pats.values()
     )
-    red = "aug"
+    red, redb = "aug", "aug"
     for name, p in pats.items():
         red = f"regexp_replace({red}, '{p}', '<{name}>', 'g')"
-    return hits, red
+        # the token_fmt parameterization exercised with a second, caller-style
+        # format ("[kind]") — same no-re-match invariant, different tokens
+        redb = f"regexp_replace({redb}, '{p}', '[{name}]', 'g')"
+    return hits, red, redb
 
 
-_DUCK_PII_HITS, _DUCK_PII_RED = _duck_pii_sql()
+_DUCK_PII_HITS, _DUCK_PII_RED, _DUCK_PII_RED_BRACKET = _duck_pii_sql()
 
 _DUCK_AUG = (
     "CASE WHEN doc_id % 10 = 0 THEN text || ' contact u' || CAST(doc_id AS VARCHAR)"
     " || '@ex.com' ELSE text END"
 )
 
+# Sampling membership contract (driver-oracle row for plans/sampling): the
+# portable md5-permutation rank is replayed verbatim in DuckDB, and membership
+# is pinned per stratum as (count, sum of a 40-bit id hash) — a changed set
+# breaks the value hash even when counts agree. 10 hex digits keep the sum far
+# from BIGINT overflow at any benched scale (1M sampled rows × 2^40 < 2^61).
+_DUCK_ID_HASH = "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT"
+_DUCK_SAMPLING = f"""
+samp AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+           ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':3'), 1, 16), doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+), sagg AS (
+  SELECT source,
+         count(CASE WHEN rk <= 7 THEN 1 END) AS n_sampled_k7,
+         CAST(sum(CASE WHEN rk <= 7 THEN {_DUCK_ID_HASH} END) AS BIGINT) AS sampled_id_hash
+  FROM samp GROUP BY source
+), fsamp AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+           ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':5'), 1, 16), doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+), fagg AS (
+  SELECT source,
+         count(CASE WHEN rk <= floor(n * 0.25 + 0.5) THEN 1 END) AS n_frac_sampled,
+         CAST(sum(CASE WHEN rk <= floor(n * 0.25 + 0.5) THEN {_DUCK_ID_HASH} END) AS BIGINT) AS frac_id_hash
+  FROM fsamp GROUP BY source
+)"""
+
 
 @query(
     "doc_text_profile",
-    f"""WITH d AS (SELECT source, text, {_DUCK_AUG} AS aug FROM documents)
+    f"""WITH d AS (SELECT source, text, {_DUCK_AUG} AS aug FROM documents),
+       prof AS (
        SELECT source,
               count(*) AS n_docs,
               CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS total_tokens,
@@ -119,8 +155,13 @@ _DUCK_AUG = (
               CAST(sum({_DUCK_PII_HITS}) AS BIGINT) AS total_pii_hits,
               count(CASE WHEN {_DUCK_PII_HITS} > 0 THEN 1 END) AS n_pii_docs,
               CAST(sum(length(aug) - length({_DUCK_PII_RED})) AS BIGINT)
-                  AS redact_chars_removed
-       FROM d GROUP BY source""",
+                  AS redact_chars_removed,
+              CAST(sum(length(aug) - length({_DUCK_PII_RED_BRACKET})) AS BIGINT)
+                  AS redact_bracket_delta
+       FROM d GROUP BY source), {_DUCK_SAMPLING}
+       SELECT prof.*, sagg.n_sampled_k7, sagg.sampled_id_hash,
+              fagg.n_frac_sampled, fagg.frac_id_hash
+       FROM prof JOIN sagg USING (source) JOIN fagg USING (source)""",
 )
 def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis suite per source, one documents scan: token counting
@@ -129,9 +170,18 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pretraining pipeline), the language-ID heuristic (stopword-profile
     argmax) folded into per-source language counts, and the PII hygiene pass
     (``text/analysis.pii_counts`` / ``redact_pii`` — email/card/phone/IP
-    patterns as pure codegen expressions) counted and length-audited against
-    a deterministic email injection both engines replay."""
+    patterns as pure codegen expressions, audited under BOTH the default and
+    a caller-supplied ``token_fmt``) counted and length-audited against a
+    deterministic email injection both engines replay.
+
+    Also carries the deterministic-sampling membership contract
+    (``plans/sampling``): per source, the count and 40-bit-id-hash sum of
+    ``stratified_exact_sample(k=7)`` and ``stratified_fraction_sample(0.25)``
+    memberships under the portable md5 permutation, which the oracle replays
+    verbatim as a ``row_number`` window — a changed sample SET breaks the
+    value hash even when the counts agree."""
     docs = load_table(spark, sf_dir, "documents")
+    sample_base = docs.select("doc_id", "source")  # pruned scan for samplers
     qs = TA.quality_score("text")
     lang = TA.lang_id("text")
     aug = F.when(
@@ -151,7 +201,10 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_pii_n", pii_total
     )
     red_delta = F.length("aug") - F.length(TA.redact_pii("aug"))
-    return docs.groupBy("source").agg(
+    red_delta_b = F.length("aug") - F.length(
+        TA.redact_pii("aug", token_fmt="[{kind}]")
+    )
+    prof = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(TA.token_count("text")).cast("long").alias("total_tokens"),
         F.sum(TA.bpe_token_count("text")).cast("long").alias("total_bpe_tokens"),
@@ -163,6 +216,38 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_pii_n").cast("long").alias("total_pii_hits"),
         F.count(F.when(F.col("_pii_n") > 0, 1)).alias("n_pii_docs"),
         F.sum(red_delta).cast("long").alias("redact_chars_removed"),
+        F.sum(red_delta_b).cast("long").alias("redact_bracket_delta"),
+    )
+    # sampling membership contract: run the real operators (portable md5
+    # permutation) and pin each stratum's membership as (count, id-hash sum);
+    # left join + coalesced counts so a stratum too small to draw from
+    # (fraction target 0) still keeps its profile row with n=0/NULL hash,
+    # exactly like the oracle's conditional aggregate
+    id_hash = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10)
+        .cast("long")
+    )
+    exact_s = PS.stratified_exact_sample(
+        sample_base, ["source"], "doc_id", k=7, seed=3, portable=True
+    )
+    sagg = exact_s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled_k7"),
+        F.sum(id_hash).cast("long").alias("sampled_id_hash"),
+    )
+    frac_s = PS.stratified_fraction_sample(
+        sample_base, ["source"], "doc_id", 0.25, seed=5, portable=True
+    )
+    fagg = frac_s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_frac_sampled"),
+        F.sum(id_hash).cast("long").alias("frac_id_hash"),
+    )
+    return (
+        prof.join(F.broadcast(sagg), "source", "left")
+        .join(F.broadcast(fagg), "source", "left")
+        .withColumn("n_sampled_k7", F.coalesce("n_sampled_k7", F.lit(0)).cast("long"))
+        .withColumn(
+            "n_frac_sampled", F.coalesce("n_frac_sampled", F.lit(0)).cast("long")
+        )
     )
 
 

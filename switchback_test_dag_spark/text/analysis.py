@@ -214,11 +214,36 @@ def redact_pii(text_col: str, token_fmt: str = "<{kind}>") -> Column:
     ``<card>``, ...): a chain of native ``regexp_replace`` calls — pure
     column expression inside whole-stage codegen, so scrubbing a 100 TB
     corpus is a narrow map stage with zero shuffle. Patterns apply in
-    ``PII_PATTERNS`` order (emails before digit runs), and placeholders
-    contain no digits/@, so later patterns cannot re-match earlier
-    redactions."""
+    ``PII_PATTERNS`` order (emails before digit runs).
+
+    ``token_fmt`` is validated up front: rendered placeholders must contain
+    no ``$`` or ``\\`` (Java's ``regexp_replace`` treats them as group
+    references/escapes in the replacement) and no ``'`` (the token is
+    spliced into a SQL string literal), and no rendered token may itself be
+    re-matched by any LATER pattern in the chain (e.g. a caller format
+    rendering ``555-1234`` would be re-redacted by the phone pattern) — the
+    no-re-match invariant the default ``<kind>`` tokens satisfy."""
+    import re as _re
+
+    items = list(PII_PATTERNS.items())
     out = f"({text_col})"
-    for name, pat in PII_PATTERNS.items():
+    for i, (name, pat) in enumerate(items):
         token = token_fmt.format(kind=name)
+        bad = sorted({ch for ch in token if ch in "$\\'"})
+        if bad:
+            raise ValueError(
+                f"redact_pii token_fmt renders {token!r} for kind {name!r}, "
+                f"which contains {bad}: $ and \\ are group references/escapes "
+                "in the Java replacement string, and ' breaks the spliced SQL "
+                "literal — pick placeholder text without them"
+            )
+        for later_name, later_pat in items[i + 1 :]:
+            if _re.search(later_pat.replace("\\\\", "\\"), token):
+                raise ValueError(
+                    f"redact_pii token_fmt renders {token!r} for kind "
+                    f"{name!r}, which the later {later_name!r} pattern "
+                    "re-matches — the placeholder would be redacted again; "
+                    "pick tokens no PII pattern matches"
+                )
         out = f"regexp_replace({out}, '{pat}', '{token}')"
     return F.expr(out)

@@ -395,6 +395,24 @@ def test_pii_counts_and_redaction(spark):
     assert "EvalPython" not in plan
 
 
+def test_redact_pii_token_fmt_validation(spark):
+    """Caller-supplied token formats: safe ones work (and stay un-re-matched),
+    unsafe ones — group references, SQL-literal breakers, or tokens a later
+    PII pattern would re-redact — raise up front instead of corrupting text."""
+    import pytest
+
+    from switchback_test_dag_spark.text import analysis as TA
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com or call 170-555 1234")], "id long, text string"
+    )
+    red = df.select(TA.redact_pii("text", token_fmt="[{kind}]").alias("r")).first()["r"]
+    assert "[email]" in red and "[phone]" in red and "@" not in red
+    for fmt in ("${kind}", "x\\{kind}", "it's-{kind}", "555-1234-{kind}"):
+        with pytest.raises(ValueError):
+            TA.redact_pii("text", token_fmt=fmt)
+
+
 def test_connected_components_matches_union_find(spark):
     """Min-label propagation must match a driver-side union-find on a graph
     with a long path (diameter 5 → several propagation rounds), a separate
