@@ -71,11 +71,19 @@ def main() -> None:
     # query's cost is quadratic BY DESIGN (e.g. the document-pair queries at
     # 100×, whose oracle replay is itself the all-pairs side) — excluded names
     # are recorded in the output so a smaller battery is never silent
-    excluded = sorted(
-        n
-        for n in os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "").split(",")
-        if n and n in queries
-    )
+    requested_excl = [
+        n for n in os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "").split(",") if n
+    ]
+    excluded = sorted(n for n in requested_excl if n in queries)
+    # a typo'd exclusion must not silently run the heavy query anyway — warn
+    # and record the unmatched names so the recorded intent is auditable
+    unmatched_excl = sorted(n for n in requested_excl if n not in queries)
+    for n in unmatched_excl:
+        print(
+            f"bench: SPARK_GRAFT_BENCH_EXCLUDE entry {n!r} matches no "
+            "registered query — ignored",
+            file=sys.stderr,
+        )
     names = [FLAGSHIP] + sorted(
         n for n in queries if n != FLAGSHIP and n not in excluded
     )
@@ -141,6 +149,8 @@ def main() -> None:
     }
     if excluded:
         out["excluded"] = excluded
+    if unmatched_excl:
+        out["excluded_unmatched"] = unmatched_excl
     if errors:
         out["errors"] = errors
     # round-4 capture truncated the recorded line from the FRONT, losing the
@@ -153,7 +163,18 @@ def main() -> None:
         "n_errors": out["n_errors"],
         "sf": out["sf"],
     }
-    print(json.dumps(out))
+    # the round-6 artifact lost the first ~8 queries' run arrays to the
+    # driver's bounded stdout capture: persist the COMPLETE artifact to a
+    # file as the durable record (committed per round), and keep the stdout
+    # line compact (separators strip ~15%) so the capture has the best shot
+    # at parsing whole too
+    try:
+        with open(os.path.join(_REPO_DIR, "BENCH_full.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench: could not write BENCH_full.json: {exc}", file=sys.stderr)
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":
