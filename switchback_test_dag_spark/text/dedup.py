@@ -781,10 +781,11 @@ def connected_components(
     transitive duplicates (A~B, B~C but A!~C keeps A and C), while a
     component gives one canonical keeper (its min id) per duplicate CLUSTER.
 
-    Two regimes, chosen by measured edge count (the edge list is
-    materialized once up front either way — ``pairs`` is usually the output
-    of a full candidate-generation pipeline, and re-deriving it per
-    propagation round re-runs MinHash-LSH every iteration):
+    Regimes, chosen by measured UNDIRECTED edge count (``driver_threshold``
+    bounds the pre-symmetrization pair rows; the edge list is materialized
+    once up front either way — ``pairs`` is usually the output of a full
+    candidate-generation pipeline, and re-deriving it per round would re-run
+    MinHash-LSH every iteration):
 
     - ``≤ driver_threshold`` edges: path-compressed union-find on the
       driver. Near-dup PAIR sets are tiny relative to the corpus (pairs are
@@ -798,17 +799,20 @@ def connected_components(
       per round, converging in O(graph diameter) rounds (dedup graphs are
       dense clusters, diameter ≈ 2). Each round ends in ``localCheckpoint``
       — load-bearing: it truncates the lineage so the plan does not double
-      per iteration. For genuinely high-diameter graphs at extreme scale
-      the alternating large-star/small-star optimization (Kiveris et al.,
-      "Connected Components in MapReduce") collapses in O(log² n) rounds;
-      the propagation form is the diameter-bounded case dedup satisfies,
-      and non-convergence raises rather than silently mislabeling.
+      per iteration.
+    - a graph that has NOT converged after ``max_iter`` propagation rounds
+      (diameter beyond the dedup-cluster assumption) falls back to the
+      alternating large-star/small-star algorithm (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond"), which contracts any
+      graph in O(log² n) rounds regardless of diameter — a slower per-round
+      regime, never a failure.
     """
-    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
-    if sym.count() <= driver_threshold:
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .localCheckpoint()
+    )
+    if edges.count() <= driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -822,12 +826,13 @@ def connected_components(
 
         # collect(), not toLocalIterator(): the latter schedules one job per
         # partition (dozens of sequential tiny jobs for a small graph); the
-        # result is bounded by driver_threshold either way
-        for r in sym.collect():
+        # result is bounded by driver_threshold either way — union-find needs
+        # each undirected edge once, so no symmetrization of the collect
+        for r in edges.collect():
             ra, rb = find(r["a"]), find(r["b"])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        node_t = sym.schema["a"].dataType
+        node_t = edges.schema["a"].dataType
         out_schema = StructType(
             [
                 StructField("node", node_t, False),
@@ -836,6 +841,9 @@ def connected_components(
         )
         rows = [(n, find(n)) for n in parent]
         return pairs.sparkSession.createDataFrame(rows, out_schema)
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -872,10 +880,93 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds — "
-        "graph diameter exceeds the dedup-cluster assumption; use a "
-        "large-star/small-star variant for this input"
+    # diameter exceeded the propagation budget: contract with the
+    # diameter-independent algorithm instead of failing
+    return _components_alternating_star(edges)
+
+
+def _canonical_edges(df: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (hi, lo) orientation, self-loops and
+    duplicates removed. Columns must be named (u, v)."""
+    return (
+        df.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+    )
+
+
+def _components_alternating_star(edges: DataFrame, max_rounds: int = 256) -> DataFrame:
+    """Connected components by alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14
+    — public algorithm): converges in O(log² n) rounds for ANY graph, so it
+    has no diameter assumption — the fallback regime behind
+    :func:`connected_components` when min-label propagation would need too
+    many rounds (e.g. long path graphs).
+
+    - large-star(u): for every neighbor v > u, emit (v, m) where
+      m = min(Γ(u) ∪ {u}) — big nodes re-attach to their neighborhood min;
+    - small-star(u) on (hi→lo)-oriented edges: attach every smaller neighbor
+      and u itself to m = min(N(u) ∪ {u}).
+
+    Both steps preserve connectivity; the fixpoint is a star forest whose
+    centers are the component minima. Each round is two keyed shuffles over
+    the CURRENT edge set (which only shrinks toward one edge per non-root
+    node); ``localCheckpoint`` truncates lineage per round. The safety bound
+    is far beyond the O(log² n) guarantee for any physical input."""
+    cur = _canonical_edges(
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    ).localCheckpoint()
+    # every node of the ORIGINAL graph needs a label row even if contraction
+    # drops all its edges early (isolated-after-canonicalization is impossible
+    # here — edges.count() > 0 in this regime — but roots lose their edges)
+    all_nodes = (
+        cur.select(F.col("u").alias("node"))
+        .unionByName(cur.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        # large-star over the symmetrized neighborhood
+        sym = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        large = _canonical_edges(large)
+        # small-star on (hi, lo) orientation (canonical form already is)
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select(F.col("u"), F.col("m").alias("v")))
+        )
+        nxt = _canonical_edges(small).localCheckpoint()
+        n_nxt = nxt.count()
+        if n_nxt == n_cur and nxt.exceptAll(cur).isEmpty():
+            cur = nxt
+            break
+        cur, n_cur = nxt, n_nxt
+    else:
+        raise RuntimeError(
+            f"alternating-star did not converge in {max_rounds} rounds — "
+            "beyond the O(log² n) guarantee; the input is not a well-formed "
+            "edge frame"
+        )
+    # fixpoint is a star forest: (u=non-root, v=component root)
+    return (
+        all_nodes.join(
+            cur.select(F.col("u").alias("node"), F.col("v").alias("root")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("root", F.col("node")).alias("component"))
     )
 
 

@@ -463,6 +463,79 @@ def test_connected_components_matches_union_find(spark):
         assert got[5] == 0 and got[12] == 10 and got[21] == 20
 
 
+def test_connected_components_star_fallback_on_high_diameter(spark):
+    """A path graph longer than the propagation budget must fall back to the
+    alternating large-star/small-star contraction (no RuntimeError path) and
+    still produce the exact union-find labeling."""
+    from switchback_test_dag_spark.text.dedup import connected_components
+
+    n = 40  # diameter 39 ≫ max_iter below
+    edges = [(i, i + 1) for i in range(n - 1)] + [(100, 101), (101, 102)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, "a", "b", max_iter=3, driver_threshold=0
+        ).collect()
+    }
+    want = {i: 0 for i in range(n)} | {100: 100, 101: 100, 102: 100}
+    assert got == want
+
+
+def test_alternating_star_matches_union_find_on_random_graphs(spark):
+    """Property check: the star contraction must equal driver union-find on
+    seeded random graphs of varying density (including multi-component,
+    duplicate-edge, and self-loop inputs)."""
+    import random
+
+    from switchback_test_dag_spark.text.dedup import _components_alternating_star
+
+    for seed in (0, 1, 2, 3):
+        rng = random.Random(seed)
+        n = rng.randint(5, 60)
+        m = rng.randint(n // 2, 3 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]  # self-loops and dup edges allowed on purpose
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        real_edges = [(a, b) for a, b in edges if a != b]
+        for a, b in real_edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+        if not real_edges:
+            continue
+        df = spark.createDataFrame(real_edges, "a long, b long")
+        got = {
+            r["node"]: r["component"]
+            for r in _components_alternating_star(df).collect()
+        }
+        assert got == want, f"seed={seed}"
+
+
+def test_driver_threshold_bounds_presymmetrization_edges(spark):
+    """driver_threshold is an UNDIRECTED edge-count bound: exactly
+    threshold-many pair rows must still take the driver union-find branch
+    (whose result is a local table, not a join tree)."""
+    from switchback_test_dag_spark.text.dedup import connected_components
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "a long, b long")
+    out = connected_components(df, "a", "b", driver_threshold=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "3 edges at threshold 3 must stay on the driver"
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
 def test_component_dedup_collapses_clusters(spark):
     """Cluster-canonical keeper: {A~C, B~C} is ONE cluster — component_dedup
     keeps only A, while the pairwise C4 policy would keep A and B."""
