@@ -164,6 +164,7 @@ def session_window_sessions(
     gap: str = "30 minutes",
     watermark: str = "2 hours",
     by: Sequence[str] = ("user_id",),
+    keep_event_time: bool = False,
 ) -> DataFrame:
     """Streaming sessionization via native ``session_window`` — the streaming
     twin of the batch gap sessionization (``queries_relational.event_sessions``
@@ -174,19 +175,30 @@ def session_window_sessions(
     watermark closes (and evicts) a session once event time passes its end +
     gap, so state is O(open sessions per key), bounded regardless of stream
     volume. In append mode each session emits exactly once, on close — the
-    shape a downstream session-fact sink wants. Works on batch frames too
-    (watermark no-op), which is how the differential test pins equivalence."""
+    shape a downstream session-fact sink wants; ``session_end`` is the
+    TIMESTAMP column such a sink would partition/cluster on. Works on batch
+    frames too (watermark no-op), which is how the differential test pins
+    equivalence.
+
+    ``keep_event_time=True`` additionally retains the raw ``session`` struct
+    — the column that CARRIES the event-time watermark metadata — so the
+    output can feed another stateful operator (a chained windowed
+    aggregation, a stream-stream join) without re-declaring a watermark;
+    plucking only ``session.start``/``session.end`` scalars drops that
+    metadata."""
     with_wm = events.withWatermark("ts", watermark) if events.isStreaming else events
-    return (
-        with_wm.groupBy(*by, F.session_window("ts", gap).alias("session"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            *by,
-            F.col("session.start").alias("session_start"),
-            F.col("session.end").alias("session_end"),
-            "n_events",
-        )
+    agg = with_wm.groupBy(*by, F.session_window("ts", gap).alias("session")).agg(
+        F.count(F.lit(1)).alias("n_events")
     )
+    cols = [
+        *by,
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
+        "n_events",
+    ]
+    if keep_event_time:
+        cols.append(F.col("session"))
+    return agg.select(*cols)
 
 
 def running_group_moments(
@@ -204,13 +216,23 @@ def running_group_moments(
     the updated cumulative row. State per group is three scalars — O(groups),
     independent of stream volume — and is the exact quantity the batch
     t/Welch tests (stats/ttests.py) consume, so a drained stream's final
-    emission must equal the batch aggregation (tests/test_streaming.py)."""
+    emission must equal the batch aggregation (tests/test_streaming.py).
+    Group-key columns keep their INPUT types in the output schema (an int
+    bucket key stays an int — no silent stringification)."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     by = list(by)
-    out_schema = ", ".join(f"{c} string" for c in by) + ", n bigint, mean double, m2 double"
+    out_schema = StructType(
+        [StructField(c, events.schema[c].dataType) for c in by]
+        + [
+            StructField("n", LongType()),
+            StructField("mean", DoubleType()),
+            StructField("m2", DoubleType()),
+        ]
+    )
 
     def update(key, pdfs, state: GroupState):
         if state.exists:

@@ -48,6 +48,53 @@ def test_streaming_multiple_microbatches(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_running_moments_preserve_group_key_types(spark, sf_dir, tmp_path):
+    """An integer group key must come back as an integer — the output schema
+    derives key fields from the input schema instead of stringifying them."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from switchback_test_dag_spark.streaming.windows import running_group_moments
+
+    src = str(tmp_path / "events_split")
+    load_table(spark, sf_dir, "events").repartition(2).write.parquet(src)
+    stream = stream_events(spark, src).withColumn(
+        "bucket_id", F.pmod(F.xxhash64("user_id"), F.lit(4))
+    )
+    moments = running_group_moments(stream, by=("bucket_id",), value_col="value")
+    assert isinstance(moments.schema["bucket_id"].dataType, LongType)
+    q = (
+        moments.writeStream.format("memory")
+        .queryName("typed_moments")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_typed"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+    rows = spark.table("typed_moments").collect()
+    assert rows and all(isinstance(r["bucket_id"], int) for r in rows)
+
+
+def test_session_windows_can_keep_event_time_column(spark, sf_dir):
+    """keep_event_time retains the watermark-carrying session struct (start/
+    end TIMESTAMPs) so the output can chain into another stateful operator."""
+    from pyspark.sql.types import StructType, TimestampType
+
+    from switchback_test_dag_spark.streaming import session_window_sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_window_sessions(ev, keep_event_time=True)
+    sess_t = out.schema["session"].dataType
+    assert isinstance(sess_t, StructType)
+    assert isinstance(sess_t["start"].dataType, TimestampType)
+    assert isinstance(sess_t["end"].dataType, TimestampType)
+    # and the plain sink-facing columns are unchanged
+    assert out.schema["session_end"].dataType == sess_t["end"].dataType
+    assert out.count() > 0
+
+
 def test_stateful_running_moments_matches_batch(spark, sf_dir, tmp_path):
     """applyInPandasWithState: cumulative Welford moments folded across
     micro-batches must equal the batch aggregation exactly (to float noise)."""
