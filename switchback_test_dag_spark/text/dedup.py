@@ -714,6 +714,11 @@ def embedding_near_dup_pairs_lsh(
     )
 
     dim = _vec_dim(df, vec_col)
+    if dim is None:  # empty corpus: no pairs, and no dim to build planes from
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, cosine double"
+        )
     sig_cols = [
         hyperplane_signature(vec_col, n_planes, dim, plane_offset=t * n_planes).alias(
             f"sig{t}"
@@ -774,6 +779,7 @@ def connected_components(
     dst: str,
     max_iter: int = 50,
     driver_threshold: int = 1_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) labeling of the undirected pair graph — the step a
     production dedup pipeline needs BETWEEN pair generation and keeper
@@ -806,13 +812,20 @@ def connected_components(
       "Connected Components in MapReduce and Beyond"), which contracts any
       graph in O(log² n) rounds regardless of diameter — a slower per-round
       regime, never a failure.
+
+    ``stats``, when provided, is populated in place with the measured run
+    shape — ``{"regime", "edges", "rounds"}`` — so scale audits can record
+    rounds-to-convergence without re-instrumenting the loop.
     """
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .localCheckpoint()
     )
-    if edges.count() <= driver_threshold:
+    n_edges = edges.count()
+    if stats is not None:
+        stats.update(regime="driver", edges=n_edges, rounds=0)
+    if n_edges <= driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -841,6 +854,8 @@ def connected_components(
         )
         rows = [(n, find(n)) for n in parent]
         return pairs.sparkSession.createDataFrame(rows, out_schema)
+    if stats is not None:
+        stats["regime"] = "propagation"
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -850,7 +865,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for round_no in range(1, max_iter + 1):
         nbr_min = (
             sym.join(
                 labels.select(
@@ -878,10 +893,14 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        if stats is not None:
+            stats["rounds"] = round_no
         if changed == 0:
             return labels
     # diameter exceeded the propagation budget: contract with the
     # diameter-independent algorithm instead of failing
+    if stats is not None:
+        stats["regime"] = "alternating_star"
     return _components_alternating_star(edges)
 
 

@@ -268,6 +268,18 @@ def test_embedding_near_dup_lsh_recall_vs_exact(emb):
     assert len(multi & exact) / len(exact) >= 0.9, "multi-table recall too low"
 
 
+def test_embedding_near_dup_lsh_empty_corpus(spark):
+    """Empty corpus → empty pair frame with the full output schema (the dim
+    probe has no row to infer plane width from; regression: the OR-ed-tables
+    rewrite raised on plane_offset with an unknown dim)."""
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = TD.embedding_near_dup_pairs_lsh(
+        empty, "vec_id", "embedding", threshold=0.4, n_planes=4, n_tables=8
+    )
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0
+
+
 def test_release_caches_unpins_intermediates(docs, spark):
     from switchback_test_dag_spark import caching
 

@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Measure the scale-regime paths that the sf0.01 oracle fixtures never
+exercise, on the manufactured 10× directory (`tools/make_scale.py`):
+
+- ``components``: run connected components over the sf1 MinHash-LSH
+  near-dup pair graph in BOTH regimes — bounded driver union-find (the
+  production default at this pair count) and the distributed min-label
+  propagation loop (forced with ``driver_threshold=0``) — assert the two
+  labelings are IDENTICAL row-for-row, and record edge count, propagation
+  rounds-to-convergence, and wall time per regime. This is the evidence the
+  fallback regime needs: the oracled path always takes the driver branch
+  because near-dup pair sets are tiny, so without this run the distributed
+  loop's convergence behavior at a real pair graph is asserted only on a
+  9-edge unit fixture.
+- ``emb_lsh``: time `embedding_near_dup_pairs_lsh` (bucketed candidates, no
+  driver collect — the designated scale path when the exact path's
+  broadcast cap trips) against the exact broadcast path on the sf1
+  embeddings, and record its pair recall vs the exact pair set at the same
+  threshold.
+
+Prints one JSON object per measurement; SCALE.md records the numbers.
+
+Usage: python tools/scale_evidence.py [components|emb_lsh ...] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from switchback_test_dag_spark import text as _text  # noqa: E402,F401
+from switchback_test_dag_spark.io import load_table  # noqa: E402
+from switchback_test_dag_spark.session import get_spark  # noqa: E402
+from switchback_test_dag_spark.text import dedup as TD  # noqa: E402
+
+
+def measure_components(spark, sf_dir: str) -> dict:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = TD.minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_n=3, k=64, bands=16, threshold=0.85
+    ).localCheckpoint()  # pair generation is not what this measures
+    n_pairs = pairs.count()
+
+    t0 = time.monotonic()
+    driver_stats: dict = {}
+    labels_driver = TD.connected_components(
+        pairs, "doc_a", "doc_b", stats=driver_stats
+    ).localCheckpoint()
+    n_nodes = labels_driver.count()
+    driver_s = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    dist_stats: dict = {}
+    labels_dist = TD.connected_components(
+        pairs, "doc_a", "doc_b", driver_threshold=0, stats=dist_stats
+    ).localCheckpoint()
+    labels_dist.count()
+    dist_s = time.monotonic() - t0
+
+    mismatch = (
+        labels_driver.exceptAll(labels_dist)
+        .unionAll(labels_dist.exceptAll(labels_driver))
+        .count()
+    )
+    n_components = labels_driver.select("component").distinct().count()
+    out = {
+        "measurement": "components",
+        "sf_dir": sf_dir,
+        "pair_rows": n_pairs,
+        "nodes": n_nodes,
+        "components": n_components,
+        "driver_regime": {"sec": round(driver_s, 2), **driver_stats},
+        "distributed_regime": {"sec": round(dist_s, 2), **dist_stats},
+        "label_mismatch_rows": mismatch,
+    }
+    assert mismatch == 0, f"regimes disagree on {mismatch} label rows"
+    assert dist_stats.get("regime") == "propagation", dist_stats
+    return out
+
+
+def measure_emb_lsh(spark, sf_dir: str) -> dict:
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint()
+    n_rows = emb.count()
+    threshold = 0.4  # the fixture's hard regime: mid-range cosine, many pairs
+
+    t0 = time.monotonic()
+    exact = TD.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=threshold, max_broadcast_rows=10**9
+    ).localCheckpoint()
+    n_exact = exact.count()
+    exact_s = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    lsh = TD.embedding_near_dup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=threshold, n_planes=4, n_tables=8
+    ).localCheckpoint()
+    n_lsh = lsh.count()
+    lsh_s = time.monotonic() - t0
+
+    # recall vs the exact pair set (precision is 1.0 by construction: every
+    # candidate is cosine-verified before emission)
+    hit = lsh.select("id_a", "id_b").intersect(exact.select("id_a", "id_b")).count()
+    false_pos = n_lsh - hit
+    return {
+        "measurement": "emb_lsh",
+        "sf_dir": sf_dir,
+        "rows": n_rows,
+        "threshold": threshold,
+        "exact_broadcast": {"sec": round(exact_s, 2), "pairs": n_exact},
+        "lsh_bucketed": {
+            "sec": round(lsh_s, 2),
+            "pairs": n_lsh,
+            "recall": round(hit / n_exact, 4) if n_exact else 1.0,
+            "false_positive_pairs": false_pos,
+        },
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "what", nargs="*", default=["components", "emb_lsh"],
+        choices=["components", "emb_lsh"],
+    )
+    ap.add_argument("--sf", default=os.path.join(_REPO, ".scale", "sf1"))
+    args = ap.parse_args()
+    spark = get_spark(app_name="scale-evidence", cpus=32, shuffle_partitions=32)
+    for what in args.what or ["components", "emb_lsh"]:
+        fn = measure_components if what == "components" else measure_emb_lsh
+        print(json.dumps(fn(spark, args.sf)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
