@@ -706,8 +706,30 @@ def embedding_near_dup_pairs_lsh(
     per-table recall ≥ 1 − C(8,2)·0.101² ≈ 0.81 at n_planes=8; three tables
     push the floor past 0.99. Shuffle is keyed on (table, bucket); per-bucket
     candidate cost is Σ_b |b|² per table — the classic LSH tradeoff, tuned so
-    buckets hold ~corpus/2^n_planes vectors. Cosine verification keeps
-    precision exact regardless of table count."""
+    buckets hold ~corpus/2^n_planes vectors.
+
+    Physical shape: the candidate PAIR set is never materialized as rows.
+    Each (table, bucket) group gets its member vectors once (shuffle volume
+    O(corpus · tables · (1 + probes) · dim) — linear in the corpus, like the
+    MinHash band shuffle) and a per-group BLAS matmul sieves the |bucket|²
+    pair expansion INSIDE numpy, emitting only id pairs that clear the
+    threshold (minus an ulp margin). An earlier id-pair-join formulation
+    materialized Σ_b |b|² candidate rows through a join + global dedup —
+    ~500M rows at a 20k-vector corpus with 4-plane tables, measured 11×
+    SLOWER than the broadcast-exact path it exists to replace; the sieve
+    turns that volume into ~10¹¹ BLAS flops and emits ~|true pairs| rows.
+    Survivors are deduped (tables/probes re-hit pairs), re-attached to their
+    vectors (joins sized by the TRUE pair count), and re-scored by the
+    canonical per-pair kernel so emitted cosines are independent of bucket
+    shapes and partitioning — the group matmul is only ever a sieve, so
+    1-ulp blocked-summation differences cannot flip a hash.
+
+    Few-huge-groups hazard: one (table, bucket) group is one task, so bucket
+    occupancy must be controlled via ``n_planes`` (target ≈ log2(corpus /
+    desired_bucket)); run exact dedup first so identical-vector masses
+    cannot pile into one bucket."""
+    import numpy as np
+    import pandas as pd
     from switchback_test_dag_spark.vectors.similarity import (
         _vec_dim,
         hyperplane_signature,
@@ -738,33 +760,63 @@ def embedding_near_dup_pairs_lsh(
         probe_arrays = [
             f"array(struct({t} AS t, sig{t} AS bucket))" for t in range(n_tables)
         ]
-    # candidate generation moves ONLY ids through the bucket join and the
-    # dedup shuffle — a candidate row is 2 longs, not 2 × dim floats; vectors
-    # are re-attached to the (much smaller) distinct pair set afterwards by
-    # two equi-joins on id. At 4-plane/8-table fixture settings this cut the
-    # sf0.1 wall ~3× versus shuffling vectors with every candidate.
+    id_type = df.schema[id_col].dataType.simpleString()
     a = base.select(
-        F.col("id").alias("id_a"),
+        "id",
+        "v",
         F.explode(F.expr("concat(" + ", ".join(probe_arrays) + ")")).alias("tb"),
-    ).select("id_a", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+        F.lit(True).alias("probe"),
+    )
     b_arr = ", ".join(f"struct({t} AS t, sig{t} AS bucket)" for t in range(n_tables))
     b = base.select(
-        F.col("id").alias("id_b"),
+        "id",
+        "v",
         F.explode(F.expr(f"array({b_arr})")).alias("tb"),
-    ).select("id_b", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+        F.lit(False).alias("probe"),
+    )
+    both = a.unionByName(b).select(
+        F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"),
+        "id", "v", "probe",
+    )
+    thr = float(threshold)
+
+    def sieve(pdf: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = pdf[pdf["probe"]], pdf[~pdf["probe"]]
+        if pa.empty or pb.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ma = np.stack(pa["v"].to_numpy()).astype(np.float64)
+        mb = np.stack(pb["v"].to_numpy()).astype(np.float64)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        na[na == 0] = np.inf
+        nb[nb == 0] = np.inf
+        sims = (ma / na[:, None]) @ (mb / nb[:, None]).T
+        ids_a = pa["id"].to_numpy()
+        ids_b = pb["id"].to_numpy()
+        # 1e-7 margin: the sieve must never REJECT a pair the canonical
+        # per-pair kernel would accept; blocked-matmul summation order can
+        # differ from the einsum by ulps, never by 1e-7 at unit norms
+        ia, ib = np.nonzero(
+            (sims >= thr - 1e-7) & (ids_a[:, None] < ids_b[None, :])
+        )
+        return pd.DataFrame({"id_a": ids_a[ia], "id_b": ids_b[ib]})
+
     cand = (
-        a.join(b, ["t", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        both.groupBy("t", "bucket")
+        .applyInPandas(sieve, schema=f"id_a {id_type}, id_b {id_type}")
         .dropDuplicates(["id_a", "id_b"])  # multiprobe/extra tables re-hit pairs
     )
     vecs = base.select("id", "v")
     return (
         cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
         .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-        .withColumn("cosine", F.round(_pair_cosine_arrow()("va", "vb"), 4))
+        # final filter on the UNROUNDED canonical cosine (the exact path's and
+        # the oracle's convention), rounded only for display: round-then-filter
+        # admitted boundary pairs (cosine ∈ [threshold−5e-5, threshold)) the
+        # exact path rejects — 112 spurious "false positives" on the sf1 audit
+        .withColumn("cosine", _pair_cosine_arrow()("va", "vb"))
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
 
 
@@ -837,12 +889,20 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        # collect(), not toLocalIterator(): the latter schedules one job per
-        # partition (dozens of sequential tiny jobs for a small graph); the
-        # result is bounded by driver_threshold either way — union-find needs
-        # each undirected edge once, so no symmetrization of the collect
-        for r in edges.collect():
-            ra, rb = find(r["a"]), find(r["b"])
+        # toPandas()/Arrow in, pandas/Arrow out — NOT collect() + tuple
+        # createDataFrame: the per-row pickled paths cost seconds at the
+        # threshold edge count (measured 5 s collect + 40 s createDataFrame
+        # for a 125k-edge sf1 graph vs < 1 s via Arrow batches), and one job
+        # per partition rules out toLocalIterator. The result is bounded by
+        # driver_threshold either way — union-find needs each undirected
+        # edge once, so no symmetrization of the transfer.
+        import pandas as pd
+
+        epdf = edges.toPandas()
+        # .tolist() yields native Python scalars (hashable, exact) for the
+        # dict keys regardless of the id dtype (int64 or string)
+        for a, b in zip(epdf["a"].tolist(), epdf["b"].tolist()):
+            ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         node_t = edges.schema["a"].dataType
@@ -852,8 +912,11 @@ def connected_components(
                 StructField("component", node_t, False),
             ]
         )
-        rows = [(n, find(n)) for n in parent]
-        return pairs.sparkSession.createDataFrame(rows, out_schema)
+        nodes = list(parent)
+        out_pdf = pd.DataFrame(
+            {"node": nodes, "component": [find(n) for n in nodes]}
+        )
+        return pairs.sparkSession.createDataFrame(out_pdf, out_schema)
     if stats is not None:
         stats["regime"] = "propagation"
     sym = edges.unionByName(
