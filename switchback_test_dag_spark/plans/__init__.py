@@ -1,12 +1,17 @@
 """Time-unit bucketing, seeded On/Off assignment strategies (SURVEY §2 F18-F20,
-T12-T17) — the switchback randomization layer — and deterministic stratified
-sampling (sampling.py), which extends the same portable-seeded-hash idiom to
-corpus subsetting / data mixing."""
+T12-T17) — the switchback randomization layer — plus deterministic stratified
+sampling (sampling.py) and token-budget sequence packing (packing.py), which
+extend the same portable-seeded-hash idiom to corpus subsetting / data mixing
+and training-sequence assembly."""
 
 from switchback_test_dag_spark.plans.buckets import (
     hr_interval,
     hr_of_day,
     time_bucket,
+)
+from switchback_test_dag_spark.plans.packing import (
+    pack_documents,
+    pack_stats,
 )
 from switchback_test_dag_spark.plans.sampling import (
     stratified_exact_sample,
@@ -33,4 +38,6 @@ __all__ = [
     "zone_flip",
     "stratified_exact_sample",
     "stratified_fraction_sample",
+    "pack_documents",
+    "pack_stats",
 ]

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from switchback_test_dag_spark.io import load_table
+from switchback_test_dag_spark.plans import packing as PK
 from switchback_test_dag_spark.plans import sampling as PS
 from switchback_test_dag_spark.queries import query
 from switchback_test_dag_spark.text import analysis as TA
@@ -138,10 +139,52 @@ samp AS (
   FROM fsamp GROUP BY source
 )"""
 
+# Sequence-packing contract (driver-oracle row for plans/packing): the
+# portable next-fit assignment is replayed as a recursive CTE — one row per
+# doc stepping rn -> rn+1 within (source, bucket) — and pinned per source as
+# sequence count, max fill, the multi-doc-overflow invariant (always 0), and
+# an assignment-sensitive checksum sum(id_hash32 * seq). 8 hex digits (32-bit
+# hash) keep the checksum inside BIGINT at every benched scale factor
+# (5e5 docs × 4.3e9 × seq ≈ 1e17 at 100×).
+_PACK_BUDGET, _PACK_BUCKETS, _PACK_SEED = 512, 4, 9
+_DUCK_ID_HASH32 = "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+_DUCK_PACKING = f"""
+pkh AS (
+  SELECT source, doc_id, len({_DUCK_TOKS}) AS toks,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{_PACK_SEED}'), 1, 15))::BIGINT AS h
+  FROM documents
+), pkd AS (
+  SELECT source, doc_id, toks, h % {_PACK_BUCKETS} AS bucket,
+         row_number() OVER (PARTITION BY source, h % {_PACK_BUCKETS} ORDER BY h, doc_id) AS rn
+  FROM pkh
+), pk AS (
+  SELECT source, bucket, rn, doc_id, toks, 1 AS seq, toks AS fill
+  FROM pkd WHERE rn = 1
+  UNION ALL
+  SELECT n.source, n.bucket, n.rn, n.doc_id, n.toks,
+         CASE WHEN p.fill + n.toks > {_PACK_BUDGET} THEN p.seq + 1 ELSE p.seq END,
+         CASE WHEN p.fill + n.toks > {_PACK_BUDGET} THEN n.toks ELSE p.fill + n.toks END
+  FROM pkd n JOIN pk p
+    ON n.source = p.source AND n.bucket = p.bucket AND n.rn = p.rn + 1
+), pseq AS (
+  SELECT source, bucket, seq, sum(toks) AS fill, count(*) AS nd
+  FROM pk GROUP BY 1, 2, 3
+), pagg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_pack_seqs,
+         CAST(max(fill) AS BIGINT) AS pack_max_fill,
+         CAST(count(CASE WHEN fill > {_PACK_BUDGET} AND nd > 1 THEN 1 END) AS BIGINT)
+             AS pack_overflow_seqs
+  FROM pseq GROUP BY source
+), pchk AS (
+  SELECT source, CAST(sum({_DUCK_ID_HASH32} * seq) AS BIGINT) AS pack_id_hash
+  FROM pk GROUP BY source
+)"""
+
 
 @query(
     "doc_text_profile",
-    f"""WITH d AS (SELECT source, text, {_DUCK_AUG} AS aug FROM documents),
+    f"""WITH RECURSIVE d AS (SELECT source, text, {_DUCK_AUG} AS aug FROM documents),
        prof AS (
        SELECT source,
               count(*) AS n_docs,
@@ -158,10 +201,13 @@ samp AS (
                   AS redact_chars_removed,
               CAST(sum(length(aug) - length({_DUCK_PII_RED_BRACKET})) AS BIGINT)
                   AS redact_bracket_delta
-       FROM d GROUP BY source), {_DUCK_SAMPLING}
+       FROM d GROUP BY source), {_DUCK_SAMPLING}, {_DUCK_PACKING}
        SELECT prof.*, sagg.n_sampled_k7, sagg.sampled_id_hash,
-              fagg.n_frac_sampled, fagg.frac_id_hash
-       FROM prof JOIN sagg USING (source) JOIN fagg USING (source)""",
+              fagg.n_frac_sampled, fagg.frac_id_hash,
+              pagg.n_pack_seqs, pagg.pack_max_fill, pagg.pack_overflow_seqs,
+              pchk.pack_id_hash
+       FROM prof JOIN sagg USING (source) JOIN fagg USING (source)
+            JOIN pagg USING (source) JOIN pchk USING (source)""",
 )
 def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis suite per source, one documents scan: token counting
@@ -241,9 +287,41 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frac_sampled"),
         F.sum(id_hash).cast("long").alias("frac_id_hash"),
     )
+    # sequence-packing contract: run the real operator (portable hash) and pin
+    # per source the sequence count, max fill, the multi-doc-overflow
+    # invariant, and an assignment-sensitive checksum — the oracle replays the
+    # next-fit walk itself as a recursive CTE, so a changed ORDER or bucket
+    # routing breaks the hash even when counts agree
+    pk_base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", TA.token_count("text").cast("long").alias("_toks")
+    )
+    packed = PK.pack_documents(
+        pk_base,
+        "doc_id",
+        "_toks",
+        _PACK_BUDGET,
+        strata=["source"],
+        n_buckets=_PACK_BUCKETS,
+        seed=_PACK_SEED,
+        portable=True,
+    )
+    id_hash32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    pagg = PK.pack_stats(packed, "_toks", _PACK_BUDGET, strata=["source"]).select(
+        "source",
+        F.col("n_sequences").cast("long").alias("n_pack_seqs"),
+        F.col("max_seq_fill").alias("pack_max_fill"),
+        F.col("n_overflow_seqs").cast("long").alias("pack_overflow_seqs"),
+    )
+    pchk = packed.groupBy("source").agg(
+        F.sum(id_hash32 * F.col("seq")).cast("long").alias("pack_id_hash")
+    )
     return (
         prof.join(F.broadcast(sagg), "source", "left")
         .join(F.broadcast(fagg), "source", "left")
+        .join(F.broadcast(pagg), "source", "left")
+        .join(F.broadcast(pchk), "source", "left")
         .withColumn("n_sampled_k7", F.coalesce("n_sampled_k7", F.lit(0)).cast("long"))
         .withColumn(
             "n_frac_sampled", F.coalesce("n_frac_sampled", F.lit(0)).cast("long")

@@ -64,7 +64,10 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
 
 def test_jvm_path_queries_have_no_python_nodes(spark, sf_dir):
     # Everything except the sanctioned Pandas-UDF operators must run entirely
-    # JVM-side (whole-stage codegen territory)
+    # JVM-side (whole-stage codegen territory). Sanctioned grouped-map ops
+    # (FlatMapGroupsInPandas, e.g. doc_text_profile's packing contract) are
+    # allowed; what this pins is that no SCALAR expression work fell off the
+    # JVM path into per-row/ArrowEval Python
     for name in [
         "sb_metrics",
         "revenue_by_segment",
