@@ -644,15 +644,27 @@ def embedding_near_dup_pairs(
             mat_a = np.stack(batch["v"].to_numpy()).astype(np.float64)
             na = np.linalg.norm(mat_a, axis=1)
             na[na == 0] = np.inf
-            sims = (mat_a / na[:, None]) @ normed.T
-            ia, ib = np.nonzero(
-                (sims >= thr) & (ids_a[:, None] < all_ids[None, :])
-            )
+            normed_a = mat_a / na[:, None]
+            # block over the broadcast side: a full batch×corpus sims matrix
+            # (plus its threshold/ordering masks) is hundreds of MB of fresh
+            # allocations per task — blocked scoring keeps the working set
+            # cache-sized, which measures dramatically faster under memory
+            # pressure and identical when memory is cheap
+            out_a, out_b, out_c = [], [], []
+            for j0 in range(0, normed.shape[0], 4096):
+                blk_ids = all_ids[j0 : j0 + 4096]
+                sims = normed_a @ normed[j0 : j0 + 4096].T
+                ia, ib = np.nonzero(
+                    (sims >= thr) & (ids_a[:, None] < blk_ids[None, :])
+                )
+                out_a.append(ids_a[ia])
+                out_b.append(blk_ids[ib])
+                out_c.append(np.round(sims[ia, ib], 4))
             yield pd.DataFrame(
                 {
-                    "id_a": ids_a[ia],
-                    "id_b": all_ids[ib],
-                    "cosine": np.round(sims[ia, ib], 4),
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "cosine": np.concatenate(out_c),
                 }
             )
 
