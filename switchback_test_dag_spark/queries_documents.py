@@ -181,6 +181,42 @@ pkh AS (
   FROM pk GROUP BY source
 )"""
 
+# Repetition contract (driver-oracle row for text/analysis.repetition_stats,
+# the Gopher-style repetition filters): per-doc top-token fraction and
+# duplicate-2-gram occurrence fraction, replayed in SQL from the same token
+# array and averaged per source. Docs with no tokens (or < 2 tokens for the
+# gram signal) score 0.0 — LEFT joins from documents keep them in the avg.
+_DUCK_REPETITION = f"""
+rtc AS (
+  SELECT source, doc_id, tok, count(*) AS c
+  FROM (SELECT source, doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+  GROUP BY 1, 2, 3
+), rtagg AS (
+  SELECT source, doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS topf
+  FROM rtc GROUP BY 1, 2
+), rgc AS (
+  SELECT source, doc_id, g, count(*) AS c
+  FROM (
+    SELECT source, doc_id,
+           unnest([array_to_string(toks[i:i+1], ' ')
+                   for i in generate_series(1, len(toks) - 1)]) AS g
+    FROM (SELECT source, doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    WHERE len(toks) >= 2
+  ) GROUP BY 1, 2, 3
+), rgagg AS (
+  SELECT source, doc_id,
+         CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS DOUBLE) / sum(c) AS dupf
+  FROM rgc GROUP BY 1, 2
+), ragg AS (
+  SELECT dd.source,
+         round(avg(coalesce(t.topf, 0)), 6) AS avg_top_token_frac,
+         round(avg(coalesce(g.dupf, 0)), 6) AS avg_dup_2gram_frac
+  FROM documents dd
+  LEFT JOIN rtagg t ON dd.doc_id = t.doc_id
+  LEFT JOIN rgagg g ON dd.doc_id = g.doc_id
+  GROUP BY dd.source
+)"""
+
 
 @query(
     "doc_text_profile",
@@ -201,13 +237,15 @@ pkh AS (
                   AS redact_chars_removed,
               CAST(sum(length(aug) - length({_DUCK_PII_RED_BRACKET})) AS BIGINT)
                   AS redact_bracket_delta
-       FROM d GROUP BY source), {_DUCK_SAMPLING}, {_DUCK_PACKING}
+       FROM d GROUP BY source), {_DUCK_SAMPLING}, {_DUCK_PACKING}, {_DUCK_REPETITION}
        SELECT prof.*, sagg.n_sampled_k7, sagg.sampled_id_hash,
               fagg.n_frac_sampled, fagg.frac_id_hash,
               pagg.n_pack_seqs, pagg.pack_max_fill, pagg.pack_overflow_seqs,
-              pchk.pack_id_hash
+              pchk.pack_id_hash,
+              ragg.avg_top_token_frac, ragg.avg_dup_2gram_frac
        FROM prof JOIN sagg USING (source) JOIN fagg USING (source)
-            JOIN pagg USING (source) JOIN pchk USING (source)""",
+            JOIN pagg USING (source) JOIN pchk USING (source)
+            JOIN ragg USING (source)""",
 )
 def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis suite per source, one documents scan: token counting
@@ -225,7 +263,10 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``stratified_exact_sample(k=7)`` and ``stratified_fraction_sample(0.25)``
     memberships under the portable md5 permutation, which the oracle replays
     verbatim as a ``row_number`` window — a changed sample SET breaks the
-    value hash even when the counts agree."""
+    value hash even when the counts agree; the sequence-packing contract
+    (``plans/packing``, next-fit walk replayed as a recursive CTE); and the
+    Gopher-style repetition filters (``repetition_stats``: top-token
+    fraction, duplicate-2-gram occurrence fraction) averaged per source."""
     docs = load_table(spark, sf_dir, "documents")
     sample_base = docs.select("doc_id", "source")  # pruned scan for samplers
     qs = TA.quality_score("text")
@@ -317,11 +358,25 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pchk = packed.groupBy("source").agg(
         F.sum(id_hash32 * F.col("seq")).cast("long").alias("pack_id_hash")
     )
+    # repetition contract: the Gopher-style per-doc repetition signals
+    # averaged per source (docs too short for a signal score 0.0 and stay in
+    # the average — repetition_stats left-joins every input row back)
+    rep = TA.repetition_stats(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        "text",
+        ngram_n=2,
+    )
+    ragg = rep.join(sample_base, "doc_id").groupBy("source").agg(
+        F.round(F.avg("top_token_frac"), 6).alias("avg_top_token_frac"),
+        F.round(F.avg("dup_ngram_frac"), 6).alias("avg_dup_2gram_frac"),
+    )
     return (
         prof.join(F.broadcast(sagg), "source", "left")
         .join(F.broadcast(fagg), "source", "left")
         .join(F.broadcast(pagg), "source", "left")
         .join(F.broadcast(pchk), "source", "left")
+        .join(F.broadcast(ragg), "source", "left")
         .withColumn("n_sampled_k7", F.coalesce("n_sampled_k7", F.lit(0)).cast("long"))
         .withColumn(
             "n_frac_sampled", F.coalesce("n_frac_sampled", F.lit(0)).cast("long")

@@ -52,8 +52,12 @@ def bpe_token_count(text_col: str) -> Column:
     return F.expr(f"size(regexp_extract_all({text_col}, '{BPE_TOKEN_RE}', 0))")
 
 
-def _array_ngrams_sql(arr_sql: str, n: int, sep: str = " ") -> str:
-    """n-gram array over an array expression via a zip_with chain of slices.
+def _array_ngrams_sql(
+    arr_sql: str, n: int, sep: str = " ", distinct: bool = True
+) -> str:
+    """n-gram array over an array expression via a zip_with chain of slices
+    (distinct by default — shingle semantics; ``distinct=False`` keeps every
+    occurrence, the repetition-counting semantics).
 
     Performance-critical shape: every occurrence of ``arr_sql`` sits at
     *argument* level (evaluated once per row per occurrence, ~n+1 total), never
@@ -68,7 +72,9 @@ def _array_ngrams_sql(arr_sql: str, n: int, sep: str = " ") -> str:
             f"zip_with({acc}, slice({arr_sql}, {k}, {ln}), "
             f"(a, b) -> concat(a, '{sep}', b))"
         )
-    return f"CASE WHEN size({arr_sql}) >= {n} THEN array_distinct({acc}) ELSE array() END"
+    if distinct:
+        acc = f"array_distinct({acc})"
+    return f"CASE WHEN size({arr_sql}) >= {n} THEN {acc} ELSE array() END"
 
 
 def word_shingles(text_col: str, n: int = 3) -> Column:
@@ -247,3 +253,64 @@ def redact_pii(text_col: str, token_fmt: str = "<{kind}>") -> Column:
                 )
         out = f"regexp_replace({out}, '{pat}', '{token}')"
     return F.expr(out)
+
+
+def repetition_stats(
+    df, id_col: str, text_col: str, ngram_n: int = 2
+):
+    """Per-document repetition signals — the corpus-filter rules pretraining
+    pipelines apply after cheap quality scoring (the Gopher/MassiveText
+    "repetition" family, Rae et al. 2021 §A1.1, public method):
+
+    - ``top_token_frac``: occurrences of the document's most frequent token /
+      total tokens (prompt-injection spam, keyword stuffing, boilerplate);
+    - ``dup_ngram_frac``: fraction of word ``ngram_n``-gram OCCURRENCES that
+      are repeats of an n-gram already seen in the document (looping text,
+      template churn). Documents with no tokens (or too few for an n-gram)
+      score 0.0 — empty is not repetitive.
+
+    Scale shape: both signals need per-(doc, unit) counts, so tokens and
+    n-grams are tagged and exploded in ONE pass and share ONE shuffle keyed
+    on (doc, kind, unit); per-doc reduction is map-side combinable and
+    bounded by vocabulary, never docs². Skew is bounded by document length
+    (one document's units land in one reducer group only per distinct unit).
+
+    Returns ``(id_col, top_token_frac double, dup_ngram_frac double)`` with
+    every input row present (left join back over ``id_col``).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401 (signature documentation)
+
+    toks_sql = f"filter(split(lower({text_col}), '{TOKEN_SPLIT_RE}'), x -> x != '')"
+    grams_sql = _array_ngrams_sql(toks_sql, ngram_n, " ", distinct=False)
+    units = (
+        f"concat(transform({toks_sql}, t -> struct('t' AS kind, t AS unit)), "
+        f"transform({grams_sql}, g -> struct('g' AS kind, g AS unit)))"
+    )
+    counts = (
+        df.select(F.col(id_col).alias("_rid"), F.explode(F.expr(units)).alias("u"))
+        .groupBy("_rid", F.col("u.kind").alias("kind"), F.col("u.unit").alias("unit"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_id = counts.groupBy("_rid").agg(
+        F.max(F.when(F.col("kind") == "t", F.col("_c"))).alias("_tmx"),
+        F.sum(F.when(F.col("kind") == "t", F.col("_c"))).alias("_ttot"),
+        F.sum(
+            F.when((F.col("kind") == "g") & (F.col("_c") > 1), F.col("_c"))
+        ).alias("_gdup"),
+        F.sum(F.when(F.col("kind") == "g", F.col("_c"))).alias("_gtot"),
+    )
+    stats = per_id.select(
+        F.col("_rid").alias(id_col),
+        (F.col("_tmx") / F.col("_ttot")).alias("top_token_frac"),
+        F.when(
+            F.col("_gtot").isNotNull(),
+            F.coalesce(F.col("_gdup"), F.lit(0)) / F.col("_gtot"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_frac"),
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .fillna(0.0, ["top_token_frac", "dup_ngram_frac"])
+    )

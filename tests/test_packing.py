@@ -145,3 +145,26 @@ def test_portable_assignment_replays_in_duckdb(docs_tok):
         ).fetchall()
     )
     assert spark_rows == duck_rows
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed repetition signals, incl. empty/NULL/one-token docs."""
+    rows = [
+        (1, "a a a b"),  # top 3/4; 2-gram occurrences [a a, a a, a b] -> dup 2/3
+        (2, "x y z"),    # top 1/3; grams [x y, y z] all unique -> 0
+        (3, ""),         # no tokens -> 0, 0
+        (4, "solo"),     # one token -> top 1.0, no grams -> 0
+        (5, None),       # NULL text -> 0, 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (round(r["top_token_frac"], 6), round(r["dup_ngram_frac"], 6))
+        for r in TA.repetition_stats(df, "doc_id", "text").collect()
+    }
+    assert got == {
+        1: (0.75, round(2 / 3, 6)),
+        2: (round(1 / 3, 6), 0.0),
+        3: (0.0, 0.0),
+        4: (1.0, 0.0),
+        5: (0.0, 0.0),
+    }
