@@ -25,6 +25,7 @@ from switchback_test_dag_spark.plans import packing as PK
 from switchback_test_dag_spark.plans import sampling as PS
 from switchback_test_dag_spark.queries import query
 from switchback_test_dag_spark.text import analysis as TA
+from switchback_test_dag_spark.text import decontaminate as DC
 from switchback_test_dag_spark.text import dedup as TD
 from switchback_test_dag_spark.vectors import similarity as VS
 
@@ -1324,9 +1325,27 @@ WITH q AS (
         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.85
 ), k2 AS (
   SELECT * FROM k1 WHERE doc_id NOT IN (SELECT doc_id FROM near)
+), etk AS (
+  SELECT {_DUCK_TOKS} AS toks FROM documents WHERE doc_id % 13 = 0
+), ev AS (
+  SELECT DISTINCT unnest(
+    [array_to_string(toks[i:i+3], ' ') for i in generate_series(1, len(toks) - 3)]
+  ) AS gram FROM etk
+), k2g AS (
+  SELECT doc_id, list_distinct(
+    [array_to_string(toks[i:i+3], ' ') for i in generate_series(1, len(toks) - 3)]
+  ) AS g
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM k2)
+), contam AS (
+  SELECT DISTINCT k2g.doc_id
+  FROM k2g, unnest(k2g.g) AS u(gram) JOIN ev ON u.gram = ev.gram
 )
-SELECT source, count(*) AS n_kept, round(avg(qs), 4) AS avg_quality
-FROM k2 GROUP BY source
+SELECT k2.source,
+       count(*) FILTER (WHERE c.doc_id IS NULL) AS n_kept,
+       round(avg(qs) FILTER (WHERE c.doc_id IS NULL), 4) AS avg_quality,
+       count(c.doc_id) AS n_contam
+FROM k2 LEFT JOIN contam c USING (doc_id)
+GROUP BY k2.source
 """
 
 
@@ -1335,9 +1354,13 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data cleaning pipeline — the operators chained the way
     a production corpus job runs them: quality filter (score ≥ 0.5) → exact
     dedup (md5 fingerprint, min-id keeper) → near-dup removal (exact n-gram
-    Jaccard ≥ 0.85, higher id dropped) → per-source survivor stats. Each stage
-    is a shuffle keyed on its own key (fingerprint, shingle hash, source);
-    nothing is collected driver-side."""
+    Jaccard ≥ 0.85, higher id dropped) → benchmark decontamination
+    (``text/decontaminate.contaminated_ids``: ≥1 shared distinct word 4-gram
+    with the eval slice ``doc_id % 13 == 0``; n=4 suits the fixture's tiny
+    synthetic vocabulary — production uses the papers' 8–13) → per-source
+    survivor stats plus the per-source contaminated count. Each stage is a
+    shuffle keyed on its own key (fingerprint, shingle hash, gram, source);
+    the eval gram set is broadcast; nothing is collected driver-side."""
     docs = load_table(spark, sf_dir, "documents")
     qs = TA.quality_score("text")
     filtered = docs.withColumn("qs", qs).filter(F.col("qs") >= 0.5)
@@ -1348,7 +1371,14 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     kept2 = kept1.join(near, "doc_id", "left_anti")
-    return kept2.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.round(F.avg("qs"), 4).alias("avg_quality"),
+    eval_df = docs.filter(F.col("doc_id") % 13 == 0)
+    bad = DC.contaminated_ids(kept2, eval_df, "doc_id", "text", n=4).select(
+        "doc_id", F.lit(True).alias("_contam")
+    )
+    flagged = kept2.join(bad, "doc_id", "left")
+    clean = F.col("_contam").isNull()
+    return flagged.groupBy("source").agg(
+        F.sum(F.when(clean, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.round(F.avg(F.when(clean, F.col("qs"))), 4).alias("avg_quality"),
+        F.sum(F.when(clean, 0).otherwise(1)).cast("long").alias("n_contam"),
     )
