@@ -27,6 +27,7 @@ from switchback_test_dag_spark.queries import query
 from switchback_test_dag_spark.text import analysis as TA
 from switchback_test_dag_spark.text import decontaminate as DC
 from switchback_test_dag_spark.text import dedup as TD
+from switchback_test_dag_spark.text import spans as SP
 from switchback_test_dag_spark.vectors import similarity as VS
 
 # DuckDB-side token/shingle builders (kept in one place so every oracle agrees)
@@ -218,6 +219,39 @@ rtc AS (
   GROUP BY dd.source
 )"""
 
+# Duplicated-span contract (driver-oracle row for text/spans — the fixed-L
+# suffix-dedup approximation): the portable md5-prefix window keys are
+# replayed in SQL, duplicated windows (count >= 2 corpus-wide) are joined
+# back to their start positions, and per-doc coverage is the DISTINCT count
+# of tokens inside any duplicated window (the interval union the Spark side
+# computes with a fold). Averaged per source with every doc kept.
+_SPAN_L = 4
+_DUCK_SPANS = f"""
+soc AS (
+  SELECT doc_id, unnest(
+    [struct_pack(pos := i - 1,
+                 wk := substr(md5(array_to_string(toks[i:i+{_SPAN_L - 1}], ' ')), 1, 16))
+     for i in generate_series(1, len(toks) - {_SPAN_L - 1})],
+    recursive := true)
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+), sdup AS (
+  SELECT wk FROM soc GROUP BY wk HAVING count(*) >= 2
+), shit AS (
+  SELECT soc.doc_id, soc.pos FROM soc JOIN sdup USING (wk)
+), sexp AS (
+  SELECT doc_id, unnest(generate_series(pos, pos + {_SPAN_L - 1})) AS t FROM shit
+), scov AS (
+  SELECT doc_id, count(DISTINCT t) AS covered FROM sexp GROUP BY doc_id
+), sfr AS (
+  SELECT dd.source,
+         round(avg(CASE WHEN len({_DUCK_TOKS}) > 0
+                        THEN CAST(coalesce(sc.covered, 0) AS DOUBLE) / len({_DUCK_TOKS})
+                        ELSE 0.0 END), 6) AS avg_dup_span_frac,
+         count(CASE WHEN sc.covered > 0 THEN 1 END) AS n_dup_span_docs
+  FROM documents dd LEFT JOIN scov sc ON dd.doc_id = sc.doc_id
+  GROUP BY dd.source
+)"""
+
 
 @query(
     "doc_text_profile",
@@ -238,15 +272,17 @@ rtc AS (
                   AS redact_chars_removed,
               CAST(sum(length(aug) - length({_DUCK_PII_RED_BRACKET})) AS BIGINT)
                   AS redact_bracket_delta
-       FROM d GROUP BY source), {_DUCK_SAMPLING}, {_DUCK_PACKING}, {_DUCK_REPETITION}
+       FROM d GROUP BY source), {_DUCK_SAMPLING}, {_DUCK_PACKING}, {_DUCK_REPETITION},
+       {_DUCK_SPANS}
        SELECT prof.*, sagg.n_sampled_k7, sagg.sampled_id_hash,
               fagg.n_frac_sampled, fagg.frac_id_hash,
               pagg.n_pack_seqs, pagg.pack_max_fill, pagg.pack_overflow_seqs,
               pchk.pack_id_hash,
-              ragg.avg_top_token_frac, ragg.avg_dup_2gram_frac
+              ragg.avg_top_token_frac, ragg.avg_dup_2gram_frac,
+              sfr.avg_dup_span_frac, sfr.n_dup_span_docs
        FROM prof JOIN sagg USING (source) JOIN fagg USING (source)
             JOIN pagg USING (source) JOIN pchk USING (source)
-            JOIN ragg USING (source)""",
+            JOIN ragg USING (source) JOIN sfr USING (source)""",
 )
 def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis suite per source, one documents scan: token counting
@@ -267,7 +303,12 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     value hash even when the counts agree; the sequence-packing contract
     (``plans/packing``, next-fit walk replayed as a recursive CTE); and the
     Gopher-style repetition filters (``repetition_stats``: top-token
-    fraction, duplicate-2-gram occurrence fraction) averaged per source."""
+    fraction, duplicate-2-gram occurrence fraction) averaged per source; and
+    the duplicated-span contract (``text/spans.duplicated_span_stats``, the
+    fixed-L suffix-dedup approximation): per-source average duplicated-token
+    coverage and the count of docs containing any corpus-duplicated
+    ``_SPAN_L``-token window, portable md5-prefix window keys replayed
+    verbatim in the oracle."""
     docs = load_table(spark, sf_dir, "documents")
     sample_base = docs.select("doc_id", "source")  # pruned scan for samplers
     qs = TA.quality_score("text")
@@ -372,12 +413,27 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("top_token_frac"), 6).alias("avg_top_token_frac"),
         F.round(F.avg("dup_ngram_frac"), 6).alias("avg_dup_2gram_frac"),
     )
+    # duplicated-span contract (text/spans): per-source coverage average and
+    # count of documents containing any duplicated fixed-L window, portable
+    # keys so the oracle replays the exact grouping
+    span = SP.duplicated_span_stats(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        "text",
+        span_len=_SPAN_L,
+        portable=True,
+    )
+    spagg = span.join(sample_base, "doc_id").groupBy("source").agg(
+        F.round(F.avg("dup_token_frac"), 6).alias("avg_dup_span_frac"),
+        F.count(F.when(F.col("n_dup_positions") > 0, 1)).alias("n_dup_span_docs"),
+    )
     return (
         prof.join(F.broadcast(sagg), "source", "left")
         .join(F.broadcast(fagg), "source", "left")
         .join(F.broadcast(pagg), "source", "left")
         .join(F.broadcast(pchk), "source", "left")
         .join(F.broadcast(ragg), "source", "left")
+        .join(F.broadcast(spagg), "source", "left")
         .withColumn("n_sampled_k7", F.coalesce("n_sampled_k7", F.lit(0)).cast("long"))
         .withColumn(
             "n_frac_sampled", F.coalesce("n_frac_sampled", F.lit(0)).cast("long")
