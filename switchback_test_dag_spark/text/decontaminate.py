@@ -28,6 +28,7 @@ still linear, just not map-side).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -94,3 +95,51 @@ def decontaminate(
         docs, eval_df, id_col, text_col, n, min_hits, broadcast_eval
     ).select(id_col)
     return docs.join(bad, id_col, "left_anti")
+
+
+def contamination_flagger(
+    spark,
+    eval_df: DataFrame,
+    text_col: str,
+    n: int = 13,
+    max_eval_grams: int = 50_000_000,
+):
+    """STATELESS contamination flagging for the ingest path — the streaming
+    twin of ``contaminated_ids``.
+
+    The batch shape (explode → join → groupBy → anti) is two stream-stream
+    steps Structured Streaming cannot run stateless, and it doesn't need to:
+    the eval side is a STATIC artifact (benchmarks change at human cadence),
+    so the production streaming plan pins the eval gram set once driver-side,
+    broadcasts it, and flags each document row-locally — zero state, no
+    shuffle, identical per-batch and per-stream semantics. This is one of the
+    repo's documented Python-unavoidable cases (UDF policy, SURVEY §2.9): a
+    membership test against a driver-held set has no Column-expression form
+    that doesn't inline the whole set into the plan.
+
+    Returns a function ``df -> df + n_eval_grams int column`` (count of
+    DISTINCT contaminated grams, same semantics as ``contaminated_ids``;
+    0 for clean/short/NULL docs) applicable to batch or streaming frames.
+    Raises if the eval gram set exceeds ``max_eval_grams`` — past that,
+    flag offline with the batch join instead."""
+    from pyspark.sql.functions import pandas_udf
+
+    grams = [r["gram"] for r in eval_ngrams(eval_df, text_col, n).collect()]
+    if len(grams) > max_eval_grams:
+        raise ValueError(
+            f"eval gram set ({len(grams)} grams) exceeds max_eval_grams="
+            f"{max_eval_grams}; use the batch contaminated_ids join instead"
+        )
+    bc = spark.sparkContext.broadcast(frozenset(grams))
+
+    @pandas_udf("int")
+    def _n_hits(gram_arrays: pd.Series) -> pd.Series:
+        ev = bc.value
+        return gram_arrays.map(
+            lambda gs: 0 if gs is None else sum(1 for g in set(gs) if g in ev)
+        ).astype("int32")
+
+    def apply(df: DataFrame) -> DataFrame:
+        return df.withColumn("n_eval_grams", _n_hits(word_shingles(text_col, n)))
+
+    return apply

@@ -125,18 +125,71 @@ def measure_emb_lsh(spark, sf_dir: str) -> dict:
     }
 
 
+def measure_spans(spark, sf_dir: str) -> dict:
+    """Duplicated-span stats (text/spans) on the 10x documents, production
+    xxhash64 keys — the path the oracle never times (it replays the portable
+    md5 form at sf0.01)."""
+    from switchback_test_dag_spark.text import spans as SP
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t0 = time.monotonic()
+    st = SP.duplicated_span_stats(docs, "doc_id", "text", span_len=4)
+    agg = st.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("n_dup_positions") > 0, 1)).alias("n_dup_docs"),
+        F.round(F.avg("dup_token_frac"), 6).alias("avg_cov"),
+    ).collect()[0]
+    wall = time.monotonic() - t0
+    return {
+        "measurement": "spans",
+        "sf_dir": sf_dir,
+        "sec": round(wall, 2),
+        "n_docs": agg["n_docs"],
+        "n_dup_docs": agg["n_dup_docs"],
+        "avg_dup_token_frac": float(agg["avg_cov"]),
+    }
+
+
+def measure_decon(spark, sf_dir: str) -> dict:
+    """Decontamination (text/decontaminate) on the 10x documents against the
+    doc_id % 13 eval slice: wall time + removal counts on the production
+    (broadcast) path."""
+    from switchback_test_dag_spark.text import decontaminate as DC
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 13 == 0)
+    n_docs = docs.count()
+    t0 = time.monotonic()
+    kept = DC.decontaminate(docs, eval_df, "doc_id", "text", n=4).count()
+    wall = time.monotonic() - t0
+    return {
+        "measurement": "decon",
+        "sf_dir": sf_dir,
+        "sec": round(wall, 2),
+        "n_docs": n_docs,
+        "n_removed": n_docs - kept,
+    }
+
+
+_MEASURES = {
+    "components": measure_components,
+    "emb_lsh": measure_emb_lsh,
+    "spans": measure_spans,
+    "decon": measure_decon,
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "what", nargs="*", default=["components", "emb_lsh"],
-        choices=["components", "emb_lsh"],
+        choices=sorted(_MEASURES),
     )
     ap.add_argument("--sf", default=os.path.join(_REPO, ".scale", "sf1"))
     args = ap.parse_args()
     spark = get_spark(app_name="scale-evidence", cpus=32, shuffle_partitions=32)
     for what in args.what or ["components", "emb_lsh"]:
-        fn = measure_components if what == "components" else measure_emb_lsh
-        print(json.dumps(fn(spark, args.sf)), flush=True)
+        print(json.dumps(_MEASURES[what](spark, args.sf)), flush=True)
 
 
 if __name__ == "__main__":
