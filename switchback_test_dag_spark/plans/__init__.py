@@ -16,6 +16,7 @@ from switchback_test_dag_spark.plans.packing import (
 from switchback_test_dag_spark.plans.sampling import (
     stratified_exact_sample,
     stratified_fraction_sample,
+    weighted_priority_sample,
 )
 from switchback_test_dag_spark.plans.assignment import (
     alternating_assignment,
@@ -38,6 +39,7 @@ __all__ = [
     "zone_flip",
     "stratified_exact_sample",
     "stratified_fraction_sample",
+    "weighted_priority_sample",
     "pack_documents",
     "pack_stats",
 ]

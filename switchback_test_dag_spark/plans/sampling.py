@@ -79,7 +79,22 @@ def _with_stratum_rank(
     their own stratum (groupBy semantics): the offset join is null-safe.
     """
     hashed = df.withColumn(_H, _permutation_hash(id_col, seed, portable))
-    # ascending (strata..., hash, id) ranges land on ascending partition ids
+    return _with_key_rank(hashed, strata, id_col, rank_col).drop(_H)
+
+
+def _with_key_rank(
+    df: DataFrame,
+    strata: Sequence[str],
+    id_col: str,
+    rank_col: str = "_rk",
+) -> DataFrame:
+    """The scale-safe per-stratum rank under an arbitrary pre-computed
+    ordering key column ``_H`` (ascending, ties broken by ``id_col``) — the
+    range-partition + local-row_number + broadcast-offset machinery shared by
+    the uniform samplers (key = seeded permutation hash) and the weighted
+    priority sampler (key = negated integer priority)."""
+    hashed = df
+    # ascending (strata..., key, id) ranges land on ascending partition ids
     # (the range partitioner's invariant); keys are unique, so assignment is
     # order-consistent and the reconstructed global rank is exact
     parts = hashed.repartitionByRange(
@@ -128,6 +143,73 @@ def stratified_exact_sample(
         _with_stratum_rank(df, strata, id_col, seed, portable)
         .filter(F.col("_rk") <= k)
         .drop("_rk")
+    )
+
+
+_PRI_BITS = 40
+_PRI_SCALE = 1 << _PRI_BITS
+_PRI_MAX_W = 1 << 22  # w * 2^40 must stay inside BIGINT
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: the top ``k`` rows
+    per stratum by *priority* ``w / u`` with ``u`` a seeded per-row uniform —
+    Duffield–Lund–Thorup priority sampling (JACM 2007; public method), whose
+    inclusion probabilities are ≈ proportional to weight with well-studied
+    subset-sum estimators. The use case the uniform samplers can't serve:
+    quality- or length-weighted corpus subsetting ("sample survivors ∝ token
+    count / quality score") as part of a reproducible training recipe.
+
+    Exactness across engines is part of the contract: the priority is the
+    INTEGER ``(w << 40) div a`` with ``a`` the 40-bit seeded uniform (md5
+    prefix under ``portable=True``, ``xxhash64`` masked otherwise), so the
+    ordering involves no float op that could differ by an ulp between Spark
+    and a replaying engine — an external oracle reproduces membership
+    bit-for-bit. Ranking uses the same range-partitioned machinery as the
+    uniform samplers (no single-task-per-stratum stage).
+
+    Rows with NULL or non-positive weight are never sampled; weights must be
+    integers ≤ 2^22 (asserted in-plan) so the scaled priority stays inside
+    BIGINT. ``id_col`` must be unique per row."""
+    if portable:
+        a_raw = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                _PRI_BITS // 4,
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        a_raw = F.xxhash64(F.col(id_col), F.lit(seed)).bitwiseAND(
+            F.lit(_PRI_SCALE - 1)
+        )
+    w = F.col(weight_col).cast("long")
+    checked_w = F.when(
+        F.assert_true(w <= _PRI_MAX_W, f"{weight_col} exceeds 2^22").isNull(), w
+    )
+    a = F.greatest(a_raw, F.lit(1))
+    pri = F.expr(f"_wps_w * {_PRI_SCALE} div _wps_a")
+    eligible = (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_wps_w", checked_w)
+        .withColumn("_wps_a", a)
+        .withColumn(_H, -pri)
+        .drop("_wps_w", "_wps_a")
+    )
+    return (
+        _with_key_rank(eligible, strata, id_col)
+        .filter(F.col("_rk") <= k)
+        .drop("_rk", _H)
     )
 
 

@@ -1395,12 +1395,32 @@ WITH q AS (
 ), contam AS (
   SELECT DISTINCT k2g.doc_id
   FROM k2g, unnest(k2g.g) AS u(gram) JOIN ev ON u.gram = ev.gram
+), k3 AS (
+  SELECT k2.* FROM k2 LEFT JOIN contam c USING (doc_id) WHERE c.doc_id IS NULL
+), ww AS (
+  SELECT doc_id, source, len({_DUCK_TOKS}) AS w,
+         greatest(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':17'), 1, 10))::BIGINT, 1) AS a
+  FROM k3
+), wr AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY -((w * 1099511627776) // a), doc_id) AS rk
+  FROM ww WHERE w > 0
+), wagg AS (
+  SELECT source,
+         count(*) AS n_wsample,
+         CAST(sum(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT)
+              AS BIGINT) AS wsample_id_hash
+  FROM wr WHERE rk <= 5 GROUP BY source
 )
 SELECT k2.source,
        count(*) FILTER (WHERE c.doc_id IS NULL) AS n_kept,
        round(avg(qs) FILTER (WHERE c.doc_id IS NULL), 4) AS avg_quality,
-       count(c.doc_id) AS n_contam
+       count(c.doc_id) AS n_contam,
+       coalesce(any_value(wagg.n_wsample), 0) AS n_wsample,
+       any_value(wagg.wsample_id_hash) AS wsample_id_hash
 FROM k2 LEFT JOIN contam c USING (doc_id)
+     LEFT JOIN wagg ON k2.source = wagg.source
 GROUP BY k2.source
 """
 
@@ -1414,9 +1434,13 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``text/decontaminate.contaminated_ids``: ≥1 shared distinct word 4-gram
     with the eval slice ``doc_id % 13 == 0``; n=4 suits the fixture's tiny
     synthetic vocabulary — production uses the papers' 8–13) → per-source
-    survivor stats plus the per-source contaminated count. Each stage is a
-    shuffle keyed on its own key (fingerprint, shingle hash, gram, source);
-    the eval gram set is broadcast; nothing is collected driver-side."""
+    survivor stats plus the per-source contaminated count, and a token-count-
+    weighted k=5 priority sample of the clean survivors
+    (``plans/sampling.weighted_priority_sample``, integer priorities replayed
+    bit-for-bit by the oracle window) pinned as (count, id-hash sum). Each
+    stage is a shuffle keyed on its own key (fingerprint, shingle hash, gram,
+    source); the eval gram set is broadcast; nothing is collected
+    driver-side."""
     docs = load_table(spark, sf_dir, "documents")
     qs = TA.quality_score("text")
     filtered = docs.withColumn("qs", qs).filter(F.col("qs") >= 0.5)
@@ -1433,8 +1457,34 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = kept2.join(bad, "doc_id", "left")
     clean = F.col("_contam").isNull()
-    return flagged.groupBy("source").agg(
+    stats = flagged.groupBy("source").agg(
         F.sum(F.when(clean, 1).otherwise(0)).cast("long").alias("n_kept"),
         F.round(F.avg(F.when(clean, F.col("qs"))), 4).alias("avg_quality"),
         F.sum(F.when(clean, 0).otherwise(1)).cast("long").alias("n_contam"),
+    )
+    # weighted-sample contract (plans/sampling.weighted_priority_sample): a
+    # token-count-weighted k=5 draw from the clean survivors per source,
+    # membership pinned as (count, 40-bit id-hash sum) — the INTEGER priority
+    # ordering replays bit-for-bit in the oracle's window
+    ws = PS.weighted_priority_sample(
+        flagged.filter(clean).select(
+            "doc_id", "source", TA.token_count("text").cast("long").alias("_w")
+        ),
+        ["source"],
+        "doc_id",
+        "_w",
+        k=5,
+        seed=17,
+        portable=True,
+    )
+    id_hash40 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    wagg = ws.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_wsample"),
+        F.sum(id_hash40).cast("long").alias("wsample_id_hash"),
+    )
+    return (
+        stats.join(F.broadcast(wagg), "source", "left")
+        .withColumn("n_wsample", F.coalesce("n_wsample", F.lit(0)).cast("long"))
     )

@@ -155,3 +155,140 @@ def test_portable_sample_membership_replays_in_duckdb(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def _wbase(spark):
+    docs = load_table(spark, SF, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+        ).alias("w"),
+    )
+
+
+def test_weighted_priority_sample_matches_integer_reference(spark):
+    """The portable path must equal a bit-exact Python replay of the integer
+    priority math (no float op anywhere in the ordering)."""
+    import hashlib
+
+    from switchback_test_dag_spark.plans.sampling import weighted_priority_sample
+
+    base = _wbase(spark)
+    got = {
+        r["doc_id"]
+        for r in weighted_priority_sample(
+            base, ["source"], "doc_id", "w", k=3, seed=7, portable=True
+        ).collect()
+    }
+    ref: dict = {}
+    for r in base.collect():
+        a = int(hashlib.md5(f"{r['doc_id']}:7".encode()).hexdigest()[:10], 16) or 1
+        if r["w"] and r["w"] > 0:
+            ref.setdefault(r["source"], []).append(
+                (-((r["w"] << 40) // a), r["doc_id"])
+            )
+    want = {did for lst in ref.values() for _, did in sorted(lst)[:3]}
+    assert got == want and len(got) > 0
+
+
+def test_weighted_priority_sample_invariance_and_weight_rules(spark):
+    from switchback_test_dag_spark.plans.sampling import weighted_priority_sample
+
+    base = _wbase(spark)
+    ids = {
+        r["doc_id"]
+        for r in weighted_priority_sample(
+            base, ["source"], "doc_id", "w", k=5, seed=1
+        ).collect()
+    }
+    # partition-invariant, seed-sensitive
+    ids_rp = {
+        r["doc_id"]
+        for r in weighted_priority_sample(
+            base.repartition(13), ["source"], "doc_id", "w", k=5, seed=1
+        ).collect()
+    }
+    assert ids == ids_rp
+    ids_s2 = {
+        r["doc_id"]
+        for r in weighted_priority_sample(
+            base, ["source"], "doc_id", "w", k=5, seed=2
+        ).collect()
+    }
+    assert ids != ids_s2
+    # zero/NULL weights are never sampled
+    rows = [(1, "a", 5), (2, "a", 0), (3, "a", None), (4, "a", 2)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    got = {
+        r["doc_id"]
+        for r in weighted_priority_sample(
+            df, ["source"], "doc_id", "w", k=10, seed=0
+        ).collect()
+    }
+    assert got == {1, 4}
+
+
+def test_weighted_priority_sample_weight_bound_asserted(spark):
+    import pytest as _pytest
+
+    from switchback_test_dag_spark.plans.sampling import weighted_priority_sample
+
+    df = spark.createDataFrame(
+        [(1, "a", 1 << 23)], "doc_id long, source string, w long"
+    )
+    with _pytest.raises(Exception, match="exceeds 2\\^22|ASSERT"):
+        weighted_priority_sample(df, ["source"], "doc_id", "w", k=1, seed=0).collect()
+
+
+def test_weighted_priority_sample_heavy_weights_dominate(spark):
+    """Statistical sanity: with weights 1000 vs 1, the heavy stratum slice
+    should be (nearly) all heavy rows — inclusion ∝ weight."""
+    from switchback_test_dag_spark.plans.sampling import weighted_priority_sample
+
+    rows = [(i, "a", 1000 if i < 20 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    got = [
+        r["doc_id"]
+        for r in weighted_priority_sample(
+            df, ["source"], "doc_id", "w", k=10, seed=4
+        ).collect()
+    ]
+    assert sum(1 for d in got if d < 20) >= 8
+
+
+def test_weighted_priority_sample_replays_in_duckdb(spark):
+    from switchback_test_dag_spark.plans.sampling import weighted_priority_sample
+
+    base = _wbase(spark)
+    got = {
+        r["doc_id"]
+        for r in weighted_priority_sample(
+            base, ["source"], "doc_id", "w", k=4, seed=11, portable=True
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    toks = "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''))"
+    want = {
+        r[0]
+        for r in con.execute(
+            f"""
+WITH w AS (
+  SELECT doc_id, source, {toks} AS w,
+         greatest(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 10))::BIGINT, 1) AS a
+  FROM documents
+), p AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY -((w * 1099511627776) // a), doc_id) AS rk
+  FROM w WHERE w > 0
+)
+SELECT doc_id FROM p WHERE rk <= 4
+"""
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
