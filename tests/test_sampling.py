@@ -292,3 +292,18 @@ SELECT doc_id FROM p WHERE rk <= 4
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_weighted_sample_plan_has_no_single_task_per_stratum_stage(spark):
+    """Same 100 TB pin as the uniform samplers: the priority rank must never
+    put a whole stratum through one task."""
+    from switchback_test_dag_spark.plans.sampling import weighted_priority_sample
+
+    base = _wbase(spark)
+    sample = weighted_priority_sample(base, ["source"], "doc_id", "w", k=5, seed=1)
+    plan = sample._jdf.queryExecution().executedPlan().toString()
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines, "rank window missing from plan"
+    for ln in rn_lines:
+        assert "_sgs_pid" in ln, f"per-stratum single-task window remains: {ln}"
+    assert "rangepartitioning(source" in plan, "range shuffle on (strata, key) missing"
