@@ -62,9 +62,31 @@ def _timed_count(spark, fn, name: str, timeout_s: float) -> int:
 from switchback_test_dag_spark.queries import FLAGSHIP  # noqa: E402
 
 
+def _host_probe(trials: int = 2) -> dict:
+    """Compact tools/boxprobe.py twin: this box's memory subsystem has shown
+    10-100x transient swings on identical plans (SCALE.md round-7 audits), so
+    every recorded benchmark carries its own environment control — min times
+    for a fixed BLAS matmul and a fixed 200 MB first-touch allocation.
+    Healthy ballpark: matmul ~0.01 s, alloc ~0.1 s."""
+    import numpy as np
+
+    mm, al = [], []
+    for _ in range(trials):
+        a = np.random.rand(4000, 64)
+        t0 = time.monotonic()
+        s = a @ a.T
+        mm.append(time.monotonic() - t0)
+        t0 = time.monotonic()
+        buf = np.ones(200_000_000 // 8)
+        al.append(time.monotonic() - t0)
+        del s, buf
+    return {"matmul_s": round(min(mm), 3), "alloc200mb_s": round(min(al), 3)}
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
 
+    probe_start = _host_probe()
     spark = get_spark(app_name="switchback-bench", cpus=CPUS, shuffle_partitions=CPUS)
     queries = entry_mod.queries()
     # optional exclusions (comma-separated) for big-scale-factor runs where a
@@ -147,6 +169,8 @@ def main() -> None:
         "runs": runs,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
+    # environment control bracketing the run (see _host_probe)
+    out["host"] = {"start": probe_start, "end": _host_probe()}
     if excluded:
         out["excluded"] = excluded
     if unmatched_excl:
