@@ -290,3 +290,14 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_cleaning_pipeline_plan_is_jvm_and_broadcasts_eval(spark, sf_dir):
+    # the composed cleaning pipeline (quality -> dedup -> near-dup ->
+    # decontamination -> weighted sample) must stay JVM-side end to end, keep
+    # the eval gram set on a broadcast join, and never go cartesian
+    plan = _plan(spark, "corpus_clean_stats", sf_dir)
+    assert "EvalPython" not in plan, "cleaning pipeline fell off the JVM path"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
