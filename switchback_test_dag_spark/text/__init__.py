@@ -2,7 +2,11 @@
 
 These extend the reference's analytics surface (SURVEY §7.1 M6) with the
 operations a 100 TB training-data pipeline needs: tokenization, language ID,
-quality scoring, fingerprinting (analysis.py) and exact/MinHash-LSH/SimHash/
-n-gram-Jaccard deduplication (dedup.py). Everything is native Spark SQL
-expressions — no Python UDFs in any hot path.
+quality scoring, fingerprinting, repetition filters, PII hygiene
+(analysis.py), exact/MinHash-LSH/SimHash/n-gram-Jaccard/winnowing/embedding
+deduplication with cluster resolution (dedup.py), train/eval benchmark
+decontamination (decontaminate.py), and duplicated-span detection — the
+fixed-L suffix-dedup approximation (spans.py). Everything is native Spark
+SQL expressions except the documented Arrow-batched islands (embedding
+matmuls, the streaming contamination flagger).
 """
