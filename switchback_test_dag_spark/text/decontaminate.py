@@ -124,12 +124,16 @@ def contamination_flagger(
     flag offline with the batch join instead."""
     from pyspark.sql.functions import pandas_udf
 
-    grams = [r["gram"] for r in eval_ngrams(eval_df, text_col, n).collect()]
-    if len(grams) > max_eval_grams:
+    ev = eval_ngrams(eval_df, text_col, n)
+    # count BEFORE collecting: the cap must protect the driver, not report
+    # the OOM it failed to prevent
+    n_grams = ev.count()
+    if n_grams > max_eval_grams:
         raise ValueError(
-            f"eval gram set ({len(grams)} grams) exceeds max_eval_grams="
+            f"eval gram set ({n_grams} grams) exceeds max_eval_grams="
             f"{max_eval_grams}; use the batch contaminated_ids join instead"
         )
+    grams = [r["gram"] for r in ev.collect()]
     bc = spark.sparkContext.broadcast(frozenset(grams))
 
     @pandas_udf("int")

@@ -155,3 +155,14 @@ GROUP BY gr.doc_id
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_flagger_gram_cap_raises_before_collect(spark):
+    from switchback_test_dag_spark.text.decontaminate import contamination_flagger
+
+    docs = load_table(spark, SF, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 13 == 0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_eval_grams"):
+        contamination_flagger(spark, eval_df, "text", n=4, max_eval_grams=10)
