@@ -166,9 +166,22 @@ def exact_quantiles(
         # partition subtotals reconstructs the exact global cumsum. The
         # offset window orders the per-(pid, group) subtotal frame by _pid —
         # a single task per group, but over ≤ #partitions rows, not data.
-        parts = counts.repartitionByRange(
-            *[F.col(c) for c in by], F.col(value_col)
-        ).withColumn("_pid", F.spark_partition_id())
+        #
+        # pin() is CORRECTNESS-load-bearing: the local-cumsum branch and the
+        # subtotal branch both consume this frame, and RangePartitioner
+        # samples fresh boundaries per execution — two independent executions
+        # of the exchange can partition differently, silently corrupting the
+        # reconstructed cumsum (the same defect the 100x re-diff caught in
+        # the samplers' shared rank machinery). Persisting makes both
+        # branches read the one materialized partitioning; the frame is the
+        # (by, value)-distinct counts, already aggregate-sized.
+        from switchback_test_dag_spark.caching import pin
+
+        parts = pin(
+            counts.repartitionByRange(
+                *[F.col(c) for c in by], F.col(value_col)
+            ).withColumn("_pid", F.spark_partition_id())
+        )
         local_w = Window.partitionBy("_pid", *by).orderBy(value_col)
         local = parts.withColumn("_lcum", F.sum("_c").over(local_w))
         ptot = local.groupBy("_pid", *by).agg(F.sum("_c").alias("_pc"))

@@ -93,13 +93,29 @@ def _with_key_rank(
     range-partition + local-row_number + broadcast-offset machinery shared by
     the uniform samplers (key = seeded permutation hash) and the weighted
     priority sampler (key = negated integer priority)."""
+    from switchback_test_dag_spark.caching import pin
+
     hashed = df
     # ascending (strata..., key, id) ranges land on ascending partition ids
     # (the range partitioner's invariant); keys are unique, so assignment is
-    # order-consistent and the reconstructed global rank is exact
-    parts = hashed.repartitionByRange(
-        *[F.col(c) for c in strata], F.col(_H), F.col(id_col)
-    ).withColumn(_PID, F.spark_partition_id())
+    # order-consistent and the reconstructed global rank is exact.
+    #
+    # The pin() is CORRECTNESS-load-bearing, not a performance cache: the
+    # local-rank branch and the offset branch below both consume this frame,
+    # and RangePartitioner draws fresh reservoir samples per execution, so
+    # two independent executions of the exchange can place the partition
+    # boundaries differently — local ranks from one partitioning added to
+    # offsets from another silently corrupt deep ranks (caught by the 100x
+    # oracle re-diff: 4948/6250 rows sampled in one stratum). Exchange reuse
+    # is a Catalyst optimization, not a guarantee; persisting makes both
+    # branches read the ONE materialized partitioning. Callers should project
+    # to (strata, id, key/weight) before sampling so the pinned frame stays
+    # narrow at corpus scale (the registry rows do).
+    parts = pin(
+        hashed.repartitionByRange(
+            *[F.col(c) for c in strata], F.col(_H), F.col(id_col)
+        ).withColumn(_PID, F.spark_partition_id())
+    )
     local_w = Window.partitionBy(_PID, *strata).orderBy(_H, id_col)
     local = parts.withColumn(_LRK, F.row_number().over(local_w))
     # per-(partition, stratum) row counts -> prefix offsets over partition ids:

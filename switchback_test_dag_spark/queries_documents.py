@@ -155,7 +155,12 @@ pkh AS (
   SELECT source, doc_id, len({_DUCK_TOKS}) AS toks,
          ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{_PACK_SEED}'), 1, 15))::BIGINT AS h
   FROM documents
-), pkd AS (
+), pkd AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so the
+  -- recursive walk below would otherwise recompute the md5 + window pipeline
+  -- over every document on EVERY iteration — depth x corpus work that
+  -- measured in CPU-hours at the 100x point. Materialized, each iteration
+  -- probes a small real table and the full walk is seconds at 100x.
   SELECT source, doc_id, toks, h % {_PACK_BUCKETS} AS bucket,
          row_number() OVER (PARTITION BY source, h % {_PACK_BUCKETS} ORDER BY h, doc_id) AS rn
   FROM pkh
@@ -227,7 +232,7 @@ rtc AS (
 # computes with a fold). Averaged per source with every doc kept.
 _SPAN_L = 4
 _DUCK_SPANS = f"""
-soc AS (
+soc AS MATERIALIZED (
   SELECT doc_id, unnest(
     [struct_pack(pos := i - 1,
                  wk := substr(md5(array_to_string(toks[i:i+{_SPAN_L - 1}], ' ')), 1, 16))
@@ -238,10 +243,19 @@ soc AS (
   SELECT wk FROM soc GROUP BY wk HAVING count(*) >= 2
 ), shit AS (
   SELECT soc.doc_id, soc.pos FROM soc JOIN sdup USING (wk)
-), sexp AS (
-  SELECT doc_id, unnest(generate_series(pos, pos + {_SPAN_L - 1})) AS t FROM shit
+), shp AS (
+  -- interval union via a running max of window ends: each duplicated window
+  -- [pos, pos+L) contributes its tokens past the furthest end already seen
+  -- (positions ascend, so the previous end never reaches pos+L)
+  SELECT doc_id, pos,
+         max(pos + {_SPAN_L}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM shit
 ), scov AS (
-  SELECT doc_id, count(DISTINCT t) AS covered FROM sexp GROUP BY doc_id
+  SELECT doc_id,
+         sum(pos + {_SPAN_L} - greatest(coalesce(pe, pos), pos)) AS covered
+  FROM shp GROUP BY doc_id
 ), sfr AS (
   SELECT dd.source,
          round(avg(CASE WHEN len({_DUCK_TOKS}) > 0

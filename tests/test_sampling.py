@@ -307,3 +307,23 @@ def test_weighted_sample_plan_has_no_single_task_per_stratum_stage(spark):
     for ln in rn_lines:
         assert "_sgs_pid" in ln, f"per-stratum single-task window remains: {ln}"
     assert "rangepartitioning(source" in plan, "range shuffle on (strata, key) missing"
+
+
+def test_rank_machinery_pins_the_partitioning(spark):
+    """Regression pin for the 100x-oracle defect: the local-rank and offset
+    branches must read ONE materialized range partitioning (persist), not two
+    independent executions of the exchange — RangePartitioner samples fresh
+    boundaries per execution, and divergent boundaries silently corrupt deep
+    ranks (measured: 4948/6250 rows sampled in a stratum at sf10)."""
+    from switchback_test_dag_spark.caching import release_all
+
+    docs = load_table(spark, SF, "documents")
+    sample = stratified_exact_sample(docs, ["source"], "doc_id", k=7, seed=3)
+    plan = sample._jdf.queryExecution().executedPlan().toString()
+    release_all()
+    # both the local-rank branch and the offset branch must read the cache
+    # (the cached relation's own stored plan also prints a rangepartitioning
+    # line, so counting exchanges in the plan STRING is not meaningful)
+    assert plan.count("InMemoryTableScan") >= 2, (
+        "rank branches are not both reading the pinned partitioning"
+    )
