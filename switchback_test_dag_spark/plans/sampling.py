@@ -164,7 +164,6 @@ def stratified_exact_sample(
 
 _PRI_BITS = 40
 _PRI_SCALE = 1 << _PRI_BITS
-_PRI_MAX_W = 1 << 22  # w * 2^40 must stay inside BIGINT
 
 
 def weighted_priority_sample(
@@ -189,12 +188,17 @@ def weighted_priority_sample(
     prefix under ``portable=True``, ``xxhash64`` masked otherwise), so the
     ordering involves no float op that could differ by an ulp between Spark
     and a replaying engine — an external oracle reproduces membership
-    bit-for-bit. Ranking uses the same range-partitioned machinery as the
-    uniform samplers (no single-task-per-stratum stage).
+    bit-for-bit (DuckDB: ``(w::HUGEINT * 2^40) // a``). The priority can
+    reach ~2^103 (w near BIGINT max over a=1), so it is carried as
+    DECIMAL(38,0) and computed overflow-free by the exact split identity
+    ``w*S div a = (w div a)*S + ((w mod a)*S) div a`` — every intermediate
+    fits DECIMAL(38,0) and the second quotient (< 2^40) fits the BIGINT that
+    Spark's decimal ``div`` returns. Ranking uses the same range-partitioned
+    machinery as the uniform samplers (no single-task-per-stratum stage).
 
-    Rows with NULL or non-positive weight are never sampled; weights must be
-    integers ≤ 2^22 (asserted in-plan) so the scaled priority stays inside
-    BIGINT. ``id_col`` must be unique per row."""
+    Rows with NULL or non-positive weight are never sampled; any positive
+    weight that fits BIGINT (≤ 2^63 − 1, e.g. token counts of arbitrarily
+    long documents) is supported. ``id_col`` must be unique per row."""
     if portable:
         a_raw = F.conv(
             F.substring(
@@ -210,14 +214,21 @@ def weighted_priority_sample(
             F.lit(_PRI_SCALE - 1)
         )
     w = F.col(weight_col).cast("long")
-    checked_w = F.when(
-        F.assert_true(w <= _PRI_MAX_W, f"{weight_col} exceeds 2^22").isNull(), w
-    )
     a = F.greatest(a_raw, F.lit(1))
-    pri = F.expr(f"_wps_w * {_PRI_SCALE} div _wps_a")
+    # pri = w * 2^40 div a without overflow for ANY positive BIGINT weight:
+    # with w = hi*a + r, exactly w*S div a = hi*S + (r*S) div a. hi*S can
+    # reach 2^103 -> DECIMAL(38,0); r*S < 2^80 rides through DECIMAL and its
+    # quotient (< 2^40) fits the BIGINT that decimal `div` yields (Spark's
+    # decimal `div` truncates to BIGINT — safe here, silently wrong for
+    # quotients past 2^63, which is why the full priority never goes
+    # through a single `div`).
+    pri = F.expr(
+        f"CAST(_wps_w div _wps_a AS DECIMAL(38,0)) * {_PRI_SCALE}"
+        f" + CAST(_wps_w % _wps_a AS DECIMAL(38,0)) * {_PRI_SCALE} div _wps_a"
+    )
     eligible = (
         df.filter(w.isNotNull() & (w > 0))
-        .withColumn("_wps_w", checked_w)
+        .withColumn("_wps_w", w)
         .withColumn("_wps_a", a)
         .withColumn(_H, -pri)
         .drop("_wps_w", "_wps_a")

@@ -230,16 +230,46 @@ def test_weighted_priority_sample_invariance_and_weight_rules(spark):
     assert got == {1, 4}
 
 
-def test_weighted_priority_sample_weight_bound_asserted(spark):
-    import pytest as _pytest
-
+def test_weighted_priority_sample_huge_weights_replay_in_duckdb(spark):
+    """Weights past the former 2^22 cap (10M-token docs, up to near BIGINT
+    max) must sample correctly AND still replay bit-for-bit in an external
+    engine — the DECIMAL(38,0) split-arithmetic priority vs DuckDB's native
+    HUGEINT floor division on the same integers."""
     from switchback_test_dag_spark.plans.sampling import weighted_priority_sample
 
-    df = spark.createDataFrame(
-        [(1, "a", 1 << 23)], "doc_id long, source string, w long"
-    )
-    with _pytest.raises(Exception, match="exceeds 2\\^22|ASSERT"):
-        weighted_priority_sample(df, ["source"], "doc_id", "w", k=1, seed=0).collect()
+    rows = [
+        (i, "a", [10_000_000, 1, (1 << 62) + 3, 123_456_789_012, 7, 2**40][i % 6] + i)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    got = {
+        r["doc_id"]
+        for r in weighted_priority_sample(
+            df, ["source"], "doc_id", "w", k=9, seed=5, portable=True
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, source VARCHAR, w BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = {
+        r[0]
+        for r in con.execute(
+            """
+WITH ww AS (
+  SELECT doc_id, source, w,
+         greatest(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':5'), 1, 10))::BIGINT, 1) AS a
+  FROM t
+), p AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY -((w::HUGEINT * 1099511627776) // a), doc_id) AS rk
+  FROM ww WHERE w > 0
+)
+SELECT doc_id FROM p WHERE rk <= 9
+"""
+        ).fetchall()
+    }
+    assert got == want and len(got) == 9
 
 
 def test_weighted_priority_sample_heavy_weights_dominate(spark):
