@@ -64,15 +64,19 @@ def _bucket_hash(id_col: str, seed: int, portable: bool):
     return F.xxhash64(F.col(id_col), F.lit(seed))
 
 
+PACK_TARGET_ROWS_PER_BUCKET = 100_000
+
+
 def pack_documents(
     df: DataFrame,
     id_col: str,
     tokens_col: str,
     budget: int,
     strata: Sequence[str] = (),
-    n_buckets: int = 64,
+    n_buckets: int | str = "auto",
     seed: int = 0,
     portable: bool = False,
+    target_rows_per_bucket: int = PACK_TARGET_ROWS_PER_BUCKET,
 ) -> DataFrame:
     """Assign every row to a training sequence of at most ``budget`` tokens.
 
@@ -80,11 +84,39 @@ def pack_documents(
     1-based sequence index within ``(strata..., bucket)`` — globally a
     sequence is identified by the tuple ``(strata..., bucket, seq)``.
     ``id_col`` must be unique per row; token counts must be non-negative.
+
+    ``n_buckets="auto"`` (the default) sizes the parallelism knob from the
+    data instead of trusting a fixed constant that silently stops fitting at
+    corpus scale (a fixed 64 puts corpus/64 rows through ONE applyInPandas
+    task — the same few-huge-groups hazard the samplers were rebuilt to
+    avoid): one count() job derives
+    ``max(defaultParallelism, ceil(rows / target_rows_per_bucket))``, so the
+    MEAN bucket holds ≤ ``target_rows_per_bucket`` rows (100k by default —
+    a bucket row is a handful of scalars, so ~MBs per task; uniform hashing
+    keeps the max bucket within small constant factors of the mean) and a
+    small corpus still fans out across the cluster. Pass an explicit int to
+    skip the count() job — REQUIRED when the assignment is part of a
+    value-hashed contract, because "auto" makes bucket ids (and therefore
+    ``seq``) a function of the row count, not of (id, seed) alone.
     """
     if budget <= 0:
         raise ValueError(f"pack_documents: budget must be positive, got {budget}")
-    if n_buckets <= 0:
-        raise ValueError(f"pack_documents: n_buckets must be positive, got {n_buckets}")
+    if n_buckets == "auto":
+        if target_rows_per_bucket <= 0:
+            raise ValueError(
+                "pack_documents: target_rows_per_bucket must be positive, "
+                f"got {target_rows_per_bucket}"
+            )
+        n_rows = df.count()
+        n_buckets = max(
+            df.sparkSession.sparkContext.defaultParallelism,
+            -(-n_rows // target_rows_per_bucket),
+        )
+    elif not isinstance(n_buckets, int) or n_buckets <= 0:
+        raise ValueError(
+            f'pack_documents: n_buckets must be a positive int or "auto", '
+            f"got {n_buckets!r}"
+        )
     strata = list(strata)
     toks = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
     base = df.select(

@@ -147,6 +147,42 @@ def test_portable_assignment_replays_in_duckdb(docs_tok):
     assert spark_rows == duck_rows
 
 
+def test_auto_bucket_sizing_bounds_occupancy(spark):
+    """n_buckets="auto" must derive max(defaultParallelism, ceil(n/target))
+    so the mean bucket holds <= target rows and a small input still fans out
+    across the cluster — at two fixture sizes (ceil-dominated and
+    parallelism-dominated)."""
+    par = spark.sparkContext.defaultParallelism
+
+    # ceil-dominated: 2000 rows / target 10 -> 200 buckets (> parallelism)
+    big = spark.createDataFrame(
+        [(i, i % 7 + 1) for i in range(2000)], "doc_id long, toks long"
+    )
+    packed = pack_documents(
+        big, "doc_id", "toks", 512, seed=3, target_rows_per_bucket=10
+    ).localCheckpoint()
+    occ = packed.groupBy("bucket").count().collect()
+    assert len(occ) <= max(par, 200)
+    assert 2000 / max(par, 200) <= 10  # mean occupancy <= target by construction
+    assert max(r["count"] for r in occ) <= 3 * 10  # uniform hash, fixed seed
+
+    # parallelism-dominated: 40 rows, huge target -> n_buckets = parallelism
+    small = spark.createDataFrame(
+        [(i, 5) for i in range(40)], "doc_id long, toks long"
+    )
+    packed_s = pack_documents(
+        small, "doc_id", "toks", 512, seed=3, target_rows_per_bucket=1_000_000
+    ).localCheckpoint()
+    occ_s = packed_s.groupBy("bucket").count().collect()
+    assert len(occ_s) <= par  # routed across (up to) defaultParallelism buckets
+    assert packed_s.count() == 40
+    # explicit ints stay the no-extra-job path and validate
+    with pytest.raises(ValueError, match="n_buckets"):
+        pack_documents(small, "doc_id", "toks", 512, n_buckets="sixty-four")
+    with pytest.raises(ValueError, match="n_buckets"):
+        pack_documents(small, "doc_id", "toks", 512, n_buckets=0)
+
+
 def test_repetition_stats_known_values(spark):
     """Hand-computed repetition signals, incl. empty/NULL/one-token docs."""
     rows = [
