@@ -251,11 +251,14 @@ def stratified_fraction_sample(
     """Exact-count fraction sampling per stratum: the target is
     ``floor(|stratum| * fraction + 0.5)`` rows — EXACT, unlike Bernoulli
     ``sampleBy`` whose realized count is binomial. ``fractions`` is either a
-    single float or a map keyed by the FIRST stratum column's value (the
-    data-mixing recipe shape: {"web": 0.1, "books": 1.0, ...}); strata
-    missing from the map default to 0 (dropped), and a NULL-valued stratum is
-    always dropped (the target join is an equi-join, matching the map's
-    no-NULL-key reality). Two passes over the frame: a map-side-combined
+    single float or a map keyed by the FIRST stratum column's value ONLY (the
+    data-mixing recipe shape: {"web": 0.1, "books": 1.0, ...}) — with
+    ``len(strata) > 1`` the count/rank granularity is the full stratum tuple
+    but every tuple sharing a first-column value gets that value's fraction;
+    per-tuple recipes need a derived single stratum column. Strata missing
+    from the map default to 0 (dropped), and a NULL-valued stratum is always
+    dropped (the target join is an equi-join, matching the map's no-NULL-key
+    reality). Two passes over the frame: a map-side-combined
     count per stratum broadcast back, then the hash-rank slice — no collect
     of data rows."""
     counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("_n"))

@@ -99,10 +99,11 @@ def decontaminate(
 
 def contamination_flagger(
     spark,
-    eval_df: DataFrame,
+    eval_df: DataFrame | None,
     text_col: str,
     n: int = 13,
     max_eval_grams: int = 50_000_000,
+    eval_grams: DataFrame | None = None,
 ):
     """STATELESS contamination flagging for the ingest path — the streaming
     twin of ``contaminated_ids``.
@@ -121,10 +122,21 @@ def contamination_flagger(
     DISTINCT contaminated grams, same semantics as ``contaminated_ids``;
     0 for clean/short/NULL docs) applicable to batch or streaming frames.
     Raises if the eval gram set exceeds ``max_eval_grams`` — past that,
-    flag offline with the batch join instead."""
+    flag offline with the batch join instead.
+
+    The cap-count and the collect each evaluate the gram frame once; a
+    caller building flaggers for SEVERAL streams from one eval set should
+    derive the grams once — ``eval_ngrams(eval_df, text_col, n).persist()``
+    — and pass them as ``eval_grams`` (one ``gram`` string column;
+    ``eval_df`` may then be None) so the shingle+distinct job runs once,
+    not twice per flagger."""
     from pyspark.sql.functions import pandas_udf
 
-    ev = eval_ngrams(eval_df, text_col, n)
+    ev = (
+        eval_grams.select("gram")
+        if eval_grams is not None
+        else eval_ngrams(eval_df, text_col, n)
+    )
     # count BEFORE collecting: the cap must protect the driver, not report
     # the OOM it failed to prevent
     n_grams = ev.count()

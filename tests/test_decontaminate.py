@@ -157,6 +157,99 @@ GROUP BY gr.doc_id
     assert got == want and len(got) > 0
 
 
+def _planted_corpus(spark):
+    """40 long (150-token) documents over doc-private vocabularies, with a
+    verbatim 20-token eval passage injected mid-document into exactly k=3
+    known docs — the papers' production regime (n=13) that the sf fixture's
+    tiny vocabulary can't reach (it saturates at n=4)."""
+    passages = [
+        " ".join(f"ev{p}tok{j}" for j in range(20)) for p in range(3)
+    ]
+    planted = {5: 0, 17: 1, 29: 2}  # doc_id -> passage index
+    rows = []
+    for i in range(40):
+        toks = [f"d{i}w{j}" for j in range(150)]
+        if i in planted:
+            toks = toks[:70] + passages[planted[i]].split() + toks[70:]
+        rows.append((i, " ".join(toks)))
+    eval_rows = [(1000 + p, passages[p]) for p in range(3)]
+    return _docs(spark, rows), _docs(spark, eval_rows), planted
+
+
+def test_planted_contamination_at_production_n13(spark):
+    """Recall 100% / false flags 0 at the papers' n=13 on planted verbatim
+    passages: exactly the k injected docs are flagged, each with the exact
+    distinct-13-gram hit count (20-token passage -> 8 shared 13-grams)."""
+    docs, eval_df, planted = _planted_corpus(spark)
+    hits = {
+        r["id"]: r["n_eval_grams"]
+        for r in contaminated_ids(docs, eval_df, "id", "text", n=13).collect()
+    }
+    assert set(hits) == set(planted), "planted recall must be 100% with 0 false flags"
+    assert all(v == 8 for v in hits.values())  # 20 - 13 + 1 grams per passage
+    kept = {r["id"] for r in decontaminate(docs, eval_df, "id", "text", n=13).collect()}
+    assert kept == set(range(40)) - set(planted)
+
+
+def test_planted_contamination_n13_replays_in_duckdb(spark):
+    """The same planted fixture replayed as the oracle-shaped SQL at n=13 —
+    the production-n semantics the registry row (fixture-capped at n=4)
+    cannot exercise."""
+    docs, eval_df, _ = _planted_corpus(spark)
+    got = {
+        (r["id"], r["n_eval_grams"])
+        for r in contaminated_ids(docs, eval_df, "id", "text", n=13).collect()
+    }
+    con = duckdb.connect()
+    con.register("corpus", docs.toPandas())
+    con.register("evals", eval_df.toPandas())
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                f"""
+WITH gr AS (
+  SELECT id, list_distinct(
+    [array_to_string(toks[i:i+12], ' ') for i in generate_series(1, len(toks) - 12)]
+  ) AS g FROM (SELECT id, {toks} AS toks FROM corpus)
+),
+ev AS (
+  SELECT DISTINCT unnest(
+    [array_to_string(toks[i:i+12], ' ') for i in generate_series(1, len(toks) - 12)]
+  ) AS gram FROM (SELECT {toks} AS toks FROM evals)
+)
+SELECT gr.id, count(*) AS n
+FROM gr, unnest(gr.g) AS u(gram) JOIN ev ON u.gram = ev.gram
+GROUP BY gr.id
+"""
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) == 3
+
+
+def test_flagger_accepts_precomputed_grams(spark):
+    """One persisted gram frame reused across flaggers must flag identically
+    to deriving grams from the eval frame inside the flagger."""
+    from switchback_test_dag_spark.text.decontaminate import (
+        contamination_flagger,
+        eval_ngrams,
+    )
+
+    docs, eval_df, planted = _planted_corpus(spark)
+    grams = eval_ngrams(eval_df, "text", 13).persist()
+    try:
+        flag = contamination_flagger(spark, None, "text", n=13, eval_grams=grams)
+        got = {
+            r["id"]: r["n_eval_grams"]
+            for r in flag(docs).filter(F.col("n_eval_grams") > 0).collect()
+        }
+        assert set(got) == set(planted) and all(v == 8 for v in got.values())
+    finally:
+        grams.unpersist()
+
+
 def test_flagger_gram_cap_raises_before_collect(spark):
     from switchback_test_dag_spark.text.decontaminate import contamination_flagger
 

@@ -230,6 +230,28 @@ def test_weighted_priority_sample_invariance_and_weight_rules(spark):
     assert got == {1, 4}
 
 
+def test_fraction_map_keys_address_first_stratum_only(spark):
+    """Documented semantics pin: with len(strata) > 1 the fractions map is
+    keyed by the FIRST stratum column's value — counts and targets are
+    per (a, b) tuple, but every tuple under one first-column value gets that
+    value's fraction."""
+    from switchback_test_dag_spark.plans.sampling import stratified_fraction_sample
+
+    rows = [(i, "web" if i < 40 else "books", i % 2) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, sub int")
+    got = (
+        stratified_fraction_sample(
+            df, ["src", "sub"], "doc_id", {"web": 0.5, "books": 1.0}, seed=2
+        )
+        .groupBy("src", "sub")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = {(r["src"], r["sub"]): r["n"] for r in got}
+    # 20 rows per (web, sub) tuple at 0.5 -> 10 each; 10 per (books, sub) at 1.0
+    assert counts == {("web", 0): 10, ("web", 1): 10, ("books", 0): 10, ("books", 1): 10}
+
+
 def test_weighted_priority_sample_huge_weights_replay_in_duckdb(spark):
     """Weights past the former 2^22 cap (10M-token docs, up to near BIGINT
     max) must sample correctly AND still replay bit-for-bit in an external
