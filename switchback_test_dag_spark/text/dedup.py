@@ -976,7 +976,7 @@ def connected_components(
     # diameter-independent algorithm instead of failing
     if stats is not None:
         stats["regime"] = "alternating_star"
-    return _components_alternating_star(edges)
+    return _components_alternating_star(edges, stats=stats)
 
 
 def _canonical_edges(df: DataFrame) -> DataFrame:
@@ -991,7 +991,9 @@ def _canonical_edges(df: DataFrame) -> DataFrame:
     )
 
 
-def _components_alternating_star(edges: DataFrame, max_rounds: int = 256) -> DataFrame:
+def _components_alternating_star(
+    edges: DataFrame, max_rounds: int = 256, stats: dict | None = None
+) -> DataFrame:
     """Connected components by alternating large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14
     — public algorithm): converges in O(log² n) rounds for ANY graph, so it
@@ -1008,7 +1010,11 @@ def _components_alternating_star(edges: DataFrame, max_rounds: int = 256) -> Dat
     centers are the component minima. Each round is two keyed shuffles over
     the CURRENT edge set (which only shrinks toward one edge per non-root
     node); ``localCheckpoint`` truncates lineage per round. The safety bound
-    is far beyond the O(log² n) guarantee for any physical input."""
+    is far beyond the O(log² n) guarantee for any physical input.
+
+    ``stats``, when provided, records ``rounds`` (large+small-star rounds to
+    the star-forest fixpoint) in place — the same audit hook as
+    :func:`connected_components`."""
     cur = _canonical_edges(
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
     ).localCheckpoint()
@@ -1022,7 +1028,9 @@ def _components_alternating_star(edges: DataFrame, max_rounds: int = 256) -> Dat
         .localCheckpoint()
     )
     n_cur = cur.count()
-    for _ in range(max_rounds):
+    for round_no in range(1, max_rounds + 1):
+        if stats is not None:
+            stats["rounds"] = round_no
         # large-star over the symmetrized neighborhood
         sym = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(

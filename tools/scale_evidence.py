@@ -3,24 +3,31 @@
 exercise, on the manufactured 10× directory (`tools/make_scale.py`):
 
 - ``components``: run connected components over the sf1 MinHash-LSH
-  near-dup pair graph in BOTH regimes — bounded driver union-find (the
-  production default at this pair count) and the distributed min-label
-  propagation loop (forced with ``driver_threshold=0``) — assert the two
-  labelings are IDENTICAL row-for-row, and record edge count, propagation
-  rounds-to-convergence, and wall time per regime. This is the evidence the
-  fallback regime needs: the oracled path always takes the driver branch
-  because near-dup pair sets are tiny, so without this run the distributed
-  loop's convergence behavior at a real pair graph is asserted only on a
-  9-edge unit fixture.
+  near-dup pair graph in ALL THREE regimes — bounded driver union-find (the
+  production default at this pair count), the distributed min-label
+  propagation loop (forced with ``driver_threshold=0``), and the alternating
+  large-star/small-star contraction (forced with ``max_iter=0``, the
+  diameter-independent fallback) — assert the three labelings are IDENTICAL
+  row-for-row, and record edge count, rounds-to-convergence, and wall time
+  per regime. This is the evidence the fallback regimes need: the oracled
+  path always takes the driver branch because near-dup pair sets are tiny,
+  so without this run their convergence behavior at a real pair graph is
+  asserted only on unit fixtures.
 - ``emb_lsh``: time `embedding_near_dup_pairs_lsh` (bucketed candidates, no
   driver collect — the designated scale path when the exact path's
   broadcast cap trips) against the exact broadcast path on the sf1
   embeddings, and record its pair recall vs the exact pair set at the same
   threshold.
 
-Prints one JSON object per measurement; SCALE.md records the numbers.
+Prints one JSON object per measurement AND merges every measurement — each
+bracketed by its own host probes (this box has shown 10-100x transient
+memory-subsystem swings; a number without its environment control is not
+comparable round over round) — into the committed ``SCALE_evidence.json``,
+so scale audits are machine-diffable like BENCH artifacts instead of living
+only in SCALE.md prose.
 
 Usage: python tools/scale_evidence.py [components|emb_lsh ...] [--sf DIR]
+       [--no-write]
 """
 
 from __future__ import annotations
@@ -66,11 +73,23 @@ def measure_components(spark, sf_dir: str) -> dict:
     labels_dist.count()
     dist_s = time.monotonic() - t0
 
-    mismatch = (
-        labels_driver.exceptAll(labels_dist)
-        .unionAll(labels_dist.exceptAll(labels_driver))
-        .count()
-    )
+    # third regime: force the diameter-independent alternating-star fallback
+    # (max_iter=0 skips every propagation round) on the same REAL graph —
+    # the only regime whose at-scale behavior was previously evidenced by
+    # property tests on random toy graphs alone
+    t0 = time.monotonic()
+    star_stats: dict = {}
+    labels_star = TD.connected_components(
+        pairs, "doc_a", "doc_b", max_iter=0, driver_threshold=0, stats=star_stats
+    ).localCheckpoint()
+    labels_star.count()
+    star_s = time.monotonic() - t0
+
+    def _mismatch(x, y):
+        return x.exceptAll(y).unionAll(y.exceptAll(x)).count()
+
+    mismatch = _mismatch(labels_driver, labels_dist)
+    mismatch_star = _mismatch(labels_driver, labels_star)
     n_components = labels_driver.select("component").distinct().count()
     out = {
         "measurement": "components",
@@ -80,10 +99,14 @@ def measure_components(spark, sf_dir: str) -> dict:
         "components": n_components,
         "driver_regime": {"sec": round(driver_s, 2), **driver_stats},
         "distributed_regime": {"sec": round(dist_s, 2), **dist_stats},
+        "alternating_star_regime": {"sec": round(star_s, 2), **star_stats},
         "label_mismatch_rows": mismatch,
+        "label_mismatch_rows_star": mismatch_star,
     }
     assert mismatch == 0, f"regimes disagree on {mismatch} label rows"
+    assert mismatch_star == 0, f"star regime disagrees on {mismatch_star} label rows"
     assert dist_stats.get("regime") == "propagation", dist_stats
+    assert star_stats.get("regime") == "alternating_star", star_stats
     return out
 
 
@@ -180,16 +203,43 @@ _MEASURES = {
 
 
 def main() -> None:
+    from bench import _host_probe  # the same probe the BENCH artifacts embed
+
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "what", nargs="*", default=["components", "emb_lsh"],
         choices=sorted(_MEASURES),
     )
     ap.add_argument("--sf", default=os.path.join(_REPO, ".scale", "sf1"))
+    ap.add_argument(
+        "--no-write", action="store_true",
+        help="print only; skip merging into SCALE_evidence.json",
+    )
     args = ap.parse_args()
     spark = get_spark(app_name="scale-evidence", cpus=32, shuffle_partitions=32)
+    path = os.path.join(_REPO, "SCALE_evidence.json")
+    results = {}
     for what in args.what or ["components", "emb_lsh"]:
-        print(json.dumps(_MEASURES[what](spark, args.sf)), flush=True)
+        probe_start = _host_probe()
+        res = _MEASURES[what](spark, args.sf)
+        res["host"] = {"start": probe_start, "end": _host_probe()}
+        res["recorded_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        print(json.dumps(res), flush=True)
+        results[what] = res
+    if args.no_write:
+        return
+    # merge (not overwrite): separate invocations each own their measurement
+    # keys, so the committed artifact accumulates the full audit set
+    merged: dict = {}
+    try:
+        with open(path) as fh:
+            merged = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    merged.setdefault("measurements", {}).update(results)
+    with open(path, "w") as fh:
+        json.dump(merged, fh, indent=1)
+        fh.write("\n")
 
 
 if __name__ == "__main__":
