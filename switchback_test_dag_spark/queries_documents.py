@@ -1373,6 +1373,112 @@ def media_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # composed corpus-cleaning pipeline
 # --------------------------------------------------------------------------- #
 
+
+# --------------------------------------------------------------------------- #
+# corpus-selection contracts folded into corpus_clean_stats: segment-level
+# dedup (CCNet line dedup, Wenzek et al. 2020 -- text/lines) and DSIR
+# hashed-n-gram importance weights (Xie et al. 2023 -- text/dsir). Folded
+# rather than registered standalone because the driver's correctness harness
+# samples the first 50 registered queries (same reason the dispatch rows live
+# inside media_decode_suite).
+#
+# Segments for the fixture are 2-token chunks (the corpus has no newlines to
+# split on; 2-token chunks over its small vocabulary collide across documents
+# the way real web boilerplate lines do). Both engines build the chunk arrays
+# identically: lowercase-split tokens, windows of 2 starting at 1, 3, 5, ...
+# with a trailing 1-token chunk when the count is odd.
+_SEG_CHUNK = 2
+_SEG_BOILER_DF = 20
+_DSIR_BUCKETS = 64
+_DSIR_TOPK = 5
+_DUCK_SEGS = (
+    "CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) ELSE "
+    f"[array_to_string(toks[i:i+{_SEG_CHUNK - 1}], ' ') "
+    f"for i in generate_series(1, len(toks), {_SEG_CHUNK})] END"
+)
+_DUCK_SEG_TEXT_HASH = (
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || t), 1, 8))::BIGINT"
+)
+_DUCK_SELECTION_CTES = f"""sgtk AS (
+  SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents
+), sgch AS (
+  SELECT doc_id, source, {_DUCK_SEGS} AS segs FROM sgtk
+), sge AS (
+  SELECT doc_id, source,
+         unnest(generate_series(1, len(segs))) AS pos,
+         unnest(segs) AS seg
+  FROM sgch
+), sgfk AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM sge
+), sgboiler AS (
+  SELECT seg FROM sge GROUP BY seg HAVING count(DISTINCT doc_id) >= {_SEG_BOILER_DF}
+), sgft AS (
+  SELECT sgch.doc_id, sgch.source, coalesce(f.t, '') AS t, coalesce(f.k, 0) AS k
+  FROM sgch LEFT JOIN (
+    SELECT doc_id, array_to_string(list(seg ORDER BY pos), '|') AS t, count(*) AS k
+    FROM sgfk WHERE rn = 1 GROUP BY doc_id
+  ) f USING (doc_id)
+), sgbt AS (
+  SELECT sgch.doc_id, sgch.source, coalesce(b.t, '') AS t, coalesce(b.k, 0) AS k
+  FROM sgch LEFT JOIN (
+    SELECT doc_id, array_to_string(list(seg ORDER BY pos), '|') AS t, count(*) AS k
+    FROM sge ANTI JOIN sgboiler USING (seg) GROUP BY doc_id
+  ) b USING (doc_id)
+), sgagg AS (
+  SELECT occ.source, occ.n_seg_occurrences, ft.n_kept_first, ft.first_text_hash,
+         bt.n_kept_boiler, bt.boiler_text_hash
+  FROM (SELECT source, CAST(sum(len(segs)) AS BIGINT) AS n_seg_occurrences
+        FROM sgch GROUP BY source) occ
+  JOIN (SELECT source, CAST(sum(k) AS BIGINT) AS n_kept_first,
+               CAST(sum({_DUCK_SEG_TEXT_HASH}) AS BIGINT) AS first_text_hash
+        FROM sgft GROUP BY source) ft USING (source)
+  JOIN (SELECT source, CAST(sum(k) AS BIGINT) AS n_kept_boiler,
+               CAST(sum({_DUCK_SEG_TEXT_HASH}) AS BIGINT) AS boiler_text_hash
+        FROM sgbt GROUP BY source) bt USING (source)
+), dsg AS (
+  SELECT doc_id, source,
+         list_concat(toks,
+           CASE WHEN len(toks) >= 2 THEN
+             [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks) - 1)]
+           ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM sgtk
+), dse AS (
+  SELECT doc_id, source,
+         ('0x' || substring(md5(unnest(grams)), 1, 15))::BIGINT % {_DSIR_BUCKETS} AS b
+  FROM dsg
+), dsc AS (
+  SELECT doc_id, source, b, count(*) AS c FROM dse GROUP BY doc_id, source, b
+), dsspine AS (
+  SELECT unnest(generate_series(0, {_DSIR_BUCKETS} - 1)) AS b
+), dsraw AS (
+  SELECT dsspine.b, coalesce(sum(dsc.c), 0) AS n
+  FROM dsspine LEFT JOIN dsc USING (b) GROUP BY dsspine.b
+), dstgt AS (
+  SELECT dsspine.b, coalesce(sum(dsc.c) FILTER (WHERE dsc.doc_id % 13 = 0), 0) AS n
+  FROM dsspine LEFT JOIN dsc USING (b) GROUP BY dsspine.b
+), dsdl AS (
+  SELECT dsraw.b,
+         ln((dstgt.n + 1) / ((SELECT sum(n) FROM dstgt) + {_DSIR_BUCKETS}))
+       - ln((dsraw.n + 1) / ((SELECT sum(n) FROM dsraw) + {_DSIR_BUCKETS})) AS dl
+  FROM dsraw JOIN dstgt USING (b)
+), dsw AS (
+  SELECT dsc.doc_id, dsc.source, sum(dsc.c * dsdl.dl) AS log_weight
+  FROM dsc JOIN dsdl USING (b) GROUP BY dsc.doc_id, dsc.source
+), dsr AS (
+  SELECT doc_id, source, log_weight,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY -CAST(round(log_weight * 10000) AS BIGINT), doc_id) AS rk
+  FROM dsw
+), dsagg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_dsir_scored,
+         round(avg(log_weight), 4) AS avg_dsir_log_weight,
+         CAST(sum(CASE WHEN rk <= {_DSIR_TOPK} THEN {_DUCK_ID_HASH} END) AS BIGINT)
+           AS dsir_top_id_hash
+  FROM dsr GROUP BY source
+)"""
+
 _DUCK_CLEAN = f"""
 WITH q AS (
   SELECT doc_id, source, text, {_DUCK_QUALITY} AS qs
@@ -1426,15 +1532,25 @@ WITH q AS (
          CAST(sum(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT)
               AS BIGINT) AS wsample_id_hash
   FROM wr WHERE rk <= 5 GROUP BY source
-)
+), {_DUCK_SELECTION_CTES}
 SELECT k2.source,
        count(*) FILTER (WHERE c.doc_id IS NULL) AS n_kept,
        round(avg(qs) FILTER (WHERE c.doc_id IS NULL), 4) AS avg_quality,
        count(c.doc_id) AS n_contam,
        coalesce(any_value(wagg.n_wsample), 0) AS n_wsample,
-       any_value(wagg.wsample_id_hash) AS wsample_id_hash
+       any_value(wagg.wsample_id_hash) AS wsample_id_hash,
+       any_value(sgagg.n_seg_occurrences) AS n_seg_occurrences,
+       any_value(sgagg.n_kept_first) AS n_kept_first,
+       any_value(sgagg.first_text_hash) AS first_text_hash,
+       any_value(sgagg.n_kept_boiler) AS n_kept_boiler,
+       any_value(sgagg.boiler_text_hash) AS boiler_text_hash,
+       any_value(dsagg.n_dsir_scored) AS n_dsir_scored,
+       any_value(dsagg.avg_dsir_log_weight) AS avg_dsir_log_weight,
+       any_value(dsagg.dsir_top_id_hash) AS dsir_top_id_hash
 FROM k2 LEFT JOIN contam c USING (doc_id)
      LEFT JOIN wagg ON k2.source = wagg.source
+     LEFT JOIN sgagg ON k2.source = sgagg.source
+     LEFT JOIN dsagg ON k2.source = dsagg.source
 GROUP BY k2.source
 """
 
@@ -1454,7 +1570,24 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit by the oracle window) pinned as (count, id-hash sum). Each
     stage is a shuffle keyed on its own key (fingerprint, shingle hash, gram,
     source); the eval gram set is broadcast; nothing is collected
-    driver-side."""
+    driver-side.
+
+    The row also carries the corpus-SELECTION contracts (folded here — not
+    standalone rows — to stay inside the driver's 50-query check window):
+
+    - segment-level dedup (``text/lines``; CCNet line dedup, Wenzek et al.
+      2020) over 2-token chunk segments, BOTH policies value-hashed per
+      source: keep-first (each distinct segment survives only at its minimum
+      (doc, pos) occurrence) and boilerplate-drop (df ≥ 20 removed
+      everywhere); the checksums hash each doc's REASSEMBLED survivor string,
+      so a changed keeper, lost position, or reordered array breaks the
+      contract even at equal counts;
+    - DSIR importance weights (``text/dsir``; Xie et al. 2023) against the
+      same eval slice, portable md5 bucketing (64 buckets) so the oracle
+      replays every weight exactly: per-source scored count, rounded mean
+      log weight, and a top-5 membership id-hash ranked through the
+      samplers' range-partitioned rank (integer 1e-4-scaled key, id
+      tiebreak; no single-task-per-stratum window)."""
     docs = load_table(spark, sf_dir, "documents")
     qs = TA.quality_score("text")
     filtered = docs.withColumn("qs", qs).filter(F.col("qs") >= 0.5)
@@ -1498,7 +1631,80 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_wsample"),
         F.sum(id_hash40).cast("long").alias("wsample_id_hash"),
     )
+    # segment-dedup contract (text/lines) over the RAW corpus
+    from switchback_test_dag_spark.text import lines as LN
+
+    toks = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+    segs = (
+        f"CASE WHEN size({toks}) = 0 THEN CAST(array() AS ARRAY<STRING>) ELSE "
+        f"transform(sequence(1, size({toks}), {_SEG_CHUNK}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {_SEG_CHUNK}))) END"
+    )
+    seg_base = docs.select("doc_id", "source", F.expr(segs).alias("segs"))
+
+    def _seg_agg(deduped: DataFrame, n_name: str, h_name: str) -> DataFrame:
+        t = F.concat_ws("|", F.col("segs"))
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), t)),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return deduped.groupBy("source").agg(
+            F.sum(F.size("segs")).cast("long").alias(n_name),
+            F.sum(h).cast("long").alias(h_name),
+        )
+
+    seg_tot = seg_base.groupBy("source").agg(
+        F.sum(F.size("segs")).cast("long").alias("n_seg_occurrences")
+    )
+    seg_first = _seg_agg(
+        LN.dedup_segments(seg_base, "doc_id", "segs"),
+        "n_kept_first",
+        "first_text_hash",
+    )
+    seg_boiler = _seg_agg(
+        LN.drop_boilerplate(seg_base, "doc_id", "segs", _SEG_BOILER_DF),
+        "n_kept_boiler",
+        "boiler_text_hash",
+    )
+
+    # DSIR contract (text/dsir) over the RAW corpus vs the same eval slice
+    from switchback_test_dag_spark.plans.sampling import _H as _KEY, _with_key_rank
+    from switchback_test_dag_spark.text import dsir as DS
+
+    weights = DS.dsir_log_weights(
+        docs,
+        eval_df.select("text"),
+        "doc_id",
+        "text",
+        n_buckets=_DSIR_BUCKETS,
+        portable=True,
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    ranked = _with_key_rank(
+        weights.withColumn(
+            _KEY, -F.round(F.col("log_weight") * 10000).cast("long")
+        ),
+        ["source"],
+        "doc_id",
+    )
+    dsagg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dsir_scored"),
+        F.round(F.avg("log_weight"), 4).alias("avg_dsir_log_weight"),
+        F.sum(F.when(F.col("_rk") <= _DSIR_TOPK, id_hash40))
+        .cast("long")
+        .alias("dsir_top_id_hash"),
+    )
+
     return (
         stats.join(F.broadcast(wagg), "source", "left")
         .withColumn("n_wsample", F.coalesce("n_wsample", F.lit(0)).cast("long"))
+        .join(F.broadcast(seg_tot), "source", "left")
+        .join(F.broadcast(seg_first), "source", "left")
+        .join(F.broadcast(seg_boiler), "source", "left")
+        .join(F.broadcast(dsagg), "source", "left")
     )
+

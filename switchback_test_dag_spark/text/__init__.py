@@ -5,8 +5,11 @@ operations a 100 TB training-data pipeline needs: tokenization, language ID,
 quality scoring, fingerprinting, repetition filters, PII hygiene
 (analysis.py), exact/MinHash-LSH/SimHash/n-gram-Jaccard/winnowing/embedding
 deduplication with cluster resolution (dedup.py), train/eval benchmark
-decontamination (decontaminate.py), and duplicated-span detection — the
-fixed-L suffix-dedup approximation (spans.py). Everything is native Spark
-SQL expressions except the documented Arrow-batched islands (embedding
-matmuls, the streaming contamination flagger).
+decontamination (decontaminate.py), duplicated-span detection — the
+fixed-L suffix-dedup approximation (spans.py), segment-level keep-first
+dedup and boilerplate removal — the CCNet line-dedup family (lines.py),
+and DSIR hashed-n-gram importance weighting for targeted corpus selection
+(dsir.py). Everything is native Spark SQL expressions except the documented
+Arrow-batched islands (embedding matmuls, the streaming contamination
+flagger).
 """

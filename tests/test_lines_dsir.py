@@ -1,0 +1,192 @@
+"""Segment-level dedup (text/lines, CCNet-style) and DSIR importance
+weights (text/dsir): hand-computed semantics, determinism, plan shape, and
+in-process DuckDB replays of the portable forms."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from switchback_test_dag_spark.text import dsir as DS
+from switchback_test_dag_spark.text import lines as L
+
+ROWS = [
+    (1, "a", ["nav bar", "alpha one", "beta two"]),
+    (2, "a", ["nav bar", "gamma three", "alpha one"]),
+    (3, "b", ["nav bar", "delta four", "nav bar"]),
+    (4, "b", []),
+]
+SCHEMA = "doc_id long, source string, segs array<string>"
+
+
+def _by_id(df):
+    return {r["doc_id"]: r["segs"] for r in df.collect()}
+
+
+def test_segment_df_counts_documents_not_occurrences(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = {r["segment"]: r["df"] for r in L.segment_df(df, "doc_id", "segs").collect()}
+    # 'nav bar' appears twice inside doc 3 but df counts documents
+    assert got["nav bar"] == 3 and got["alpha one"] == 2 and got["beta two"] == 1
+
+
+def test_dedup_segments_keep_first_semantics(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = _by_id(L.dedup_segments(df, "doc_id", "segs"))
+    assert got == {
+        1: ["nav bar", "alpha one", "beta two"],  # first occurrences all here
+        2: ["gamma three"],
+        3: ["delta four"],  # both 'nav bar' copies lost (doc 1 owns it)
+        4: [],  # empty input preserved as empty output
+    }
+    # other columns pass through
+    out = L.dedup_segments(df, "doc_id", "segs")
+    assert set(out.columns) == {"doc_id", "source", "segs"}
+
+
+def test_dedup_segments_partition_invariant(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    a = _by_id(L.dedup_segments(df, "doc_id", "segs"))
+    b = _by_id(L.dedup_segments(df.repartition(7), "doc_id", "segs"))
+    assert a == b
+
+
+def test_drop_boilerplate_thresholds_and_validation(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = _by_id(L.drop_boilerplate(df, "doc_id", "segs", min_df=3))
+    assert got == {
+        1: ["alpha one", "beta two"],
+        2: ["gamma three", "alpha one"],  # df=2 segment survives everywhere
+        3: ["delta four"],
+        4: [],
+    }
+    # a threshold nothing reaches removes nothing
+    intact = _by_id(L.drop_boilerplate(df, "doc_id", "segs", min_df=10))
+    assert intact == {r[0]: r[2] for r in ROWS}
+    with pytest.raises(ValueError, match="min_df"):
+        L.drop_boilerplate(df, "doc_id", "segs", min_df=0)
+
+
+def test_drop_boilerplate_plan_broadcasts_boiler_set(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plan = (
+        L.drop_boilerplate(df, "doc_id", "segs", min_df=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the anti join against the boilerplate set must be broadcast — the
+    # corpus is never shuffled on segment for the removal itself
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def _dsir_fixture(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark table join join"),
+            (2, "cat dog mouse bird"),
+            (3, "spark table"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([("spark table join",)], "text string")
+    return docs, target
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    docs, target = _dsir_fixture(spark)
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in DS.dsir_log_weights(
+            docs, target, "doc_id", "text", n_buckets=64, portable=True
+        ).collect()
+    }
+    # NULL/empty texts are unscored; in-domain docs beat the out-of-domain one
+    assert set(w) == {1, 2, 3}
+    assert w[3] > w[2] and w[1] > w[2]
+
+
+def test_dsir_portable_and_fast_hash_agree_on_ordering(spark):
+    docs, target = _dsir_fixture(spark)
+
+    def order(portable):
+        rows = DS.dsir_log_weights(
+            docs, target, "doc_id", "text", n_buckets=1024, portable=portable
+        ).collect()
+        return [r["doc_id"] for r in sorted(rows, key=lambda r: -r["log_weight"])]
+
+    # with enough buckets the two hash families induce the same ranking on
+    # clearly-separated docs (bucket collisions differ; the signal should not)
+    assert order(True) == order(False)
+
+
+def test_dsir_replays_in_duckdb(spark):
+    docs, target = _dsir_fixture(spark)
+    got = {
+        r["doc_id"]: round(r["log_weight"], 6)
+        for r in DS.dsir_log_weights(
+            docs, target, "doc_id", "text", n_buckets=64, portable=True
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("corpus", docs.toPandas())
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+    want = {
+        r[0]: round(r[1], 6)
+        for r in con.execute(
+            f"""
+WITH tk AS (SELECT doc_id, {toks} AS toks FROM corpus),
+g AS (
+  SELECT doc_id, list_concat(toks,
+    CASE WHEN len(toks) >= 2 THEN
+      [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks) - 1)]
+    ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM tk
+), e AS (
+  SELECT doc_id, ('0x' || substring(md5(unnest(grams)), 1, 15))::BIGINT % 64 AS b
+  FROM g
+), dc AS (SELECT doc_id, b, count(*) AS c FROM e GROUP BY doc_id, b),
+spine AS (SELECT unnest(generate_series(0, 63)) AS b),
+raw_n AS (SELECT spine.b, coalesce(sum(dc.c), 0) AS n FROM spine LEFT JOIN dc USING (b) GROUP BY spine.b),
+tgt_n AS (
+  SELECT spine.b, coalesce(sum(dc.c) FILTER (WHERE dc.doc_id IN (1, 3)), 0) AS n
+  FROM spine LEFT JOIN dc USING (b) GROUP BY spine.b
+), dl AS (
+  SELECT raw_n.b,
+         ln((tgt_n.n + 1) / ((SELECT sum(n) FROM tgt_n) + 64))
+       - ln((raw_n.n + 1) / ((SELECT sum(n) FROM raw_n) + 64)) AS dl
+  FROM raw_n JOIN tgt_n USING (b)
+)
+SELECT dc.doc_id, sum(dc.c * dl.dl) FROM dc JOIN dl USING (b) GROUP BY dc.doc_id
+"""
+        ).fetchall()
+    }
+    # target here = docs 1 and 3's text: "spark table join join" + "spark table"
+    tgt2 = spark.createDataFrame(
+        [("spark table join join",), ("spark table",)], "text string"
+    )
+    got2 = {
+        r["doc_id"]: round(r["log_weight"], 6)
+        for r in DS.dsir_log_weights(
+            docs, tgt2, "doc_id", "text", n_buckets=64, portable=True
+        ).collect()
+    }
+    assert got2 == want and len(want) == 3
+    assert set(got) == set(want)
+
+
+def test_dsir_scoring_join_is_broadcast(spark):
+    docs, target = _dsir_fixture(spark)
+    plan = (
+        DS.dsir_log_weights(docs, target, "doc_id", "text", n_buckets=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the per-(doc, bucket) counts join the B-row log-ratio frame map-side;
+    # the corpus is never shuffled on bucket for scoring
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
