@@ -194,11 +194,140 @@ def measure_decon(spark, sf_dir: str) -> dict:
     }
 
 
+def measure_selection(spark, sf_dir: str) -> dict:
+    """Segment-level dedup (text/lines) + DSIR weights (text/dsir) on the 10x
+    documents, VALUE-VERIFIED against a DuckDB replay of the same contracts.
+    These live inside corpus_clean_stats' oracle at sf0.01, but that row is
+    excluded from the 100x re-diff because its Jaccard CTE is the O(n^2)
+    side — the selection contracts themselves are linear, so this check
+    restores their at-scale value verification."""
+    import duckdb
+
+    from switchback_test_dag_spark.plans.sampling import _H as _KEY, _with_key_rank
+    from switchback_test_dag_spark.queries_documents import (
+        _DSIR_BUCKETS,
+        _DSIR_TOPK,
+        _DUCK_ID_HASH,
+        _DUCK_SELECTION_CTES,
+        _SEG_BOILER_DF,
+        _SEG_CHUNK,
+    )
+    from switchback_test_dag_spark.text import dsir as DS
+    from switchback_test_dag_spark.text import lines as LN
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+    segs = (
+        f"CASE WHEN size({toks}) = 0 THEN CAST(array() AS ARRAY<STRING>) ELSE "
+        f"transform(sequence(1, size({toks}), {_SEG_CHUNK}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {_SEG_CHUNK}))) END"
+    )
+    seg_base = docs.select("doc_id", "source", F.expr(segs).alias("segs"))
+    t0 = time.monotonic()
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.concat_ws("|", F.col("segs")),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    first = (
+        LN.dedup_segments(seg_base, "doc_id", "segs")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size("segs")).cast("long").alias("n_kept_first"),
+            F.sum(h).cast("long").alias("first_text_hash"),
+        )
+    )
+    boiler = (
+        LN.drop_boilerplate(seg_base, "doc_id", "segs", _SEG_BOILER_DF)
+        .groupBy("source")
+        .agg(
+            F.sum(F.size("segs")).cast("long").alias("n_kept_boiler"),
+            F.sum(h).cast("long").alias("boiler_text_hash"),
+        )
+    )
+    seg_pdf = first.join(boiler, "source").toPandas()
+    seg_s = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    weights = DS.dsir_log_weights(
+        docs,
+        docs.filter(F.col("doc_id") % 13 == 0).select("text"),
+        "doc_id",
+        "text",
+        n_buckets=_DSIR_BUCKETS,
+        portable=True,
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    id_hash40 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    ranked = _with_key_rank(
+        weights.withColumn(_KEY, -F.round(F.col("log_weight") * 10000).cast("long")),
+        ["source"],
+        "doc_id",
+    )
+    ds_pdf = (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dsir_scored"),
+            F.round(F.avg("log_weight"), 4).alias("avg_dsir_log_weight"),
+            F.sum(F.when(F.col("_rk") <= _DSIR_TOPK, id_hash40))
+            .cast("long")
+            .alias("dsir_top_id_hash"),
+        )
+        .toPandas()
+    )
+    dsir_s = time.monotonic() - t0
+
+    con = duckdb.connect()
+    p = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    t0 = time.monotonic()
+    odf = con.execute(
+        f"""
+WITH {_DUCK_SELECTION_CTES}
+SELECT sgagg.source, sgagg.n_kept_first, sgagg.first_text_hash,
+       sgagg.n_kept_boiler, sgagg.boiler_text_hash,
+       dsagg.n_dsir_scored, dsagg.avg_dsir_log_weight, dsagg.dsir_top_id_hash
+FROM sgagg JOIN dsagg USING (source)
+"""
+    ).fetchdf()
+    duck_s = time.monotonic() - t0
+    got = seg_pdf.merge(ds_pdf, on="source")
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True).round(4).astype(str)
+    o = odf[cols].sort_values(cols).reset_index(drop=True).round(4).astype(str)
+    match = bool(g.equals(o))
+    out = {
+        "measurement": "selection",
+        "sf_dir": sf_dir,
+        "segment_dedup_sec": round(seg_s, 2),
+        "dsir_sec": round(dsir_s, 2),
+        "duckdb_replay_sec": round(duck_s, 2),
+        "sources": int(len(got)),
+        "value_match": match,
+    }
+    assert match, "selection contracts diverge from the DuckDB replay at scale"
+    return out
+
+
 _MEASURES = {
     "components": measure_components,
     "emb_lsh": measure_emb_lsh,
     "spans": measure_spans,
     "decon": measure_decon,
+    "selection": measure_selection,
 }
 
 
