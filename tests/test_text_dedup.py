@@ -484,14 +484,17 @@ def test_connected_components_star_fallback_on_high_diameter(spark):
     n = 40  # diameter 39 ≫ max_iter below
     edges = [(i, i + 1) for i in range(n - 1)] + [(100, 101), (101, 102)]
     df = spark.createDataFrame(edges, "a long, b long")
+    stats: dict = {}
     got = {
         r["node"]: r["component"]
         for r in connected_components(
-            df, "a", "b", max_iter=3, driver_threshold=0
+            df, "a", "b", max_iter=3, driver_threshold=0, stats=stats
         ).collect()
     }
     want = {i: 0 for i in range(n)} | {100: 100, 101: 100, 102: 100}
     assert got == want
+    # the audit hook must report the regime actually taken and its rounds
+    assert stats["regime"] == "alternating_star" and stats["rounds"] >= 1
 
 
 def test_alternating_star_matches_union_find_on_random_graphs(spark):
