@@ -92,10 +92,16 @@ def _bucket_distribution(counts: DataFrame, n_buckets: int) -> DataFrame:
     dense = spine.join(totals, _B, "left").select(
         _B, F.coalesce("n", F.lit(0)).alias("n")
     )
-    grand = dense.agg(F.sum("n").alias("t"))
-    return dense.crossJoin(broadcast(grand)).select(
+    # the grand total rides a global window over the DENSE frame — B rows of
+    # metadata, so the single-task window is free, and it avoids the scalar
+    # crossJoin shape (BroadcastNestedLoopJoin) the repo's plan pins forbid
+    # so an accidental O(n^2) can never hide behind a scalar attach
+    from pyspark.sql import Window
+
+    t = F.sum("n").over(Window.partitionBy())
+    return dense.select(
         _B,
-        F.log((F.col("n") + 1) / (F.col("t") + F.lit(n_buckets))).alias("logp"),
+        F.log((F.col("n") + 1) / (t + F.lit(n_buckets))).alias("logp"),
     )
 
 
