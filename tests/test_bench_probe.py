@@ -1,0 +1,68 @@
+"""bench.py environment control: the probe bounds and the wait-for-healthy
+loop (pure driver-side logic — no Spark session)."""
+
+from __future__ import annotations
+
+import sys
+
+
+def _bench():
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    return bench
+
+
+def test_probe_degraded_bounds():
+    b = _bench()
+    assert not b._probe_degraded({"matmul_s": 0.01, "alloc200mb_s": 0.1})
+    assert b._probe_degraded({"matmul_s": 0.06, "alloc200mb_s": 0.1})
+    assert b._probe_degraded({"matmul_s": 0.01, "alloc200mb_s": 0.31})
+    # exactly on the bounds is healthy (bounds are exclusive)
+    assert not b._probe_degraded(
+        {"matmul_s": b._HEALTHY_MATMUL_S, "alloc200mb_s": b._HEALTHY_ALLOC_S}
+    )
+
+
+def test_wait_for_healthy_host_zero_budget_probes_once(monkeypatch):
+    b = _bench()
+    calls = []
+
+    def fake_probe(trials: int = 2):
+        calls.append(1)
+        return {"matmul_s": 9.9, "alloc200mb_s": 9.9}
+
+    monkeypatch.setattr(b, "_host_probe", fake_probe)
+    probe = b._wait_for_healthy_host(0.0)
+    assert len(calls) == 1 and b._probe_degraded(probe)
+
+
+def test_wait_for_healthy_host_retries_until_healthy(monkeypatch):
+    b = _bench()
+    seq = [
+        {"matmul_s": 9.9, "alloc200mb_s": 9.9},
+        {"matmul_s": 9.9, "alloc200mb_s": 9.9},
+        {"matmul_s": 0.01, "alloc200mb_s": 0.05},
+    ]
+    calls = []
+    monkeypatch.setattr(b, "_host_probe", lambda trials=2: (calls.append(1), seq[len(calls) - 1])[1])
+    monkeypatch.setattr(b.time, "sleep", lambda s: None)
+    probe = b._wait_for_healthy_host(600.0)
+    assert len(calls) == 3 and not b._probe_degraded(probe)
+
+
+def test_wait_for_healthy_host_budget_expires(monkeypatch):
+    b = _bench()
+    calls = []
+
+    def fake_probe(trials: int = 2):
+        calls.append(1)
+        return {"matmul_s": 9.9, "alloc200mb_s": 9.9}
+
+    slept = []
+    monkeypatch.setattr(b, "_host_probe", fake_probe)
+    monkeypatch.setattr(b.time, "sleep", lambda s: slept.append(s))
+    probe = b._wait_for_healthy_host(65.0)
+    # 30 + 30 + 5 second steps, then gives up still-degraded
+    assert slept == [30.0, 30.0, 5.0]
+    assert b._probe_degraded(probe)
