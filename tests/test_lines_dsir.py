@@ -178,6 +178,23 @@ SELECT dc.doc_id, sum(dc.c * dl.dl) FROM dc JOIN dl USING (b) GROUP BY dc.doc_id
     assert set(got) == set(want)
 
 
+def test_empty_frames_run_to_empty_not_crash(spark):
+    """ANSI-mode hardening: zero-row corpora are routine at warehouse scale;
+    both operator families must run to empty output, never throw."""
+    empty_docs = spark.createDataFrame([], SCHEMA)
+    assert L.segment_df(empty_docs, "doc_id", "segs").count() == 0
+    assert L.dedup_segments(empty_docs, "doc_id", "segs").count() == 0
+    assert L.drop_boilerplate(empty_docs, "doc_id", "segs", 2).count() == 0
+    empty_txt = spark.createDataFrame([], "doc_id long, text string")
+    target = spark.createDataFrame([("spark table",)], "text string")
+    assert DS.dsir_log_weights(empty_txt, target, "doc_id", "text").count() == 0
+    # empty TARGET: every bucket gets the smoothing floor; weights still emit
+    docs, _ = _dsir_fixture(spark)
+    empty_target = spark.createDataFrame([], "text string")
+    got = DS.dsir_log_weights(docs, empty_target, "doc_id", "text", n_buckets=64)
+    assert got.count() == 3  # scored docs unchanged; no division/ln error
+
+
 def test_dsir_scoring_join_is_broadcast(spark):
     docs, target = _dsir_fixture(spark)
     plan = (
