@@ -195,6 +195,32 @@ def test_empty_frames_run_to_empty_not_crash(spark):
     assert got.count() == 3  # scored docs unchanged; no division/ln error
 
 
+def test_boilerplate_scrubber_matches_batch_and_streams(spark, tmp_path):
+    """The stateless scrubber must equal drop_boilerplate on the same corpus
+    (modulo drop_boilerplate's NULL->empty normalization), and a STREAM of
+    the same documents must scrub identically (no state store, no shuffle)."""
+    from switchback_test_dag_spark.streaming.windows import run_stream_to_memory
+    from switchback_test_dag_spark.text.lines import boilerplate_scrubber
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    scrub = boilerplate_scrubber(spark, df, "doc_id", "segs", min_df=3)
+    got = _by_id(scrub(df))
+    want = _by_id(L.drop_boilerplate(df, "doc_id", "segs", min_df=3))
+    assert got == want
+    # cap counts BEFORE collecting
+    with pytest.raises(ValueError, match="max_boiler_segments"):
+        boilerplate_scrubber(spark, df, "doc_id", "segs", 1, max_boiler_segments=2)
+    # the same scrubber applied to a STREAM emits the same scrubbed arrays
+    src = tmp_path / "segs_stream"
+    src.mkdir()
+    df.coalesce(1).write.parquet(str(src / "batch0"))
+    stream = spark.readStream.schema(df.schema).parquet(str(src) + "/*")
+    out = scrub(stream).select("doc_id", "segs")
+    run_stream_to_memory(out, "boiler_scrub_test", str(tmp_path), output_mode="append")
+    sgot = {r["doc_id"]: r["segs"] for r in spark.table("boiler_scrub_test").collect()}
+    assert sgot == want
+
+
 def test_dsir_scoring_join_is_broadcast(spark):
     docs, target = _dsir_fixture(spark)
     plan = (
