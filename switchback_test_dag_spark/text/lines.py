@@ -14,13 +14,16 @@ see ``queries_documents.doc_segment_dedup_stats``).
 
 Scale shape (100 TB design point):
 
-- :func:`dedup_segments` (keep-first): one shuffle of (doc, pos, seg) rows
-  keyed on the segment to find each segment's first occurrence
-  (``min(struct(doc, pos))`` — map-side combinable), the keep-check rides
-  the same keyed exchange, then ONE shuffle keyed on the doc id reassembles
-  ordered survivor arrays. Nothing quadratic, no driver state; skew is
-  bounded because even a segment repeated a billion times reduces to one
-  ``min`` per partition before the exchange.
+- :func:`dedup_segments` (keep-first): ONE shuffle of (doc, pos, seg) rows
+  keyed on the segment — ``min(struct(doc, pos))`` per segment, map-side
+  combinable — and the aggregate's output IS the survivor set (the min is a
+  total order, so the keeper row equals the agg result; no join back to the
+  occurrences is ever needed), then ONE shuffle keyed on the doc id
+  reassembles ordered survivor arrays. Nothing quadratic, no driver state,
+  and no hot-key straggler: a segment repeated a billion times reduces to
+  one ``min`` per partition before the exchange and to a single row after
+  it — no plan step ever gathers a hot segment's occurrences into one task
+  (the plan is pinned in ``tests/test_lines_dsir.py``).
 - :func:`drop_boilerplate` (df threshold): the segment document-frequency
   table is map-side-combined per-doc-distinct counts; only segments with
   ``df >= min_df`` survive the filter — at any honest threshold a SMALL set
@@ -73,18 +76,22 @@ def dedup_segments(docs: DataFrame, id_col: str, segs_col: str) -> DataFrame:
     original order (possibly empty — callers filter empty docs downstream;
     every other column passes through). Documents with empty input arrays
     are preserved with empty output arrays.
+
+    The survivor set needs NO join: ``min(struct(doc, pos))`` is a total
+    order over occurrences, so each segment's aggregate row (segment, first
+    doc, first pos) IS its unique keeper — the only segment-keyed stage is
+    the map-side-combined min itself, which reduces even a
+    billion-occurrence boilerplate segment to one row per input partition
+    before the exchange (no hot-key straggler task).
     """
     seg = _exploded(docs, id_col, segs_col)
     firsts = seg.groupBy(_SEG).agg(
         F.min(F.struct(F.col(id_col), F.col(_POS))).alias("_first")
     )
-    kept = (
-        seg.join(firsts, _SEG)
-        .filter(
-            (F.col(id_col) == F.col(f"_first.{id_col}"))
-            & (F.col(_POS) == F.col(f"_first.{_POS}"))
-        )
-        .select(id_col, _POS, _SEG)
+    kept = firsts.select(
+        F.col(f"_first.{id_col}").alias(id_col),
+        F.col(f"_first.{_POS}").alias(_POS),
+        _SEG,
     )
     return _reassembled(docs, kept, id_col, segs_col)
 

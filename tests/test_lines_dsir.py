@@ -68,6 +68,27 @@ def test_drop_boilerplate_thresholds_and_validation(spark):
         L.drop_boilerplate(df, "doc_id", "segs", min_df=0)
 
 
+def test_dedup_segments_plan_single_segment_exchange_no_join(spark):
+    """Scale pin: the only segment-keyed stage is the map-side-combined min
+    agg — exactly ONE exchange on the segment key, preceded by a partial_min,
+    and NO join keyed on the segment (the agg output IS the survivor set), so
+    a billion-occurrence boilerplate segment can never pile onto one task."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plan = (
+        L.dedup_segments(df, "doc_id", "segs")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("hashpartitioning(_lseg_seg") == 1
+    assert "partial_min" in plan
+    # the one join in the plan is the doc-keyed reassembly left join; nothing
+    # joins on the segment key
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "_lseg_seg" not in line, line
+
+
 def test_drop_boilerplate_plan_broadcasts_boiler_set(spark):
     df = spark.createDataFrame(ROWS, SCHEMA)
     plan = (
