@@ -1391,6 +1391,9 @@ _SEG_CHUNK = 2
 _SEG_BOILER_DF = 20
 _DSIR_BUCKETS = 64
 _DSIR_TOPK = 5
+_DSIR_FP_SCALE = 1_000_000
+_DSIR_WBITS = 20
+_DSIR_SEL_SEED = 29
 _DUCK_SEGS = (
     "CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) ELSE "
     f"[array_to_string(toks[i:i+{_SEG_CHUNK - 1}], ' ') "
@@ -1460,33 +1463,62 @@ _DUCK_SELECTION_CTES = f"""sgtk AS (
   FROM dsspine LEFT JOIN dsc USING (b) GROUP BY dsspine.b
 ), dsdl AS (
   SELECT dsraw.b,
-         ln((dstgt.n + 1) / ((SELECT sum(n) FROM dstgt) + {_DSIR_BUCKETS}))
-       - ln((dsraw.n + 1) / ((SELECT sum(n) FROM dsraw) + {_DSIR_BUCKETS})) AS dl
+         CAST(round((ln((dstgt.n + 1) / ((SELECT sum(n) FROM dstgt) + {_DSIR_BUCKETS}))
+                   - ln((dsraw.n + 1) / ((SELECT sum(n) FROM dsraw) + {_DSIR_BUCKETS})))
+                    * {_DSIR_FP_SCALE}) AS BIGINT) AS dl
   FROM dsraw JOIN dstgt USING (b)
 ), dsw AS (
-  SELECT dsc.doc_id, dsc.source, sum(dsc.c * dsdl.dl) AS log_weight
+  SELECT dsc.doc_id, dsc.source, CAST(sum(dsc.c * dsdl.dl) AS BIGINT) AS lwfp
   FROM dsc JOIN dsdl USING (b) GROUP BY dsc.doc_id, dsc.source
 ), dsr AS (
-  SELECT doc_id, source, log_weight,
-         row_number() OVER (PARTITION BY source
-                            ORDER BY -CAST(round(log_weight * 10000) AS BIGINT), doc_id) AS rk
+  SELECT doc_id, source, lwfp,
+         row_number() OVER (PARTITION BY source ORDER BY -lwfp, doc_id) AS rk,
+         max(lwfp) OVER (PARTITION BY source) AS mx
   FROM dsw
+), dssel AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY
+           -(((CAST(round(exp((lwfp - mx) / {_DSIR_FP_SCALE}.0) * {1 << _DSIR_WBITS}) AS BIGINT) + 1)
+              * 1099511627776)
+             // greatest(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{_DSIR_SEL_SEED}'), 1, 10))::BIGINT, 1)),
+           doc_id) AS srk
+  FROM dsr
 ), dsagg AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_dsir_scored,
-         round(avg(log_weight), 4) AS avg_dsir_log_weight,
+         round(sum(lwfp) / (count(*) * {_DSIR_FP_SCALE}.0), 4) AS avg_dsir_log_weight,
          CAST(sum(CASE WHEN rk <= {_DSIR_TOPK} THEN {_DUCK_ID_HASH} END) AS BIGINT)
            AS dsir_top_id_hash
   FROM dsr GROUP BY source
+), dsselagg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_dsir_selected,
+         CAST(sum({_DUCK_ID_HASH}) AS BIGINT) AS dsir_sel_id_hash
+  FROM dssel WHERE srk <= {_DSIR_TOPK} GROUP BY source
 )"""
 
 _DUCK_CLEAN = f"""
 WITH q AS (
   SELECT doc_id, source, text, {_DUCK_QUALITY} AS qs
   FROM documents WHERE {_DUCK_QUALITY} >= 0.5
+), qt AS (
+  SELECT doc_id, source, qs, {_DUCK_TOKS} AS toks FROM q
+), qsg AS (
+  SELECT doc_id, source, qs, {_DUCK_SEGS} AS segs FROM qt
+), qse AS (
+  SELECT doc_id, unnest(generate_series(1, len(segs))) AS pos, unnest(segs) AS seg
+  FROM qsg
+), qboiler AS (
+  SELECT seg FROM qse GROUP BY seg HAVING count(DISTINCT doc_id) >= {_SEG_BOILER_DF}
+), qscrub AS (
+  SELECT qsg.doc_id, qsg.source, qsg.qs, s.stext AS text
+  FROM qsg JOIN (
+    SELECT doc_id, array_to_string(list(seg ORDER BY pos), ' ') AS stext
+    FROM qse ANTI JOIN qboiler USING (seg) GROUP BY doc_id
+  ) s USING (doc_id)
+  WHERE s.stext != ''
 ), fp AS (
   SELECT doc_id, source, qs, text,
          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
-  FROM q
+  FROM qscrub
 ), k1 AS (
   SELECT * FROM fp WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)
 ), tk AS (
@@ -1546,11 +1578,14 @@ SELECT k2.source,
        any_value(sgagg.boiler_text_hash) AS boiler_text_hash,
        any_value(dsagg.n_dsir_scored) AS n_dsir_scored,
        any_value(dsagg.avg_dsir_log_weight) AS avg_dsir_log_weight,
-       any_value(dsagg.dsir_top_id_hash) AS dsir_top_id_hash
+       any_value(dsagg.dsir_top_id_hash) AS dsir_top_id_hash,
+       any_value(dsselagg.n_dsir_selected) AS n_dsir_selected,
+       any_value(dsselagg.dsir_sel_id_hash) AS dsir_sel_id_hash
 FROM k2 LEFT JOIN contam c USING (doc_id)
      LEFT JOIN wagg ON k2.source = wagg.source
      LEFT JOIN sgagg ON k2.source = sgagg.source
      LEFT JOIN dsagg ON k2.source = dsagg.source
+     LEFT JOIN dsselagg ON k2.source = dsselagg.source
 GROUP BY k2.source
 """
 
@@ -1558,8 +1593,13 @@ GROUP BY k2.source
 @query("corpus_clean_stats", _DUCK_CLEAN)
 def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data cleaning pipeline — the operators chained the way
-    a production corpus job runs them: quality filter (score ≥ 0.5) → exact
-    dedup (md5 fingerprint, min-id keeper) → near-dup removal (exact n-gram
+    a production corpus job runs them, in CCNet order (Wenzek et al. 2020:
+    segment-level cleaning precedes document-level dedup because scrubbing
+    changes fingerprints): quality filter (score ≥ 0.5) → segment-level
+    boilerplate removal (``text/lines.drop_boilerplate``, 2-token chunk
+    segments, df ≥ 20 dropped everywhere; documents scrubbed to nothing are
+    dropped; all later stages run on the SCRUBBED text) → exact dedup (md5
+    fingerprint, min-id keeper) → near-dup removal (exact n-gram
     Jaccard ≥ 0.85, higher id dropped) → benchmark decontamination
     (``text/decontaminate.contaminated_ids``: ≥1 shared distinct word 4-gram
     with the eval slice ``doc_id % 13 == 0``; n=4 suits the fixture's tiny
@@ -1583,15 +1623,47 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       so a changed keeper, lost position, or reordered array breaks the
       contract even at equal counts;
     - DSIR importance weights (``text/dsir``; Xie et al. 2023) against the
-      same eval slice, portable md5 bucketing (64 buckets) so the oracle
-      replays every weight exactly: per-source scored count, rounded mean
-      log weight, and a top-5 membership id-hash ranked through the
-      samplers' range-partitioned rank (integer 1e-4-scaled key, id
-      tiebreak; no single-task-per-stratum window)."""
+      same eval slice, portable md5 bucketing (64 buckets) in FIXED POINT:
+      the per-bucket log-ratio rounds once into an integer and the weight is
+      the exact integer sum ``Σ c_b·dl_fp`` — order-independent, so rank
+      keys and the mean replay bit-for-bit (no float-accumulation flake):
+      per-source scored count, mean weight, top-5 membership id-hash ranked
+      through the samplers' range-partitioned rank (no single-task-per-
+      stratum window);
+    - DSIR importance RESAMPLING (``text/dsir.dsir_select``; the paper's
+      selection stage): weights → quantized BIGINT
+      ``round(exp((fp−max_fp)/scale)·2^20)+1`` → ``weighted_priority_sample``
+      (k=5 per source, seed 29), membership pinned as (count, id-hash) with
+      the quantization AND the sampler's integer priority replayed in the
+      oracle's dssel window."""
+    from switchback_test_dag_spark.caching import pin
+    from switchback_test_dag_spark.text import lines as LN
+
     docs = load_table(spark, sf_dir, "documents")
     qs = TA.quality_score("text")
     filtered = docs.withColumn("qs", qs).filter(F.col("qs") >= 0.5)
-    kept1 = TD.exact_dedup(filtered, "doc_id", "text")
+    toks = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+    segs = (
+        f"CASE WHEN size({toks}) = 0 THEN CAST(array() AS ARRAY<STRING>) ELSE "
+        f"transform(sequence(1, size({toks}), {_SEG_CHUNK}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {_SEG_CHUNK}))) END"
+    )
+    # CCNet order (Wenzek et al. 2020): segment-level boilerplate removal
+    # runs BETWEEN quality filtering and document-level dedup — scrubbing
+    # changes fingerprints, so the order is semantically load-bearing
+    # (operator-level order pin: tests/test_lines_dsir.py). Documents scrubbed
+    # to nothing are dropped. The scrubbed frame is pinned: six downstream
+    # consumers (fingerprint semi-join, Jaccard pairs, decontamination,
+    # survivor stats, weighted sample) would otherwise each replay the
+    # segment-scrub subtree.
+    seg_q = filtered.select("doc_id", "source", "qs", F.expr(segs).alias("segs"))
+    scrubbed = pin(
+        LN.drop_boilerplate(seg_q, "doc_id", "segs", _SEG_BOILER_DF)
+        .withColumn("text", F.concat_ws(" ", "segs"))
+        .drop("segs")
+        .filter(F.col("text") != "")
+    )
+    kept1 = TD.exact_dedup(scrubbed, "doc_id", "text")
     near = (
         TD.ngram_jaccard_pairs(kept1, "doc_id", "text", shingle_n=3, threshold=0.85)
         .select(F.col("doc_b").alias("doc_id"))
@@ -1631,15 +1703,8 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_wsample"),
         F.sum(id_hash40).cast("long").alias("wsample_id_hash"),
     )
-    # segment-dedup contract (text/lines) over the RAW corpus
-    from switchback_test_dag_spark.text import lines as LN
-
-    toks = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
-    segs = (
-        f"CASE WHEN size({toks}) = 0 THEN CAST(array() AS ARRAY<STRING>) ELSE "
-        f"transform(sequence(1, size({toks}), {_SEG_CHUNK}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {_SEG_CHUNK}))) END"
-    )
+    # segment-dedup contract (text/lines) over the RAW corpus (standalone
+    # value contract for BOTH policies, beside the chained pipeline above)
     seg_base = docs.select("doc_id", "source", F.expr(segs).alias("segs"))
 
     def _seg_agg(deduped: DataFrame, n_name: str, h_name: str) -> DataFrame:
@@ -1672,31 +1737,61 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boiler_text_hash",
     )
 
-    # DSIR contract (text/dsir) over the RAW corpus vs the same eval slice
+    # DSIR contract (text/dsir) over the RAW corpus vs the same eval slice —
+    # FIXED-POINT weights (integer Σ c_b·dl_fp, order-independent, so the
+    # rank keys and the mean can never flip on float accumulation order; the
+    # pin() shares the one corpus weight pass between the ranked top-k and
+    # the resampling stage below)
     from switchback_test_dag_spark.plans.sampling import _H as _KEY, _with_key_rank
     from switchback_test_dag_spark.text import dsir as DS
 
-    weights = DS.dsir_log_weights(
-        docs,
-        eval_df.select("text"),
-        "doc_id",
-        "text",
-        n_buckets=_DSIR_BUCKETS,
-        portable=True,
-    ).join(docs.select("doc_id", "source"), "doc_id")
+    weights = pin(
+        DS.dsir_log_weights(
+            docs,
+            eval_df.select("text"),
+            "doc_id",
+            "text",
+            n_buckets=_DSIR_BUCKETS,
+            portable=True,
+            fixed_point_scale=_DSIR_FP_SCALE,
+        ).join(docs.select("doc_id", "source"), "doc_id")
+    )
     ranked = _with_key_rank(
-        weights.withColumn(
-            _KEY, -F.round(F.col("log_weight") * 10000).cast("long")
-        ),
+        weights.withColumn(_KEY, -F.col("log_weight_fp")),
         ["source"],
         "doc_id",
     )
     dsagg = ranked.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_dsir_scored"),
-        F.round(F.avg("log_weight"), 4).alias("avg_dsir_log_weight"),
+        F.round(
+            F.sum("log_weight_fp")
+            / (F.count(F.lit(1)) * F.lit(float(_DSIR_FP_SCALE))),
+            4,
+        ).alias("avg_dsir_log_weight"),
         F.sum(F.when(F.col("_rk") <= _DSIR_TOPK, id_hash40))
         .cast("long")
         .alias("dsir_top_id_hash"),
+    )
+    # DSIR SELECTION contract — the paper's importance-RESAMPLING stage
+    # (weights → quantized BIGINT → weighted_priority_sample), membership
+    # pinned as (count, id-hash) per source and replayed by the oracle's
+    # dssel window
+    sel = DS.dsir_select(
+        None,
+        None,
+        "doc_id",
+        "text",
+        k=_DSIR_TOPK,
+        strata=["source"],
+        portable=True,
+        seed=_DSIR_SEL_SEED,
+        fixed_point_scale=_DSIR_FP_SCALE,
+        weight_bits=_DSIR_WBITS,
+        weights=weights,
+    )
+    selagg = sel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dsir_selected"),
+        F.sum(id_hash40).cast("long").alias("dsir_sel_id_hash"),
     )
 
     return (
@@ -1706,5 +1801,6 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(seg_first), "source", "left")
         .join(F.broadcast(seg_boiler), "source", "left")
         .join(F.broadcast(dsagg), "source", "left")
+        .join(F.broadcast(selagg), "source", "left")
     )
 

@@ -27,11 +27,25 @@ is bounded per doc by its gram count.
 
 ``portable=True`` swaps xxhash64 bucketing for the md5-prefix form that
 exists verbatim in DuckDB/BigQuery/Trino, so an external engine replays
-bucket assignment — and therefore weights — exactly (the registry contract
-pins rounded weights plus an id-hash membership checksum of the top-k).
+bucket assignment exactly.
+
+Cross-engine weight determinism: bucket assignment and gram counts replay
+exactly, but a float ``log_weight`` is a sum of doubles whose accumulation
+order Spark does not fix — two runs (or two engines) can differ in the last
+ulp, which matters the moment a contract rounds the weight into a rank key.
+``fixed_point_scale`` closes that: the per-bucket log-ratio is rounded ONCE
+into an integer (``dl_fp = round((ln pt − ln pr) · scale)`` — B values, each
+a deterministic function of exact integer counts), and the per-document
+weight becomes the exact integer sum ``Σ c_b · dl_fp[b]`` — associative,
+order-independent, replayable bit-for-bit. The only residual cross-engine
+risk is a libm ``ln``/``exp`` differing by an ulp exactly at a rounding
+boundary of one of the B constants — measure-zero in practice, and confined
+to a single bucket constant rather than compounding over a document's grams.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -112,11 +126,19 @@ def dsir_log_weights(
     text_col: str,
     n_buckets: int = 256,
     portable: bool = False,
+    fixed_point_scale: int | None = None,
 ) -> DataFrame:
     """``(id_col, log_weight)`` for every document with at least one token:
     the DSIR log importance weight under hashed unigram+bigram features.
     Positive means the document looks more like ``target`` than like the raw
-    corpus average. ``target`` needs only ``text_col``."""
+    corpus average. ``target`` needs only ``text_col``.
+
+    With ``fixed_point_scale`` set (e.g. ``10**6``), returns
+    ``(id_col, log_weight_fp)`` instead — the EXACT integer sum
+    ``Σ c_b · round(dl_b · scale)`` whose value is independent of float
+    accumulation order and replays bit-for-bit in an external engine (the
+    form value-hashed contracts and :func:`dsir_select` use; see module
+    docstring)."""
     dc = doc_bucket_counts(docs, id_col, text_col, n_buckets, portable)
     raw_dist = _bucket_distribution(dc, n_buckets)
     tgt_counts = doc_bucket_counts(
@@ -127,13 +149,121 @@ def dsir_log_weights(
         portable,
     )
     tgt_dist = _bucket_distribution(tgt_counts, n_buckets)
+    dl = F.col("lt") - F.col("lr")
+    if fixed_point_scale is not None:
+        if fixed_point_scale <= 0:
+            raise ValueError(
+                f"dsir_log_weights: fixed_point_scale must be positive, "
+                f"got {fixed_point_scale}"
+            )
+        dl = F.round(dl * F.lit(int(fixed_point_scale))).cast("long")
     ratio = (
         tgt_dist.withColumnRenamed("logp", "lt")
         .join(raw_dist.withColumnRenamed("logp", "lr"), _B)
-        .select(_B, (F.col("lt") - F.col("lr")).alias("dl"))
+        .select(_B, dl.alias("dl"))
     )
+    out_col = "log_weight" if fixed_point_scale is None else "log_weight_fp"
     return (
         dc.join(broadcast(ratio), _B)
         .groupBy(id_col)
-        .agg(F.sum(F.col(_CNT) * F.col("dl")).alias("log_weight"))
+        .agg(F.sum(F.col(_CNT) * F.col("dl")).alias(out_col))
+    )
+
+
+DSIR_WEIGHT_BITS = 20
+
+
+def dsir_select(
+    docs: DataFrame | None,
+    target: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    k: int,
+    strata: Sequence[str] = (),
+    n_buckets: int = 256,
+    portable: bool = False,
+    seed: int = 0,
+    fixed_point_scale: int = 1_000_000,
+    weight_bits: int = DSIR_WEIGHT_BITS,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Importance RESAMPLING — the paper's selection stage (Xie et al. 2023
+    §2): draw ``k`` documents per stratum with inclusion ≈ proportional to
+    the importance weight ``exp(log_weight)``, deterministically, by
+    composing :func:`dsir_log_weights` with
+    ``plans/sampling.weighted_priority_sample``.
+
+    The float-free quantization rule (replayable in any SQL engine):
+
+    - ``log_weight_fp`` — the exact integer fixed-point weight (above);
+    - per-stratum shift by ``max(log_weight_fp)`` so ``exp`` never
+      overflows (weights only matter relatively within a stratum);
+    - ``weight = round(exp((fp − max_fp)/scale) · 2^weight_bits) + 1`` —
+      a BIGINT in ``[1, 2^weight_bits + 1]``. Documents more than
+      ``weight_bits · ln 2`` nats (~14 at the default) below the stratum
+      max clamp to weight 1: they are effectively out of the importance
+      race anyway, and the clamp keeps every weight strictly positive so
+      priority sampling stays well-defined.
+
+    Priority sampling (Duffield–Lund–Thorup) then gives inclusion
+    probability ≈ ``weight / Σ weight`` per stratum — the paper's
+    sample-∝-importance semantics with the repo's deterministic,
+    partitioning-independent machinery (same (id, seed) membership on any
+    cluster; ``portable=True`` replays membership bit-for-bit externally).
+
+    Returns ``(id_col, *strata, log_weight_fp, weight)`` for the selected
+    rows. Pass ``weights`` (columns ``id_col, log_weight_fp`` and optionally
+    the strata) to reuse an already-computed weight frame — ``docs`` is then
+    only consulted for strata columns missing from it, and ``target`` may be
+    None."""
+    if weights is None:
+        if docs is None or target is None:
+            raise ValueError("dsir_select: pass docs+target or weights")
+        weights = dsir_log_weights(
+            docs,
+            target,
+            id_col,
+            text_col,
+            n_buckets,
+            portable,
+            fixed_point_scale=fixed_point_scale,
+        )
+    strata = list(strata)
+    missing = [c for c in strata if c not in weights.columns]
+    if missing:
+        if docs is None:
+            raise ValueError(
+                f"dsir_select: strata {missing} absent from weights and no "
+                "docs frame to join them from"
+            )
+        weights = weights.join(docs.select(id_col, *missing), id_col)
+    # per-stratum max: a metadata-sized agg broadcast back (weights are
+    # relative within a stratum; subtracting the max bounds exp in (0, 1]).
+    # The no-strata case joins on a constant column — still an equi
+    # BroadcastHashJoin, never the scalar-crossJoin BroadcastNestedLoopJoin
+    # shape the repo's plan pins forbid.
+    key = strata or ["_dsir_one"]
+    frame = (
+        weights if strata else weights.withColumn("_dsir_one", F.lit(1))
+    )
+    mx = frame.groupBy(*key).agg(F.max("log_weight_fp").alias("_dsir_mx"))
+    w = (
+        F.round(
+            F.exp(
+                (F.col("log_weight_fp") - F.col("_dsir_mx"))
+                / F.lit(float(fixed_point_scale))
+            )
+            * F.lit(1 << weight_bits)
+        ).cast("long")
+        + 1
+    )
+    eligible = (
+        frame.join(broadcast(mx), key)
+        .withColumn("weight", w)
+        .drop("_dsir_mx", "_dsir_one")
+    )
+    from switchback_test_dag_spark.plans.sampling import weighted_priority_sample
+
+    return weighted_priority_sample(
+        eligible, strata, id_col, "weight", k, seed=seed, portable=portable
     )

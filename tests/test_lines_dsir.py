@@ -199,6 +199,265 @@ SELECT dc.doc_id, sum(dc.c * dl.dl) FROM dc JOIN dl USING (b) GROUP BY dc.doc_id
     assert set(got) == set(want)
 
 
+def test_dsir_fixed_point_weights_are_exact_integer_sums(spark):
+    """fixed_point_scale makes the weight an integer Σ c_b·dl_fp — the
+    order-independent form contracts rank on. Verify against the float path
+    (same ordering, value within quantization error) and replay the integer
+    weights exactly in DuckDB."""
+    docs, target = _dsir_fixture(spark)
+    fp = {
+        r["doc_id"]: r["log_weight_fp"]
+        for r in DS.dsir_log_weights(
+            docs, target, "doc_id", "text", n_buckets=64, portable=True,
+            fixed_point_scale=1_000_000,
+        ).collect()
+    }
+    fl = {
+        r["doc_id"]: r["log_weight"]
+        for r in DS.dsir_log_weights(
+            docs, target, "doc_id", "text", n_buckets=64, portable=True
+        ).collect()
+    }
+    assert set(fp) == set(fl)
+    for d, w in fp.items():
+        assert isinstance(w, int)
+        # within quantization error: each gram contributes <= 0.5e-6 rounding
+        assert abs(w / 1e6 - fl[d]) < 1e-4
+    con = duckdb.connect()
+    con.register("corpus", docs.toPandas())
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+    want = dict(
+        con.execute(
+            f"""
+WITH tk AS (SELECT doc_id, {toks} AS toks FROM corpus),
+g AS (
+  SELECT doc_id, list_concat(toks,
+    CASE WHEN len(toks) >= 2 THEN
+      [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks) - 1)]
+    ELSE CAST([] AS VARCHAR[]) END) AS grams
+  FROM tk
+), e AS (
+  SELECT doc_id, ('0x' || substring(md5(unnest(grams)), 1, 15))::BIGINT % 64 AS b
+  FROM g
+), dc AS (SELECT doc_id, b, count(*) AS c FROM e GROUP BY doc_id, b),
+spine AS (SELECT unnest(generate_series(0, 63)) AS b),
+raw_n AS (SELECT spine.b, coalesce(sum(dc.c), 0) AS n FROM spine LEFT JOIN dc USING (b) GROUP BY spine.b),
+tgt_n AS (
+  SELECT spine.b, coalesce(sum(dc.c) FILTER (WHERE dc.doc_id IN (1, 3)), 0) AS n
+  FROM spine LEFT JOIN dc USING (b) GROUP BY spine.b
+), dl AS (
+  SELECT raw_n.b,
+         CAST(round((ln((tgt_n.n + 1) / ((SELECT sum(n) FROM tgt_n) + 64))
+                   - ln((raw_n.n + 1) / ((SELECT sum(n) FROM raw_n) + 64))) * 1000000)
+              AS BIGINT) AS dl
+  FROM raw_n JOIN tgt_n USING (b)
+)
+SELECT dc.doc_id, CAST(sum(dc.c * dl.dl) AS BIGINT) FROM dc JOIN dl USING (b) GROUP BY dc.doc_id
+"""
+        ).fetchall()
+    )
+    tgt2 = spark.createDataFrame(
+        [("spark table join join",), ("spark table",)], "text string"
+    )
+    got2 = {
+        r["doc_id"]: r["log_weight_fp"]
+        for r in DS.dsir_log_weights(
+            docs, tgt2, "doc_id", "text", n_buckets=64, portable=True,
+            fixed_point_scale=1_000_000,
+        ).collect()
+    }
+    assert got2 == want
+    with pytest.raises(ValueError, match="fixed_point_scale"):
+        DS.dsir_log_weights(
+            docs, target, "doc_id", "text", fixed_point_scale=0
+        ).collect()
+
+
+def _select_fixture(spark):
+    """40 docs, two sources; every third doc is target-like."""
+    rows = [
+        (
+            i,
+            "a" if i % 2 else "b",
+            "spark table join query plan" if i % 3 == 0
+            else "cat dog mouse bird fish tree",
+        )
+        for i in range(1, 41)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    target = spark.createDataFrame(
+        [("spark table join",), ("query plan spark",)], "text string"
+    )
+    return docs, target
+
+
+def test_dsir_select_semantics_and_determinism(spark):
+    docs, target = _select_fixture(spark)
+    kw = dict(k=4, strata=["source"], n_buckets=64, portable=True, seed=29)
+    sel = DS.dsir_select(docs, target, "doc_id", "text", **kw)
+    rows = sel.collect()
+    # exactly k per stratum, and the selected set is overwhelmingly the
+    # target-like docs (their importance weight is ~2^20x the off-domain ones)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert sorted(len(v) for v in by_src.values()) == [4, 4]
+    target_like = sum(1 for r in rows if r["doc_id"] % 3 == 0)
+    assert target_like == len(rows)  # plenty of target-like docs per source
+    assert set(sel.columns) == {"source", "doc_id", "log_weight_fp", "weight"}
+    # membership is a pure function of (id, seed): partitioning-invariant
+    sel2 = DS.dsir_select(docs.repartition(7), target, "doc_id", "text", **kw)
+    assert sorted(r["doc_id"] for r in sel2.collect()) == sorted(
+        r["doc_id"] for r in rows
+    )
+    # vs UNIFORM sampling at the same k/seed: the uniform draw picks
+    # off-domain docs too (2/3 of the corpus) — importance resampling is
+    # doing the selecting, not the sampler machinery
+    from switchback_test_dag_spark.plans.sampling import stratified_exact_sample
+
+    uni = stratified_exact_sample(
+        docs, ["source"], "doc_id", k=4, seed=29, portable=True
+    )
+    uni_target_like = sum(1 for r in uni.collect() if r["doc_id"] % 3 == 0)
+    assert uni_target_like < 8
+    # validation
+    with pytest.raises(ValueError, match="docs\\+target or weights"):
+        DS.dsir_select(None, None, "doc_id", "text", k=2)
+    w = DS.dsir_log_weights(
+        docs, target, "doc_id", "text", n_buckets=64, portable=True,
+        fixed_point_scale=1_000_000,
+    )
+    with pytest.raises(ValueError, match="strata"):
+        DS.dsir_select(
+            None, None, "doc_id", "text", k=2, strata=["source"], weights=w
+        )
+    # weights reuse path: same membership as the from-scratch run
+    sel3 = DS.dsir_select(
+        docs, None, "doc_id", "text", **kw, weights=w
+    )
+    assert sorted(r["doc_id"] for r in sel3.collect()) == sorted(
+        r["doc_id"] for r in rows
+    )
+
+
+def test_dsir_select_replays_in_duckdb(spark):
+    """The full selection contract — fixed-point weights, the
+    round(exp(·)·2^20)+1 quantization, and the sampler's integer priority —
+    replayed end-to-end in DuckDB: membership must match exactly."""
+    docs, target = _select_fixture(spark)
+    sel = DS.dsir_select(
+        docs, target, "doc_id", "text", k=3, strata=["source"],
+        n_buckets=64, portable=True, seed=29,
+    )
+    got = sorted((r["source"], r["doc_id"]) for r in sel.collect())
+    con = duckdb.connect()
+    con.register("corpus", docs.toPandas())
+    con.register("tgt", target.toPandas())
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+    grams = (
+        "list_concat(toks, CASE WHEN len(toks) >= 2 THEN "
+        "[array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks) - 1)] "
+        "ELSE CAST([] AS VARCHAR[]) END)"
+    )
+    want = sorted(
+        con.execute(
+            f"""
+WITH ctk AS (SELECT doc_id, source, {toks} AS toks FROM corpus),
+cg AS (SELECT doc_id, source, {grams} AS grams FROM ctk),
+ce AS (SELECT doc_id, source,
+              ('0x' || substring(md5(unnest(grams)), 1, 15))::BIGINT % 64 AS b
+       FROM cg),
+dc AS (SELECT doc_id, source, b, count(*) AS c FROM ce GROUP BY doc_id, source, b),
+ttk AS (SELECT 0 AS tid, {toks} AS toks FROM tgt),
+tg AS (SELECT tid, {grams} AS grams FROM ttk),
+te AS (SELECT ('0x' || substring(md5(unnest(grams)), 1, 15))::BIGINT % 64 AS b FROM tg),
+spine AS (SELECT unnest(generate_series(0, 63)) AS b),
+raw_n AS (SELECT spine.b, coalesce(sum(dc.c), 0) AS n
+          FROM spine LEFT JOIN dc USING (b) GROUP BY spine.b),
+tgt_n AS (SELECT spine.b, coalesce(count(te.b), 0) AS n
+          FROM spine LEFT JOIN te USING (b) GROUP BY spine.b),
+dl AS (
+  SELECT raw_n.b,
+         CAST(round((ln((tgt_n.n + 1) / ((SELECT sum(n) FROM tgt_n) + 64))
+                   - ln((raw_n.n + 1) / ((SELECT sum(n) FROM raw_n) + 64))) * 1000000)
+              AS BIGINT) AS dl
+  FROM raw_n JOIN tgt_n USING (b)
+), lw AS (
+  SELECT dc.doc_id, dc.source, CAST(sum(dc.c * dl.dl) AS BIGINT) AS lwfp,
+         max(CAST(sum(dc.c * dl.dl) AS BIGINT))
+           OVER (PARTITION BY dc.source) AS mx
+  FROM dc JOIN dl USING (b) GROUP BY dc.doc_id, dc.source
+), ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY
+           -(((CAST(round(exp((lwfp - mx) / 1000000.0)
+                          * 1048576) AS BIGINT) + 1) * 1099511627776)
+             // greatest(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':29'), 1, 10))::BIGINT, 1)),
+           doc_id) AS rk
+  FROM lw
+)
+SELECT source, doc_id FROM ranked WHERE rk <= 3
+"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_ccnet_order_scrub_before_dedup_is_load_bearing(spark):
+    """The composed pipeline's stage order pin (CCNet, Wenzek et al. 2020):
+    two documents that differ ONLY in boilerplate dedup together when
+    scrubbing precedes fingerprinting, and leak through as duplicates when
+    the order is flipped — the order is semantics, not style."""
+    from switchback_test_dag_spark.text.dedup import exact_dedup
+
+    B, X, Y = "cookie banner", "real content", "other words"
+    rows = [(1, [B, X]), (2, [B, Y]), (3, [X]), (4, [B])]
+    df = spark.createDataFrame(rows, "doc_id long, segs array<string>")
+
+    def rebuilt(frame):
+        return (
+            frame.withColumn("text", F.concat_ws(" ", "segs"))
+            .drop("segs")
+            .filter(F.col("text") != "")
+        )
+
+    # CCNet order: scrub (B has df=3) -> fingerprint. Doc 1 collapses to
+    # doc 3's text and the pair dedups to min id 1; doc 4 scrubs to nothing.
+    ccnet = exact_dedup(
+        rebuilt(L.drop_boilerplate(df, "doc_id", "segs", min_df=3)),
+        "doc_id",
+        "text",
+    )
+    assert sorted(r["doc_id"] for r in ccnet.collect()) == [1, 2]
+    # flipped order: raw fingerprints all differ, so dedup keeps everything,
+    # and scrubbing afterwards leaves docs 1 and 3 as UNCAUGHT duplicates
+    flipped = rebuilt(
+        L.drop_boilerplate(
+            exact_dedup(df.withColumn("text", F.concat_ws(" ", "segs")),
+                        "doc_id", "text").drop("text"),
+            "doc_id",
+            "segs",
+            min_df=3,
+        )
+    )
+    texts = [r["text"] for r in flipped.collect()]
+    assert len(texts) != len(set(texts))  # duplicate leakage
+
+
+def test_streaming_caps_bound_bytes_not_just_counts(spark):
+    """A small-COUNT boilerplate set of huge segments must trip the byte cap
+    before any collect reaches the driver."""
+    big = "x" * 10_000
+    df = spark.createDataFrame(
+        [(1, [big]), (2, [big]), (3, [big])],
+        "doc_id long, segs array<string>",
+    )
+    with pytest.raises(ValueError, match="max_boiler_bytes"):
+        L.boilerplate_scrubber(
+            spark, df, "doc_id", "segs", min_df=2, max_boiler_bytes=1000
+        )
+
+
 def test_empty_frames_run_to_empty_not_crash(spark):
     """ANSI-mode hardening: zero-row corpora are routine at warehouse scale;
     both operator families must run to empty output, never throw."""

@@ -206,7 +206,10 @@ def measure_selection(spark, sf_dir: str) -> dict:
     from switchback_test_dag_spark.plans.sampling import _H as _KEY, _with_key_rank
     from switchback_test_dag_spark.queries_documents import (
         _DSIR_BUCKETS,
+        _DSIR_FP_SCALE,
+        _DSIR_SEL_SEED,
         _DSIR_TOPK,
+        _DSIR_WBITS,
         _DUCK_ID_HASH,
         _DUCK_SELECTION_CTES,
         _SEG_BOILER_DF,
@@ -259,6 +262,8 @@ def measure_selection(spark, sf_dir: str) -> dict:
     seg_s = time.monotonic() - t0
 
     t0 = time.monotonic()
+    # fixed-point weights (the round-9 contract form), materialized once and
+    # shared by the ranked top-k and the dsir_select resampling stage
     weights = DS.dsir_log_weights(
         docs,
         docs.filter(F.col("doc_id") % 13 == 0).select("text"),
@@ -266,12 +271,13 @@ def measure_selection(spark, sf_dir: str) -> dict:
         "text",
         n_buckets=_DSIR_BUCKETS,
         portable=True,
-    ).join(docs.select("doc_id", "source"), "doc_id")
+        fixed_point_scale=_DSIR_FP_SCALE,
+    ).join(docs.select("doc_id", "source"), "doc_id").localCheckpoint()
     id_hash40 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
     ).cast("long")
     ranked = _with_key_rank(
-        weights.withColumn(_KEY, -F.round(F.col("log_weight") * 10000).cast("long")),
+        weights.withColumn(_KEY, -F.col("log_weight_fp")),
         ["source"],
         "doc_id",
     )
@@ -279,10 +285,35 @@ def measure_selection(spark, sf_dir: str) -> dict:
         ranked.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_dsir_scored"),
-            F.round(F.avg("log_weight"), 4).alias("avg_dsir_log_weight"),
+            F.round(
+                F.sum("log_weight_fp")
+                / (F.count(F.lit(1)) * F.lit(float(_DSIR_FP_SCALE))),
+                4,
+            ).alias("avg_dsir_log_weight"),
             F.sum(F.when(F.col("_rk") <= _DSIR_TOPK, id_hash40))
             .cast("long")
             .alias("dsir_top_id_hash"),
+        )
+        .toPandas()
+    )
+    sel_pdf = (
+        DS.dsir_select(
+            None,
+            None,
+            "doc_id",
+            "text",
+            k=_DSIR_TOPK,
+            strata=["source"],
+            portable=True,
+            seed=_DSIR_SEL_SEED,
+            fixed_point_scale=_DSIR_FP_SCALE,
+            weight_bits=_DSIR_WBITS,
+            weights=weights,
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dsir_selected"),
+            F.sum(id_hash40).cast("long").alias("dsir_sel_id_hash"),
         )
         .toPandas()
     )
@@ -299,12 +330,13 @@ def measure_selection(spark, sf_dir: str) -> dict:
 WITH {_DUCK_SELECTION_CTES}
 SELECT sgagg.source, sgagg.n_kept_first, sgagg.first_text_hash,
        sgagg.n_kept_boiler, sgagg.boiler_text_hash,
-       dsagg.n_dsir_scored, dsagg.avg_dsir_log_weight, dsagg.dsir_top_id_hash
-FROM sgagg JOIN dsagg USING (source)
+       dsagg.n_dsir_scored, dsagg.avg_dsir_log_weight, dsagg.dsir_top_id_hash,
+       dsselagg.n_dsir_selected, dsselagg.dsir_sel_id_hash
+FROM sgagg JOIN dsagg USING (source) JOIN dsselagg USING (source)
 """
     ).fetchdf()
     duck_s = time.monotonic() - t0
-    got = seg_pdf.merge(ds_pdf, on="source")
+    got = seg_pdf.merge(ds_pdf, on="source").merge(sel_pdf, on="source")
     cols = sorted(got.columns)
     g = got[cols].sort_values(cols).reset_index(drop=True).round(4).astype(str)
     o = odf[cols].sort_values(cols).reset_index(drop=True).round(4).astype(str)
@@ -347,6 +379,10 @@ def main() -> None:
     args = ap.parse_args()
     spark = get_spark(app_name="scale-evidence", cpus=32, shuffle_partitions=32)
     path = os.path.join(_REPO, "SCALE_evidence.json")
+    # the default-sf (sf1) run owns the bare measurement key; a different
+    # scale directory gets a suffixed key so e.g. the sf10 selection audit
+    # accumulates BESIDE the sf1 one instead of replacing it
+    sf_tag = os.path.basename(os.path.normpath(args.sf))
     results = {}
     for what in args.what or ["components", "emb_lsh"]:
         probe_start = _host_probe()
@@ -354,7 +390,7 @@ def main() -> None:
         res["host"] = {"start": probe_start, "end": _host_probe()}
         res["recorded_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         print(json.dumps(res), flush=True)
-        results[what] = res
+        results[what if sf_tag == "sf1" else f"{what}_{sf_tag}"] = res
     if args.no_write:
         return
     # merge (not overwrite): separate invocations each own their measurement
