@@ -83,6 +83,43 @@ def _host_probe(trials: int = 2) -> dict:
     return {"matmul_s": round(min(mm), 3), "alloc200mb_s": round(min(al), 3)}
 
 
+def _make_cpu_reader(spark):
+    """Box-independent measurement: per-stage executor CPU time from the UI
+    REST status store (the driver host's wall clock has shown 10-100x
+    transient swings on identical plans, but CPU consumed by the plan's tasks
+    is a property of the plan + data, not of the memory subsystem's mood).
+    Returns a zero-arg callable yielding {(stageId, attemptId): cpu_ns} over
+    COMPLETED stages, or None when the UI is off. Per-query attribution is
+    the delta of NEW stage ids between two reads — old-stage eviction can't
+    perturb it, and `spark.ui.retainedStages` is raised far past one query's
+    stage count so new stages are never evicted before the post-read.
+
+    Caveat recorded here once: executorCpuTime counts JVM task CPU only —
+    Python/Arrow worker CPU (mapInPandas/pandas_udf stages) is outside it, so
+    UDF-heavy queries under-report. As a round-over-round comparison signal
+    per query this is still valid (same blind spot every round)."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app_id = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+
+    def read():
+        try:
+            with urllib.request.urlopen(url, timeout=10) as resp:
+                stages = json.load(resp)
+            return {
+                (s["stageId"], s["attemptId"]): s.get("executorCpuTime", 0)
+                for s in stages
+            }
+        except Exception:  # noqa: BLE001 - CPU metrics are best-effort
+            return None
+
+    return read
+
+
 # a probe past these bounds means the box, not the code, is being measured
 # (round-7 lesson: 35 of 41 byte-identical queries recorded >=1.3x slower on
 # a degraded host and the artifact history briefly read as a code regression)
@@ -127,7 +164,21 @@ def main() -> None:
     # for recording comparable round-over-round artifacts
     wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_HEALTHY", "0"))
     probe_start = _wait_for_healthy_host(wait_budget)
-    spark = get_spark(app_name="switchback-bench", cpus=CPUS, shuffle_partitions=CPUS)
+    spark = get_spark(
+        app_name="switchback-bench",
+        cpus=CPUS,
+        shuffle_partitions=CPUS,
+        # the UI is normally off; bench turns it on (random port) for the
+        # REST status store that carries per-stage executor CPU time — the
+        # box-independent number recorded next to every wall timing
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+            "spark.ui.retainedStages": "20000",
+            "spark.ui.retainedJobs": "20000",
+        },
+    )
+    cpu_read = _make_cpu_reader(spark)
     queries = entry_mod.queries()
     # optional exclusions (comma-separated) for big-scale-factor runs where a
     # query's cost is quadratic BY DESIGN (e.g. the document-pair queries at
@@ -176,10 +227,14 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    cpu: dict[str, float] = {}
+    cpu_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in names:
         runs[name] = []
+        cpu_runs[name] = []
         for _ in range(n_runs):
+            before = cpu_read() if cpu_read else None
             t0 = time.perf_counter()
             try:
                 _timed_count(spark, queries[name], name, QUERY_TIMEOUT)
@@ -192,8 +247,14 @@ def main() -> None:
                 # barriers, shared-consumer frames); release so later runs
                 # time the real plan and caches don't accumulate
                 release_all()
+            after = cpu_read() if before is not None else None
+            if after is not None:
+                delta_ns = sum(v for k, v in after.items() if k not in before)
+                cpu_runs[name].append(round(delta_ns / 1e9, 3))
         if name not in errors:
             timings[name] = min(runs[name])
+            if len(cpu_runs[name]) == len(runs[name]) and cpu_runs[name]:
+                cpu[name] = min(cpu_runs[name])
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -207,6 +268,15 @@ def main() -> None:
         "n_errors": len(errors),
         "queries": timings,
         "runs": runs,
+        # box-independent twin record: per-query executor CPU seconds (min of
+        # the same best-of-N runs, raw arrays kept). cpu_total is the number
+        # round-over-round comparisons should use on this degraded-prone box;
+        # JVM-side only (Python UDF worker CPU is outside task metrics — the
+        # same blind spot every round, so deltas stay comparable).
+        "cpu": cpu,
+        "cpu_runs": cpu_runs,
+        "cpu_total": round(sum(cpu.values()), 3),
+        "cpu_complete": bool(cpu) and set(cpu) == set(timings),
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     # environment control bracketing the run (see _host_probe); a run whose
@@ -237,6 +307,8 @@ def main() -> None:
         "n_errors": out["n_errors"],
         "sf": out["sf"],
         "degraded": out["degraded"],
+        "cpu_total": out["cpu_total"],
+        "cpu_complete": out["cpu_complete"],
     }
     # the round-6 artifact lost the first ~8 queries' run arrays to the
     # driver's bounded stdout capture: persist the COMPLETE artifact to a

@@ -36,6 +36,7 @@ Policy notes:
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Sequence
 
 import pandas as pd
@@ -112,7 +113,21 @@ def pack_documents(
             df.sparkSession.sparkContext.defaultParallelism,
             -(-n_rows // target_rows_per_bucket),
         )
-    elif not isinstance(n_buckets, int) or n_buckets <= 0:
+        # auto sizing makes bucket/seq a function of the row count, not of
+        # (id, seed) alone — log the derived value so an auto-sized run is
+        # auditable/reproducible (value-hashed contracts pass explicit ints)
+        logging.getLogger(__name__).info(
+            "pack_documents: n_buckets='auto' derived %d buckets "
+            "(%d rows, target %d rows/bucket)",
+            n_buckets,
+            n_rows,
+            target_rows_per_bucket,
+        )
+    elif (
+        isinstance(n_buckets, bool)  # bool IS an int: True would pack 1 bucket
+        or not isinstance(n_buckets, int)
+        or n_buckets <= 0
+    ):
         raise ValueError(
             f'pack_documents: n_buckets must be a positive int or "auto", '
             f"got {n_buckets!r}"

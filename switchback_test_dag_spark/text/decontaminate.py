@@ -104,6 +104,7 @@ def contamination_flagger(
     n: int = 13,
     max_eval_grams: int = 50_000_000,
     eval_grams: DataFrame | None = None,
+    max_eval_gram_bytes: int = 1 << 30,
 ):
     """STATELESS contamination flagging for the ingest path — the streaming
     twin of ``contaminated_ids``.
@@ -121,8 +122,10 @@ def contamination_flagger(
     Returns a function ``df -> df + n_eval_grams int column`` (count of
     DISTINCT contaminated grams, same semantics as ``contaminated_ids``;
     0 for clean/short/NULL docs) applicable to batch or streaming frames.
-    Raises if the eval gram set exceeds ``max_eval_grams`` — past that,
-    flag offline with the batch join instead.
+    Raises if the eval gram set exceeds ``max_eval_grams`` grams OR
+    ``max_eval_gram_bytes`` total string bytes (a count cap alone under-
+    protects the driver: a few million pathologically long grams can be
+    gigabytes) — past either, flag offline with the batch join instead.
 
     The cap-count and the collect each evaluate the gram frame once; a
     caller building flaggers for SEVERAL streams from one eval set should
@@ -132,18 +135,30 @@ def contamination_flagger(
     not twice per flagger."""
     from pyspark.sql.functions import pandas_udf
 
+    if eval_df is None and eval_grams is None:
+        raise ValueError("contamination_flagger: pass eval_df or eval_grams")
     ev = (
         eval_grams.select("gram")
         if eval_grams is not None
         else eval_ngrams(eval_df, text_col, n)
     )
-    # count BEFORE collecting: the cap must protect the driver, not report
-    # the OOM it failed to prevent
-    n_grams = ev.count()
+    # measure BEFORE collecting: the caps must protect the driver, not
+    # report the OOM they failed to prevent — one agg job carries both the
+    # count and the byte size
+    meas = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.octet_length("gram")), F.lit(0)).alias("nbytes"),
+    ).collect()[0]
+    n_grams, n_bytes = meas["n"], meas["nbytes"]
     if n_grams > max_eval_grams:
         raise ValueError(
             f"eval gram set ({n_grams} grams) exceeds max_eval_grams="
             f"{max_eval_grams}; use the batch contaminated_ids join instead"
+        )
+    if n_bytes > max_eval_gram_bytes:
+        raise ValueError(
+            f"eval gram set ({n_bytes} bytes) exceeds max_eval_gram_bytes="
+            f"{max_eval_gram_bytes}; use the batch contaminated_ids join instead"
         )
     grams = [r["gram"] for r in ev.collect()]
     bc = spark.sparkContext.broadcast(frozenset(grams))

@@ -156,6 +156,7 @@ def boilerplate_scrubber(
     segs_col: str,
     min_df: int,
     max_boiler_segments: int = 10_000_000,
+    max_boiler_bytes: int = 1 << 30,
 ):
     """STATELESS boilerplate removal for the ingest path — the streaming twin
     of :func:`drop_boilerplate` (same pattern as
@@ -174,10 +175,12 @@ def boilerplate_scrubber(
     Returns a function ``df -> df`` with ``segs_col`` replaced by the
     scrubbed array (NULL arrays pass through as NULL; other columns
     untouched), applicable to batch or streaming frames. Raises if the
-    boilerplate set exceeds ``max_boiler_segments`` — counted BEFORE
-    collecting, so the cap protects the driver rather than reporting the
-    OOM it failed to prevent; past that, scrub offline with
-    :func:`drop_boilerplate` instead."""
+    boilerplate set exceeds ``max_boiler_segments`` segments OR
+    ``max_boiler_bytes`` total string bytes (a count cap alone under-
+    protects the driver: 10M kilobyte-long segments are 10 GB) — both
+    measured in one agg job BEFORE collecting, so the caps protect the
+    driver rather than reporting the OOM they failed to prevent; past
+    either, scrub offline with :func:`drop_boilerplate` instead."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, StringType
 
@@ -186,11 +189,20 @@ def boilerplate_scrubber(
         .filter(F.col("df") >= min_df)
         .select("segment")
     )
-    n = boiler.count()
+    meas = boiler.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.octet_length("segment")), F.lit(0)).alias("nbytes"),
+    ).collect()[0]
+    n, n_bytes = meas["n"], meas["nbytes"]
     if n > max_boiler_segments:
         raise ValueError(
             f"boilerplate set ({n} segments) exceeds max_boiler_segments="
             f"{max_boiler_segments}; use the batch drop_boilerplate join instead"
+        )
+    if n_bytes > max_boiler_bytes:
+        raise ValueError(
+            f"boilerplate set ({n_bytes} bytes) exceeds max_boiler_bytes="
+            f"{max_boiler_bytes}; use the batch drop_boilerplate join instead"
         )
     bc = spark.sparkContext.broadcast(
         frozenset(r["segment"] for r in boiler.collect())

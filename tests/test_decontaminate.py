@@ -259,3 +259,11 @@ def test_flagger_gram_cap_raises_before_collect(spark):
 
     with _pytest.raises(ValueError, match="max_eval_grams"):
         contamination_flagger(spark, eval_df, "text", n=4, max_eval_grams=10)
+    # byte cap: a small COUNT of huge grams must also trip before collect
+    with _pytest.raises(ValueError, match="max_eval_gram_bytes"):
+        contamination_flagger(
+            spark, eval_df, "text", n=4, max_eval_gram_bytes=100
+        )
+    # passing neither side is a clear validation error, not an AttributeError
+    with _pytest.raises(ValueError, match="eval_df or eval_grams"):
+        contamination_flagger(spark, None, "text", n=4)

@@ -181,6 +181,9 @@ def test_auto_bucket_sizing_bounds_occupancy(spark):
         pack_documents(small, "doc_id", "toks", 512, n_buckets="sixty-four")
     with pytest.raises(ValueError, match="n_buckets"):
         pack_documents(small, "doc_id", "toks", 512, n_buckets=0)
+    # bool IS an int to isinstance — True must not slip through as 1 bucket
+    with pytest.raises(ValueError, match="n_buckets"):
+        pack_documents(small, "doc_id", "toks", 512, n_buckets=True)
 
 
 def test_repetition_stats_known_values(spark):
