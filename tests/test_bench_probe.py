@@ -66,3 +66,24 @@ def test_wait_for_healthy_host_budget_expires(monkeypatch):
     # 30 + 30 + 5 second steps, then gives up still-degraded
     assert slept == [30.0, 30.0, 5.0]
     assert b._probe_degraded(probe)
+
+
+def test_cpu_reader_none_when_ui_off_and_delta_semantics():
+    """_make_cpu_reader returns None without a UI URL (bench then records no
+    cpu fields rather than crashing), and the per-query attribution is the
+    sum over NEW stage ids only — old-stage eviction between reads must not
+    perturb it."""
+    b = _bench()
+
+    class _SC:
+        uiWebUrl = None
+
+    class _Ctx:
+        sparkContext = _SC()
+
+    assert b._make_cpu_reader(_Ctx()) is None
+    # delta semantics (the logic bench's main loop applies to two reads)
+    before = {(1, 0): 100, (2, 0): 50}
+    after = {(2, 0): 50, (3, 0): 700, (4, 1): 300}  # stage 1 evicted; 3,4 new
+    delta = sum(v for k, v in after.items() if k not in before)
+    assert delta == 1000
