@@ -1656,7 +1656,12 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers (fingerprint semi-join, Jaccard pairs, decontamination,
     # survivor stats, weighted sample) would otherwise each replay the
     # segment-scrub subtree.
-    seg_q = filtered.select("doc_id", "source", "qs", F.expr(segs).alias("segs"))
+    # seg_q is pinned because drop_boilerplate traverses its input three
+    # times (df table, occurrence explode, reassembly base) and each replay
+    # would recompute the quality score + segment transform over the corpus
+    seg_q = pin(
+        filtered.select("doc_id", "source", "qs", F.expr(segs).alias("segs"))
+    )
     scrubbed = pin(
         LN.drop_boilerplate(seg_q, "doc_id", "segs", _SEG_BOILER_DF)
         .withColumn("text", F.concat_ws(" ", "segs"))
@@ -1674,7 +1679,10 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = DC.contaminated_ids(kept2, eval_df, "doc_id", "text", n=4).select(
         "doc_id", F.lit(True).alias("_contam")
     )
-    flagged = kept2.join(bad, "doc_id", "left")
+    # flagged is pinned: the survivor stats and the weighted sample each
+    # evaluate it, and every evaluation would replay the most expensive
+    # upstream stages (Jaccard pair generation + decontamination join)
+    flagged = pin(kept2.join(bad, "doc_id", "left"))
     clean = F.col("_contam").isNull()
     stats = flagged.groupBy("source").agg(
         F.sum(F.when(clean, 1).otherwise(0)).cast("long").alias("n_kept"),
@@ -1704,8 +1712,10 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(id_hash40).cast("long").alias("wsample_id_hash"),
     )
     # segment-dedup contract (text/lines) over the RAW corpus (standalone
-    # value contract for BOTH policies, beside the chained pipeline above)
-    seg_base = docs.select("doc_id", "source", F.expr(segs).alias("segs"))
+    # value contract for BOTH policies, beside the chained pipeline above);
+    # pinned — the occurrence total and the two policies' explode/reassembly
+    # passes traverse it six times
+    seg_base = pin(docs.select("doc_id", "source", F.expr(segs).alias("segs")))
 
     def _seg_agg(deduped: DataFrame, n_name: str, h_name: str) -> DataFrame:
         t = F.concat_ws("|", F.col("segs"))
