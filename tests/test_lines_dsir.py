@@ -403,6 +403,49 @@ SELECT source, doc_id FROM ranked WHERE rk <= 3
     assert got == want
 
 
+def test_dsir_scorer_matches_batch_and_streams(spark, tmp_path):
+    """The stateless streaming scorer (fitted B-row model inlined as a
+    literal map, pure JVM fold) must equal dsir_log_weights on the same
+    corpus — float and fixed-point forms — and score a STREAM of the same
+    documents identically, with no Python stage in the plan."""
+    from switchback_test_dag_spark.streaming.windows import run_stream_to_memory
+
+    docs, target = _dsir_fixture(spark)
+    for fp in (None, 1_000_000):
+        col = "log_weight" if fp is None else "log_weight_fp"
+        ratio = DS.dsir_ratio_table(
+            docs, target, "text", n_buckets=64, portable=True,
+            fixed_point_scale=fp,
+        )
+        score = DS.dsir_scorer(ratio, "text", n_buckets=64, portable=True)
+        got = {r["doc_id"]: r[col] for r in score(docs).collect()}
+        want = {
+            r["doc_id"]: r[col]
+            for r in DS.dsir_log_weights(
+                docs, target, "doc_id", "text", n_buckets=64, portable=True,
+                fixed_point_scale=fp,
+            ).collect()
+        }
+        # batch drops unscored (NULL/empty) docs; the scorer emits 0 for them
+        assert {k: v for k, v in got.items() if k in want} == pytest.approx(want)
+        assert got[4] == 0 and got[5] == 0
+        plan = score(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "Exchange" not in plan
+    # streaming twin: the same scorer over a parquet stream
+    src = tmp_path / "dsir_stream"
+    src.mkdir()
+    docs.coalesce(1).write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema(docs.schema).parquet(str(src) + "/*")
+    out = score(stream).select("doc_id", "log_weight_fp")
+    run_stream_to_memory(out, "dsir_score_test", str(tmp_path), output_mode="append")
+    sgot = {r["doc_id"]: r["log_weight_fp"]
+            for r in spark.table("dsir_score_test").collect()}
+    assert sgot == got
+    # the collect is bounded by max_buckets
+    with pytest.raises(ValueError, match="max_buckets"):
+        DS.dsir_scorer(ratio, "text", n_buckets=64, max_buckets=3)
+
+
 def test_ccnet_order_scrub_before_dedup_is_load_bearing(spark):
     """The composed pipeline's stage order pin (CCNet, Wenzek et al. 2020):
     two documents that differ ONLY in boilerplate dedup together when
