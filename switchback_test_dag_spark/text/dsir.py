@@ -338,31 +338,35 @@ def dsir_select(
                 "docs frame to join them from"
             )
         weights = weights.join(docs.select(id_col, *missing), id_col)
-    # per-stratum max: a metadata-sized agg broadcast back (weights are
-    # relative within a stratum; subtracting the max bounds exp in (0, 1]).
-    # The no-strata case joins on a constant column — still an equi
-    # BroadcastHashJoin, never the scalar-crossJoin BroadcastNestedLoopJoin
-    # shape the repo's plan pins forbid.
-    key = strata or ["_dsir_one"]
-    frame = (
-        weights if strata else weights.withColumn("_dsir_one", F.lit(1))
-    )
-    mx = frame.groupBy(*key).agg(F.max("log_weight_fp").alias("_dsir_mx"))
+    # per-stratum max: metadata-sized (weights are relative within a
+    # stratum; subtracting the max bounds exp in (0, 1]). With strata it is
+    # an agg broadcast back on real key columns (BroadcastHashJoin). With NO
+    # strata the max is a single scalar — a constant-column equi join would
+    # constant-fold into the scalar-attach BroadcastNestedLoopJoin the
+    # repo's plan pins forbid, so it is fetched driver-side instead (one
+    # 1-row job, the same bounded-metadata exception as the flagger caps)
+    # and subtracted as a literal. Plan pinned in tests/test_lines_dsir.py.
+    if strata:
+        mx = weights.groupBy(*strata).agg(
+            F.max("log_weight_fp").alias("_dsir_mx")
+        )
+        shifted = weights.join(broadcast(mx), strata)
+        mx_col = F.col("_dsir_mx")
+    else:
+        row = weights.agg(F.max("log_weight_fp").alias("m")).collect()[0]
+        shifted = weights
+        mx_col = F.lit(row["m"] if row["m"] is not None else 0)
     w = (
         F.round(
             F.exp(
-                (F.col("log_weight_fp") - F.col("_dsir_mx"))
+                (F.col("log_weight_fp") - mx_col)
                 / F.lit(float(fixed_point_scale))
             )
             * F.lit(1 << weight_bits)
         ).cast("long")
         + 1
     )
-    eligible = (
-        frame.join(broadcast(mx), key)
-        .withColumn("weight", w)
-        .drop("_dsir_mx", "_dsir_one")
-    )
+    eligible = shifted.withColumn("weight", w).drop("_dsir_mx")
     from switchback_test_dag_spark.plans.sampling import weighted_priority_sample
 
     return weighted_priority_sample(

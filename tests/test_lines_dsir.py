@@ -340,6 +340,39 @@ def test_dsir_select_semantics_and_determinism(spark):
     )
 
 
+def test_dsir_select_plans_have_no_nested_loop_join(spark):
+    """Both max-shift paths must avoid the scalar-attach
+    BroadcastNestedLoopJoin: strata → BroadcastHashJoin on the real key
+    columns; no strata → the single scalar is fetched driver-side and
+    subtracted as a literal (a constant-column equi join would constant-fold
+    into BNLJ)."""
+    docs, target = _select_fixture(spark)
+    for strata in (["source"], []):
+        plan = (
+            DS.dsir_select(
+                docs, target, "doc_id", "text", k=3, strata=strata,
+                n_buckets=64, portable=True, seed=29,
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan, strata
+        assert "CartesianProduct" not in plan, strata
+        assert "EvalPython" not in plan, strata
+
+
+def test_dsir_select_empty_inputs(spark):
+    """ANSI hardening: empty corpus selects nothing; empty target still
+    selects (every bucket gets the smoothing floor) — no ln/div errors."""
+    target = spark.createDataFrame([("spark table",)], "text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert DS.dsir_select(empty, target, "doc_id", "text", k=3, n_buckets=64).count() == 0
+    docs, _ = _select_fixture(spark)
+    etgt = spark.createDataFrame([], "text string")
+    assert DS.dsir_select(docs, etgt, "doc_id", "text", k=3, n_buckets=64).count() == 3
+
+
 def test_dsir_select_replays_in_duckdb(spark):
     """The full selection contract — fixed-point weights, the
     round(exp(·)·2^20)+1 quantization, and the sampler's integer priority —
