@@ -301,3 +301,37 @@ def test_cleaning_pipeline_plan_is_jvm_and_broadcasts_eval(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# Queries whose plan CONTAINS a BroadcastNestedLoopJoin by design: each is a
+# bounded scalar attach — crossJoin(broadcast(X)) where X is a 1-row (or
+# metadata-bounded) aggregate — which is linear in the probe side. The
+# forbidden shape is an UNBOUNDED nested-loop (both sides data-sized); any
+# query not on this list growing a BNLJ is a defect (round 9 caught exactly
+# that in dsir_select's constant-key max attach, since fixed).
+_SCALAR_ATTACH_BNLJ = {
+    "emb_near_dup_pairs",   # query vector / threshold scalar (vectors/similarity.py)
+    "emb_cosine_topk",      # broadcast query-vector frame
+    "emb_lsh_topk",         # broadcast query-vector frame
+    "emb_ivf_topk",         # broadcast query-vector + probed-centroid set
+    "perm_dist_thresholds", # global observed-stat scalar (queries_inference.py:123)
+    "power_ci_sim",         # global power scalar attach (queries_inference.py:410)
+    "crse_beta_se",         # no-group global moments attach (stats/crse.py:132,149)
+    "events_scalar_suite",  # global min-max bounds attach (operators/relational.py:324)
+    "keep_drop_flag_clean", # 16MB-capped combo-string scalar (documented exhibit)
+}
+
+
+def test_registry_wide_no_unbounded_nested_loop_joins(spark, sf_dir):
+    """Every registry query's executed plan: CartesianProduct never appears,
+    and BroadcastNestedLoopJoin appears only in the allowlisted bounded
+    scalar-attach plans above — a new unintended nested loop anywhere in the
+    50-query surface fails here, not in a 100 TB run."""
+    unexpected = {}
+    for name in q.QUERIES:
+        plan = _plan(spark, name, sf_dir)
+        if "CartesianProduct" in plan:
+            unexpected[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _SCALAR_ATTACH_BNLJ:
+            unexpected[name] = "BroadcastNestedLoopJoin"
+    assert not unexpected, unexpected
