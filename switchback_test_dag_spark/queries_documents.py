@@ -1638,52 +1638,35 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       oracle's dssel window."""
     from switchback_test_dag_spark.caching import pin
     from switchback_test_dag_spark.text import lines as LN
+    from switchback_test_dag_spark.text.pipeline import clean_corpus
 
     docs = load_table(spark, sf_dir, "documents")
-    qs = TA.quality_score("text")
-    filtered = docs.withColumn("qs", qs).filter(F.col("qs") >= 0.5)
     toks = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
     segs = (
         f"CASE WHEN size({toks}) = 0 THEN CAST(array() AS ARRAY<STRING>) ELSE "
         f"transform(sequence(1, size({toks}), {_SEG_CHUNK}), "
         f"i -> concat_ws(' ', slice({toks}, i, {_SEG_CHUNK}))) END"
     )
-    # CCNet order (Wenzek et al. 2020): segment-level boilerplate removal
-    # runs BETWEEN quality filtering and document-level dedup — scrubbing
-    # changes fingerprints, so the order is semantically load-bearing
-    # (operator-level order pin: tests/test_lines_dsir.py). Documents scrubbed
-    # to nothing are dropped. The scrubbed frame is pinned: six downstream
-    # consumers (fingerprint semi-join, Jaccard pairs, decontamination,
-    # survivor stats, weighted sample) would otherwise each replay the
-    # segment-scrub subtree.
-    # seg_q is pinned because drop_boilerplate traverses its input three
-    # times (df table, occurrence explode, reassembly base) and each replay
-    # would recompute the quality score + segment transform over the corpus
-    seg_q = pin(
-        filtered.select("doc_id", "source", "qs", F.expr(segs).alias("segs"))
-    )
-    scrubbed = pin(
-        LN.drop_boilerplate(seg_q, "doc_id", "segs", _SEG_BOILER_DF)
-        .withColumn("text", F.concat_ws(" ", "segs"))
-        .drop("segs")
-        .filter(F.col("text") != "")
-    )
-    kept1 = TD.exact_dedup(scrubbed, "doc_id", "text")
-    near = (
-        TD.ngram_jaccard_pairs(kept1, "doc_id", "text", shingle_n=3, threshold=0.85)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    kept2 = kept1.join(near, "doc_id", "left_anti")
     eval_df = docs.filter(F.col("doc_id") % 13 == 0)
-    bad = DC.contaminated_ids(kept2, eval_df, "doc_id", "text", n=4).select(
-        "doc_id", F.lit(True).alias("_contam")
+    # the chain is the PUBLIC API (text/pipeline.clean_corpus) — CCNet order
+    # (Wenzek et al. 2020: scrub between quality filter and document-level
+    # dedup; order pin in tests/test_lines_dsir.py), n=4 grams for the tiny
+    # fixture vocabulary; the frame arrives pinned (its two consumers below
+    # would otherwise each replay the Jaccard/decon subtrees)
+    flagged = clean_corpus(
+        docs.select("doc_id", "source", "text"),
+        "doc_id",
+        "text",
+        segmenter=F.expr(segs),
+        quality_min=0.5,
+        boiler_min_df=_SEG_BOILER_DF,
+        shingle_n=3,
+        jaccard_threshold=0.85,
+        eval_df=eval_df,
+        decon_n=4,
+        quality_col="qs",
     )
-    # flagged is pinned: the survivor stats and the weighted sample each
-    # evaluate it, and every evaluation would replay the most expensive
-    # upstream stages (Jaccard pair generation + decontamination join)
-    flagged = pin(kept2.join(bad, "doc_id", "left"))
-    clean = F.col("_contam").isNull()
+    clean = ~F.col("contaminated")
     stats = flagged.groupBy("source").agg(
         F.sum(F.when(clean, 1).otherwise(0)).cast("long").alias("n_kept"),
         F.round(F.avg(F.when(clean, F.col("qs"))), 4).alias("avg_quality"),

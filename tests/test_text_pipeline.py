@@ -1,0 +1,89 @@
+"""text/pipeline.clean_corpus — the public CCNet-order cleaning chain
+(whose at-scale values are oracled via corpus_clean_stats): end-to-end
+semantics on a hand-computed fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from switchback_test_dag_spark.text.pipeline import clean_corpus
+
+# fixture design (segments = newline-split lines):
+# - docs 1..4 share the exact boilerplate line "cookie banner ok"
+#   (df=4 >= min_df 3) at different positions
+# - docs 1 and 2 are IDENTICAL once the banner is scrubbed -> exact dedup
+#   keeps min id 1 (the CCNet-order effect: raw texts differ, scrubbed equal)
+# - doc 4 is ONLY boilerplate -> scrubbed empty -> dropped
+# - doc 5 is low quality (quality_score 0.004) -> dropped by the gate
+# - doc 6 contains the eval 2-gram "secret eval" -> contaminated
+ROWS = [
+    (1, "cookie banner ok\nalpha beta gamma delta"),
+    (2, "alpha beta gamma delta\ncookie banner ok"),
+    (3, "cookie banner ok\nwholly different words here"),
+    (4, "cookie banner ok"),
+    (5, "@@ ## !!"),
+    (6, "the secret eval phrase appears right here today"),
+]
+
+
+def _segmenter():
+    return F.split(F.col("text"), "\n")
+
+
+def _fix(spark):
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    eval_df = spark.createDataFrame([("secret eval",)], "text string")
+    return docs, eval_df
+
+
+def test_clean_corpus_end_to_end(spark):
+    docs, eval_df = _fix(spark)
+    out = clean_corpus(
+        docs,
+        "doc_id",
+        "text",
+        segmenter=_segmenter(),
+        quality_min=0.5,
+        boiler_min_df=3,
+        rejoin_sep="\n",
+        shingle_n=3,
+        jaccard_threshold=0.9,
+        eval_df=eval_df,
+        decon_n=2,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 2 deduped into 1 (scrubbed-equal), 4 scrubbed empty, 5 low quality
+    assert sorted(rows) == [1, 3, 6]
+    # scrubbed text: boilerplate line gone everywhere
+    assert rows[1]["text"] == "alpha beta gamma delta"
+    assert rows[3]["text"] == "wholly different words here"
+    assert rows[6]["contaminated"] is True
+    assert rows[1]["contaminated"] is False and rows[3]["contaminated"] is False
+    # quality score of the RAW text rides along
+    assert set(out.columns) == {"doc_id", "text", "quality", "contaminated"}
+    # eval_df=None path: same survivors, contaminated all False
+    out2 = clean_corpus(
+        docs,
+        "doc_id",
+        "text",
+        segmenter=_segmenter(),
+        quality_min=0.5,
+        boiler_min_df=3,
+        rejoin_sep="\n",
+        jaccard_threshold=0.9,
+    )
+    rows2 = {r["doc_id"]: r["contaminated"] for r in out2.collect()}
+    assert sorted(rows2) == [1, 3, 6] and not any(rows2.values())
+
+
+def test_clean_corpus_partition_invariant(spark):
+    docs, eval_df = _fix(spark)
+    kw = dict(
+        segmenter=_segmenter(), quality_min=0.5, boiler_min_df=3,
+        rejoin_sep="\n", jaccard_threshold=0.9, eval_df=eval_df, decon_n=2,
+    )
+    a = {(r["doc_id"], r["text"], r["contaminated"])
+         for r in clean_corpus(docs, "doc_id", "text", **kw).collect()}
+    b = {(r["doc_id"], r["text"], r["contaminated"])
+         for r in clean_corpus(docs.repartition(7), "doc_id", "text", **kw).collect()}
+    assert a == b
