@@ -8,8 +8,10 @@ deduplication with cluster resolution (dedup.py), train/eval benchmark
 decontamination (decontaminate.py), duplicated-span detection — the
 fixed-L suffix-dedup approximation (spans.py), segment-level keep-first
 dedup and boilerplate removal — the CCNet line-dedup family (lines.py),
-and DSIR hashed-n-gram importance weighting for targeted corpus selection
-(dsir.py). Everything is native Spark SQL expressions except the documented
-Arrow-batched islands (embedding matmuls, the streaming contamination
-flagger).
+DSIR hashed-n-gram importance weighting AND resampling for targeted corpus
+selection with a stateless pure-JVM streaming scorer (dsir.py), and the
+composed CCNet-order cleaning chain as a public API
+(pipeline.clean_corpus). Everything is native Spark SQL expressions except
+the documented Arrow-batched islands (embedding matmuls, the streaming
+contamination flagger / boilerplate scrubber).
 """
