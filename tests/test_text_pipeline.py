@@ -87,3 +87,82 @@ def test_clean_corpus_partition_invariant(spark):
     b = {(r["doc_id"], r["text"], r["contaminated"])
          for r in clean_corpus(docs.repartition(7), "doc_id", "text", **kw).collect()}
     assert a == b
+
+
+def test_pretraining_recipe_clean_select_pack(spark):
+    """Integration: the end-to-end pretraining-data recipe the extension
+    operators exist for — clean_corpus (CCNet chain) → dsir_select
+    (target-conditioned subset, ∝ importance weight) → pack_documents
+    (fixed-budget training sequences) — composes deterministically, with
+    every stage's membership a pure function of (id, seed)."""
+    from switchback_test_dag_spark.plans.packing import pack_documents
+    from switchback_test_dag_spark.text.dsir import dsir_select
+
+    rows = []
+    for i in range(1, 61):
+        src = "a" if i % 2 else "b"
+        body = (
+            "spark shuffle partition broadcast join plan"
+            if i % 3 == 0
+            else "lorem ipsum dolor sit amet consectetur"
+        )
+        rows.append((i, src, f"nav bar home\n{body} {i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    eval_df = spark.createDataFrame([("secret eval",)], "text string")
+    target = spark.createDataFrame([("spark broadcast join plan",)], "text string")
+
+    cleaned = clean_corpus(
+        docs,
+        "doc_id",
+        "text",
+        segmenter=_segmenter(),
+        quality_min=0.0,
+        boiler_min_df=30,  # "nav bar home" df=60 -> scrubbed everywhere
+        rejoin_sep="\n",
+        jaccard_threshold=0.95,
+        eval_df=eval_df,
+        decon_n=2,
+    )
+    survivors = cleaned.filter(~F.col("contaminated"))
+    srows = survivors.collect()
+    assert all("nav bar home" not in r["text"] for r in srows)
+
+    sel = dsir_select(
+        survivors, target, "doc_id", "text",
+        k=5, strata=["source"], n_buckets=256, portable=True, seed=7,
+    )
+    sel_rows = sel.collect()
+    by_src: dict = {}
+    for r in sel_rows:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert sorted(len(v) for v in by_src.values()) == [5, 5]
+    # the selected set is target-like (i % 3 == 0 bodies dominate the race)
+    assert sum(1 for r in sel_rows if r["doc_id"] % 3 == 0) == len(sel_rows)
+
+    chosen = sel.select("doc_id", "source").join(
+        survivors.select(
+            "doc_id",
+            F.size(F.split("text", r"\s+")).cast("long").alias("toks"),
+        ),
+        "doc_id",
+    )
+    packed = pack_documents(
+        chosen, "doc_id", "toks", budget=16, strata=["source"],
+        n_buckets=2, seed=11, portable=True,
+    ).localCheckpoint()
+    # every selected doc lands in exactly one sequence; next-fit never
+    # overflows the budget with a multi-doc sequence
+    assert packed.count() == 10
+    assert packed.select("doc_id").distinct().count() == 10
+    fills = packed.groupBy("source", "bucket", "seq").agg(
+        F.sum("toks").alias("fill"), F.count(F.lit(1)).alias("nd")
+    )
+    assert fills.filter((F.col("fill") > 16) & (F.col("nd") > 1)).count() == 0
+    # the whole recipe is partitioning-invariant end-to-end
+    sel2 = dsir_select(
+        survivors.repartition(13), target, "doc_id", "text",
+        k=5, strata=["source"], n_buckets=256, portable=True, seed=7,
+    )
+    assert sorted(r["doc_id"] for r in sel2.collect()) == sorted(
+        r["doc_id"] for r in sel_rows
+    )
