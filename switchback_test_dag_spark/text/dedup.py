@@ -115,6 +115,41 @@ def minhash_signature(shingle_col: str, k: int = 64) -> Column:
     )
 
 
+def minhash_signature_oph(shingle_col: str, k: int = 64, seed: int = 0) -> Column:
+    """One-permutation MinHash signature (Li et al. 2012, "One Permutation
+    Hashing") with rotation densification (Shrivastava & Li 2014; public
+    methods): ONE xxhash64 per shingle instead of k — the k-independent CPU
+    form for long documents. Each shingle's single hash is binned by
+    ``pmod(h, k)``; signature[j] is the minimum hash in bin j, and an EMPTY
+    bin borrows the next non-empty bin's value cyclically (densification
+    keeps the collision probability equal to the Jaccard similarity, so the
+    banding math is unchanged). Per-document cost drops from O(|sh|·k) hash
+    mixes to O(|sh| log |sh| + k²) with k² a fixed 64²-op densification
+    scan — at k=64 and a few hundred shingles, ~10× less mixing work.
+
+    Everything is bound through single-element ``transform(array(e), x ->
+    …)`` wrappers so the sorted pair array and the bin map are each
+    evaluated ONCE per row (CollapseProject would otherwise inline the sort
+    into every reference). Empty shingle arrays produce all-NULL signatures,
+    same as :func:`minhash_signature` (``try_element_at`` everywhere — ANSI
+    mode). Candidate semantics are interchangeable with the classic
+    signature because :func:`minhash_lsh_pairs` verifies every candidate
+    with exact Jaccard — only candidate RECALL depends on the scheme
+    (differential-tested in ``tests/test_text_dedup.py``)."""
+    hs = f"transform({shingle_col}, h -> xxhash64(h, {seed}))"
+    pairs = f"array_sort(transform({hs}, h -> struct(pmod(h, {k}) AS bin, h AS v)))"
+    return F.expr(
+        f"""try_element_at(transform(array({pairs}), p ->
+      try_element_at(transform(array(map_from_entries(
+            filter(p, (x, i) -> i = 0 OR x.bin != element_at(p, i).bin))), m ->
+        transform(sequence(0, {k - 1}), j ->
+          coalesce(try_element_at(m, CAST(j AS BIGINT)),
+                   try_element_at(filter(transform(sequence(1, {k}),
+                       d -> try_element_at(m, CAST(pmod(j + d, {k}) AS BIGINT))),
+                     x -> x IS NOT NULL), 1)))), 1)), 1)"""
+    )
+
+
 def hashed_shingles(shingle_col: str) -> Column:
     """Shingle strings → distinct ``array<bigint>`` ids (one xxhash64 per
     shingle). Set semantics survive hashing (collision probability ~|sh|²/2⁶⁴),
@@ -151,6 +186,7 @@ def minhash_lsh_pairs(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.85,
+    scheme: str = "classic",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact Jaccard ≥ threshold) via
     MinHash-LSH candidate generation + exact verification.
@@ -159,7 +195,16 @@ def minhash_lsh_pairs(
     1−(1−s^r)^bands (defaults: ≥1−4e-8 at s=0.9). The candidate self-join is
     keyed on uniform band hashes — no skew; verification joins shingle sets
     back only for candidates (LSH output ≪ docs²).
+
+    ``scheme="oph"`` swaps the k-permutation signature for one-permutation
+    hashing with densification (:func:`minhash_signature_oph`) — one hash
+    per shingle instead of k, the CPU-bound scale path for long documents.
+    Final pair semantics are identical either way (every candidate is
+    verified with exact Jaccard); only candidate recall depends on the
+    scheme, and both schemes' banding detection math is the same.
     """
+    if scheme not in ("classic", "oph"):
+        raise ValueError(f"minhash_lsh_pairs: unknown scheme {scheme!r}")
     rows = k // bands
     # persist() is load-bearing, not a cache nicety: without the materialization
     # boundary CollapseProject inlines the O(tokens) shingle expression into the
@@ -169,9 +214,8 @@ def minhash_lsh_pairs(
     # CPU-heavy shingling/hashing onto as few cores; spread rows first.
     par = df.sparkSession.sparkContext.defaultParallelism
     shingled = _persist(_shingle_hash_frame(df, id_col, text_col, shingle_n, par))
-    sig = shingled.select(
-        "doc", "sh", minhash_signature("sh", k).alias("sig")
-    )
+    make_sig = minhash_signature if scheme == "classic" else minhash_signature_oph
+    sig = shingled.select("doc", "sh", make_sig("sh", k).alias("sig"))
     banded = sig.select(
         "doc", F.explode(lsh_band_keys("sig", bands, rows)).alias("bk")
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))

@@ -39,6 +39,39 @@ def test_minhash_lsh_equals_exact(docs):
     assert lsh == exact
 
 
+def test_minhash_oph_scheme_equals_classic_on_fixture(docs, spark):
+    """scheme="oph" (one-permutation hashing + rotation densification — the
+    k-independent-CPU signature for long documents; measured 3.2x executor
+    CPU vs classic on 3000-token docs, SCALE.md) must recover the same
+    verified pair set at the fixture's similarity margins, stay
+    partitioning-invariant, and validate its scheme name. Short/NULL docs
+    produce all-NULL signatures without ANSI errors, same as classic."""
+    import pytest as _pytest
+
+    classic = _pair_set(
+        TD.minhash_lsh_pairs(docs, "doc_id", "text", k=64, bands=16, threshold=0.85)
+    )
+    oph = _pair_set(
+        TD.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=64, bands=16, threshold=0.85, scheme="oph"
+        )
+    )
+    assert classic and oph == classic
+    oph2 = _pair_set(
+        TD.minhash_lsh_pairs(
+            docs.repartition(7), "doc_id", "text", k=64, bands=16,
+            threshold=0.85, scheme="oph",
+        )
+    )
+    assert oph2 == oph
+    tiny = spark.createDataFrame(
+        [(1, "a b"), (2, None)], "doc_id long, text string"
+    )
+    assert TD.minhash_lsh_pairs(tiny, "doc_id", "text", scheme="oph").count() == 0
+    with _pytest.raises(ValueError, match="scheme"):
+        TD.minhash_lsh_pairs(docs, "doc_id", "text", scheme="turbo")
+
+
 def test_prefix_filter_is_exact(docs):
     """AllPairs prefix filtering must be a pure optimization: identical pair
     set and jaccard values to the unfiltered inverted-index join, on the
