@@ -97,7 +97,13 @@ def _make_cpu_reader(spark):
     Caveat recorded here once: executorCpuTime counts JVM task CPU only —
     Python/Arrow worker CPU (mapInPandas/pandas_udf stages) is outside it, so
     UDF-heavy queries under-report. As a round-over-round comparison signal
-    per query this is still valid (same blind spot every round)."""
+    per query this is still valid (same blind spot every round).
+
+    Second caveat: the AppStatusStore is updated ASYNCHRONOUSLY from the
+    event bus, so a stage completing exactly at a query boundary can be
+    absent from an immediate read and its CPU would land in the NEXT
+    query's delta — snapshots must go through _stable_cpu_read (below),
+    which polls until two consecutive reads agree on the stage-id set."""
     import urllib.request
 
     ui = spark.sparkContext.uiWebUrl
@@ -118,6 +124,27 @@ def _make_cpu_reader(spark):
             return None
 
     return read
+
+
+def _stable_cpu_read(cpu_read, tries: int = 5, sleep_s: float = 0.15):
+    """Take a status-store snapshot only once the completed-stage-id set has
+    stopped moving (two consecutive reads agree), bounding the event-bus lag
+    window described in _make_cpu_reader. The sleeps sit OUTSIDE the timed
+    span, so per-query wall timings are unaffected; a read that never
+    stabilizes within ``tries`` returns the last view (best-effort, same as
+    a transient REST failure)."""
+    cur = cpu_read()
+    for _ in range(tries):
+        if cur is None:
+            return None
+        time.sleep(sleep_s)
+        nxt = cpu_read()
+        if nxt is None:
+            return cur
+        if set(nxt) == set(cur):
+            return nxt
+        cur = nxt
+    return cur
 
 
 # a probe past these bounds means the box, not the code, is being measured
@@ -234,7 +261,7 @@ def main() -> None:
         runs[name] = []
         cpu_runs[name] = []
         for _ in range(n_runs):
-            before = cpu_read() if cpu_read else None
+            before = _stable_cpu_read(cpu_read) if cpu_read else None
             t0 = time.perf_counter()
             try:
                 _timed_count(spark, queries[name], name, QUERY_TIMEOUT)
@@ -247,7 +274,7 @@ def main() -> None:
                 # barriers, shared-consumer frames); release so later runs
                 # time the real plan and caches don't accumulate
                 release_all()
-            after = cpu_read() if before is not None else None
+            after = _stable_cpu_read(cpu_read) if before is not None else None
             if after is not None:
                 delta_ns = sum(v for k, v in after.items() if k not in before)
                 cpu_runs[name].append(round(delta_ns / 1e9, 3))

@@ -240,8 +240,20 @@ def dsir_scorer(ratio_table: DataFrame, text_col: str, n_buckets: int,
         raise ValueError(
             f"ratio table has {len(rows)} buckets > max_buckets={max_buckets}"
         )
-    fixed = rows and isinstance(rows[0]["dl"], int)
-    dl_by_bucket = {int(r["bucket"]): r["dl"] for r in rows}
+    # fixed-vs-float is a property of the MODEL ARTIFACT, so read it off the
+    # schema — sniffing the first collected row's Python type would mislabel
+    # an empty ratio table (or a NULL dl in row 0) as the float form
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    fixed = isinstance(
+        ratio_table.schema["dl"].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    # a NULL dl (possible in a hand-loaded artifact) means "no signal for
+    # this bucket" — same as an absent bucket, which defaults to 0 below
+    dl_by_bucket = {
+        int(r["bucket"]): r["dl"] for r in rows if r["dl"] is not None
+    }
     entries = ", ".join(
         f"{b}L, {dl_by_bucket.get(b, 0)}{'L' if fixed else 'D'}"
         for b in range(n_buckets)
@@ -340,7 +352,10 @@ def dsir_select(
         weights = weights.join(docs.select(id_col, *missing), id_col)
     # per-stratum max: metadata-sized (weights are relative within a
     # stratum; subtracting the max bounds exp in (0, 1]). With strata it is
-    # an agg broadcast back on real key columns (BroadcastHashJoin). With NO
+    # an agg broadcast back on real key columns (BroadcastHashJoin), joined
+    # eqNullSafe like _with_key_rank's offset join — the sampler family
+    # documents a NULL stratum value as its own stratum, and a plain equi
+    # join would silently drop those rows from selection. With NO
     # strata the max is a single scalar — a constant-column equi join would
     # constant-fold into the scalar-attach BroadcastNestedLoopJoin the
     # repo's plan pins forbid, so it is fetched driver-side instead (one
@@ -350,7 +365,16 @@ def dsir_select(
         mx = weights.groupBy(*strata).agg(
             F.max("log_weight_fp").alias("_dsir_mx")
         )
-        shifted = weights.join(broadcast(mx), strata)
+        mx = mx.select(
+            *[F.col(c).alias(f"_dsir_s{i}") for i, c in enumerate(strata)],
+            "_dsir_mx",
+        )
+        cond = F.lit(True)
+        for i, c in enumerate(strata):
+            cond = cond & F.col(c).eqNullSafe(F.col(f"_dsir_s{i}"))
+        shifted = weights.join(broadcast(mx), cond).drop(
+            *[f"_dsir_s{i}" for i in range(len(strata))]
+        )
         mx_col = F.col("_dsir_mx")
     else:
         row = weights.agg(F.max("log_weight_fp").alias("m")).collect()[0]

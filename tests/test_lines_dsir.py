@@ -589,3 +589,47 @@ def test_dsir_scoring_join_is_broadcast(spark):
     # the corpus is never shuffled on bucket for scoring
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_dsir_select_null_stratum_is_its_own_stratum(spark):
+    """The sampler family documents a NULL stratum value as its own stratum
+    (eqNullSafe rank machinery); the per-stratum max shift join must honor
+    that too — a plain equi join would silently drop every NULL-source doc
+    from selection."""
+    w = spark.createDataFrame(
+        [(i, None if i <= 10 else "a", i * 1000) for i in range(1, 21)],
+        "doc_id long, source string, log_weight_fp long",
+    )
+    sel = DS.dsir_select(
+        None, None, "doc_id", "text", k=3, strata=["source"],
+        seed=7, weights=w,
+    )
+    by_src = {}
+    for r in sel.collect():
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src[None]) == 3 and len(by_src["a"]) == 3
+    assert all(i <= 10 for i in by_src[None])
+    assert set(sel.columns) == {"source", "doc_id", "log_weight_fp", "weight"}
+
+
+def test_dsir_scorer_output_type_comes_from_schema(spark):
+    """Fixed-vs-float is a property of the model ARTIFACT (its dl column
+    type), not of whatever row collects first: an EMPTY fixed-point ratio
+    table must still emit the integer log_weight_fp column, and a NULL dl
+    row must score as 0 signal rather than break the literal map."""
+    docs, _ = _dsir_fixture(spark)
+    empty_fixed = spark.createDataFrame([], "bucket long, dl long")
+    score = DS.dsir_scorer(empty_fixed, "text", n_buckets=64, portable=True)
+    out = score(docs)
+    assert dict(out.dtypes)["log_weight_fp"] == "bigint"
+    assert all(r["log_weight_fp"] == 0 for r in out.collect())
+    empty_float = spark.createDataFrame([], "bucket long, dl double")
+    out2 = DS.dsir_scorer(empty_float, "text", n_buckets=64, portable=True)(docs)
+    assert dict(out2.dtypes)["log_weight"] == "double"
+    # NULL dl in row 0 (a hand-loaded artifact): treated as absent -> 0
+    holey = spark.createDataFrame(
+        [(0, None), (1, 5)], "bucket long, dl long"
+    )
+    out3 = DS.dsir_scorer(holey, "text", n_buckets=64, portable=True)(docs)
+    assert dict(out3.dtypes)["log_weight_fp"] == "bigint"
+    out3.collect()  # must not raise on the literal-map build or the fold
