@@ -117,25 +117,35 @@ def minhash_signature(shingle_col: str, k: int = 64) -> Column:
 
 def minhash_signature_oph(shingle_col: str, k: int = 64, seed: int = 0) -> Column:
     """One-permutation MinHash signature (Li et al. 2012, "One Permutation
-    Hashing") with rotation densification (Shrivastava & Li 2014; public
-    methods): ONE xxhash64 per shingle instead of k — the k-independent CPU
-    form for long documents. Each shingle's single hash is binned by
-    ``pmod(h, k)``; signature[j] is the minimum hash in bin j, and an EMPTY
-    bin borrows the next non-empty bin's value cyclically (densification
-    keeps the collision probability equal to the Jaccard similarity, so the
-    banding math is unchanged). Per-document cost drops from O(|sh|·k) hash
-    mixes to O(|sh| log |sh| + k²) with k² a fixed 64²-op densification
-    scan — at k=64 and a few hundred shingles, ~10× less mixing work.
+    Hashing") with densification (Shrivastava & Li 2014; public methods):
+    ONE xxhash64 per shingle instead of k — the k-independent CPU form for
+    long documents. Each shingle's single hash is binned by ``pmod(h, k)``;
+    signature[j] is the minimum hash in bin j, and an EMPTY bin borrows the
+    nearest non-empty bin's value cyclically WITH the paper's offset term:
+    the borrowed value is mixed with the borrow distance
+    (``xxhash64(v, d)`` — the ANSI-overflow-safe equivalent of the additive
+    ``v + d·C``), so two documents collide on an empty bin only when they
+    borrow the SAME value from the SAME distance. Without the offset,
+    borrowed positions are correlated for sparse-bin documents (every empty
+    bin of both docs borrows the same raw value) and the banding recall
+    formula ``1−(1−s^r)^bands`` overstates detection; with it the
+    densified collision probability tracks the Jaccard similarity and the
+    classic banding math applies. Per-document cost drops from O(|sh|·k)
+    hash mixes to O(|sh| log |sh| + k²) with k² a fixed 64²-op
+    densification scan — at k=64 and a few hundred shingles, ~10× less
+    mixing work.
 
     Everything is bound through single-element ``transform(array(e), x ->
-    …)`` wrappers so the sorted pair array and the bin map are each
-    evaluated ONCE per row (CollapseProject would otherwise inline the sort
-    into every reference). Empty shingle arrays produce all-NULL signatures,
-    same as :func:`minhash_signature` (``try_element_at`` everywhere — ANSI
-    mode). Candidate semantics are interchangeable with the classic
-    signature because :func:`minhash_lsh_pairs` verifies every candidate
-    with exact Jaccard — only candidate RECALL depends on the scheme
-    (differential-tested in ``tests/test_text_dedup.py``)."""
+    …)`` wrappers so the sorted pair array, the bin map, and the borrowed
+    (value, distance) struct are each evaluated ONCE per row
+    (CollapseProject would otherwise inline the sort into every reference).
+    Empty shingle arrays produce all-NULL signatures, same as
+    :func:`minhash_signature` (``try_element_at`` everywhere, and the
+    offset mix is NULL-guarded — ANSI mode). Candidate semantics are
+    interchangeable with the classic signature because
+    :func:`minhash_lsh_pairs` verifies every candidate with exact Jaccard —
+    only candidate RECALL depends on the scheme (differential-tested in
+    ``tests/test_text_dedup.py``)."""
     hs = f"transform({shingle_col}, h -> xxhash64(h, {seed}))"
     pairs = f"array_sort(transform({hs}, h -> struct(pmod(h, {k}) AS bin, h AS v)))"
     return F.expr(
@@ -144,9 +154,13 @@ def minhash_signature_oph(shingle_col: str, k: int = 64, seed: int = 0) -> Colum
             filter(p, (x, i) -> i = 0 OR x.bin != element_at(p, i).bin))), m ->
         transform(sequence(0, {k - 1}), j ->
           coalesce(try_element_at(m, CAST(j AS BIGINT)),
-                   try_element_at(filter(transform(sequence(1, {k}),
-                       d -> try_element_at(m, CAST(pmod(j + d, {k}) AS BIGINT))),
-                     x -> x IS NOT NULL), 1)))), 1)), 1)"""
+                   try_element_at(transform(array(
+                       try_element_at(filter(transform(sequence(1, {k}),
+                           d -> struct(d AS d, try_element_at(m,
+                               CAST(pmod(j + d, {k}) AS BIGINT)) AS v)),
+                         x -> x.v IS NOT NULL), 1)), s ->
+                     CASE WHEN s IS NULL THEN NULL
+                          ELSE xxhash64(s.v, s.d) END), 1)))), 1)), 1)"""
     )
 
 
