@@ -214,7 +214,7 @@ def dsir_ratio_table(
 
 
 def dsir_scorer(ratio_table: DataFrame, text_col: str, n_buckets: int,
-                portable: bool = False, max_buckets: int = 1 << 20):
+                portable: bool = False, max_buckets: int = 1 << 16):
     """STATELESS DSIR scoring for the ingest path — the streaming twin of
     :func:`dsir_log_weights`, and unlike the boilerplate scrubber /
     contamination flagger it needs NO Python island: the fitted model is
@@ -231,6 +231,17 @@ def dsir_scorer(ratio_table: DataFrame, text_col: str, n_buckets: int,
     fixed-point integer form — the scorer emits the matching ``log_weight``
     / ``log_weight_fp`` column type. Collects exactly ``n_buckets`` rows
     (guarded by ``max_buckets``) — metadata, not data.
+
+    Plan-size regime: the model is inlined as ``2·n_buckets`` literals in a
+    single MAP expression, so the codegen'd plan grows linearly with the
+    bucket count — ~25 bytes/entry, i.e. ~1.6 MB of expression at the 2^16
+    guard, which analysis/codegen still handles in well under a second. The
+    default ``max_buckets`` is deliberately 2^16 (not the 2^20 the hashed
+    model could in principle use): past it the expression tree itself
+    becomes the cost (driver-side planning is outside executor CPU — see
+    BASELINE.md blind spot #2). For bigger models score in batch via
+    :func:`dsir_log_weights`'s broadcast ratio join, or raise the guard
+    explicitly if the planning cost is measured and acceptable.
 
     Returns a function ``df -> df`` adding the weight column (NULL text →
     no tokens → weight 0, matching the batch operator's "unscored" docs

@@ -49,6 +49,7 @@ def clean_corpus(
     eval_df: DataFrame | None = None,
     decon_n: int = 13,
     quality_col: str = "quality",
+    segment_policy: str | None = "boilerplate",
 ) -> DataFrame:
     """Run the full cleaning chain; returns one row per SURVIVING document
     (quality-passed, scrubbed non-empty, fingerprint-unique, no near-dup
@@ -63,20 +64,47 @@ def clean_corpus(
     policies work too — segmentation stays with the caller, as in
     ``text/lines``). Scrubbed text is the surviving segments joined with
     ``rejoin_sep``; documents scrubbed to nothing are dropped.
+
+    ``segment_policy`` selects the segment-level stage:
+
+    - ``"boilerplate"`` (default, the oracled contract): drop segments with
+      document frequency ≥ ``boiler_min_df`` (``lines.drop_boilerplate``);
+    - ``"dedup"``: CCNet's literal line-dedup — corpus-wide keep-FIRST
+      occurrence of each distinct segment (``lines.dedup_segments``;
+      ``boiler_min_df`` is ignored);
+    - ``None``: skip the segment stage (text passes through unscrubbed;
+      ``segmenter`` is not evaluated).
+
+    Whatever the policy, the stage runs BEFORE fingerprinting — the CCNet
+    order pin applies to both segment policies (scrubbing changes
+    fingerprints), and is load-bearing-tested for both.
     """
+    if segment_policy not in ("boilerplate", "dedup", None):
+        raise ValueError(
+            f"clean_corpus: unknown segment_policy {segment_policy!r} "
+            "(expected 'boilerplate', 'dedup', or None)"
+        )
     scored = docs.withColumn(quality_col, TA.quality_score(text_col)).filter(
         F.col(quality_col) >= quality_min
     )
     # CCNet order: scrub BEFORE fingerprinting. seg frame pinned — the
     # boilerplate stage traverses its input three times (df table,
     # occurrence explode, reassembly base)
-    seg = pin(scored.withColumn("_cc_segs", segmenter).drop(text_col))
-    scrubbed = pin(
-        LN.drop_boilerplate(seg, id_col, "_cc_segs", boiler_min_df)
-        .withColumn(text_col, F.concat_ws(rejoin_sep, "_cc_segs"))
-        .drop("_cc_segs")
-        .filter(F.col(text_col) != "")
-    )
+    if segment_policy is None:
+        scrubbed = scored
+    else:
+        seg = pin(scored.withColumn("_cc_segs", segmenter).drop(text_col))
+        kept_segs = (
+            LN.drop_boilerplate(seg, id_col, "_cc_segs", boiler_min_df)
+            if segment_policy == "boilerplate"
+            else LN.dedup_segments(seg, id_col, "_cc_segs")
+        )
+        scrubbed = pin(
+            kept_segs
+            .withColumn(text_col, F.concat_ws(rejoin_sep, "_cc_segs"))
+            .drop("_cc_segs")
+            .filter(F.col(text_col) != "")
+        )
     kept1 = TD.exact_dedup(scrubbed, id_col, text_col)
     near = (
         TD.ngram_jaccard_pairs(

@@ -633,3 +633,51 @@ def test_dsir_scorer_output_type_comes_from_schema(spark):
     out3 = DS.dsir_scorer(holey, "text", n_buckets=64, portable=True)(docs)
     assert dict(out3.dtypes)["log_weight_fp"] == "bigint"
     out3.collect()  # must not raise on the literal-map build or the fold
+
+
+def test_dsir_ratio_table_round_trips_through_parquet(spark, tmp_path):
+    """The model-artifact path the docstring promises: write the fitted
+    ratio table to parquet once per model refresh, reload it in a fresh
+    session, and build the streaming scorer from the RELOADED artifact —
+    scores must equal the batch operator exactly (fixed-point form, so
+    equality is integer-exact, not approx)."""
+    docs, target = _dsir_fixture(spark)
+    ratio = DS.dsir_ratio_table(
+        docs, target, "text", n_buckets=64, portable=True,
+        fixed_point_scale=1_000_000,
+    )
+    path = str(tmp_path / "dsir_model.parquet")
+    ratio.write.parquet(path)
+    # a fresh session state (shared context, clean catalog/conf) stands in
+    # for the "next job reads the artifact" path
+    fresh = spark.newSession()
+    reloaded = fresh.read.parquet(path)
+    assert dict(reloaded.dtypes) == {"bucket": "bigint", "dl": "bigint"}
+    score = DS.dsir_scorer(reloaded, "text", n_buckets=64, portable=True)
+    got = {
+        r["doc_id"]: r["log_weight_fp"]
+        for r in score(fresh.createDataFrame(docs.collect(), docs.schema)).collect()
+    }
+    want = {
+        r["doc_id"]: r["log_weight_fp"]
+        for r in DS.dsir_log_weights(
+            docs, target, "doc_id", "text", n_buckets=64, portable=True,
+            fixed_point_scale=1_000_000,
+        ).collect()
+    }
+    assert {k: v for k, v in got.items() if k in want} == want
+    assert got[4] == 0 and got[5] == 0  # unscored docs -> 0, not absent
+
+
+def test_dsir_scorer_default_guard_bounds_inlined_plan(spark):
+    """The default max_buckets is 2^16: the model is inlined as 2*n_buckets
+    literals in one MAP expression, and past ~64k entries the codegen'd
+    expression tree itself becomes the cost (driver-side planning is outside
+    executor CPU). Bigger models must go through the batch broadcast join
+    or raise the guard explicitly."""
+    n = (1 << 16) + 1
+    big = spark.range(n).select(
+        F.col("id").alias("bucket"), F.lit(1).cast("long").alias("dl")
+    )
+    with pytest.raises(ValueError, match="max_buckets"):
+        DS.dsir_scorer(big, "text", n_buckets=n)

@@ -166,3 +166,83 @@ def test_pretraining_recipe_clean_select_pack(spark):
     assert sorted(r["doc_id"] for r in sel2.collect()) == sorted(
         r["doc_id"] for r in sel_rows
     )
+
+
+def test_clean_corpus_segment_policy_dedup(spark):
+    """CCNet's literal line-dedup through the public API: keep-FIRST
+    occurrence corpus-wide. On the fixture: doc 1 keeps both its lines
+    (first occurrences), doc 2's lines are both already seen -> scrubbed
+    empty -> dropped, docs 3/4 lose the banner (first seen in doc 1)."""
+    docs, eval_df = _fix(spark)
+    out = clean_corpus(
+        docs,
+        "doc_id",
+        "text",
+        segmenter=_segmenter(),
+        quality_min=0.5,
+        rejoin_sep="\n",
+        jaccard_threshold=0.9,
+        eval_df=eval_df,
+        decon_n=2,
+        segment_policy="dedup",
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(rows) == [1, 3, 6]
+    assert rows[1]["text"] == "cookie banner ok\nalpha beta gamma delta"
+    assert rows[3]["text"] == "wholly different words here"
+    assert rows[6]["contaminated"] is True
+    import pytest
+
+    with pytest.raises(ValueError, match="segment_policy"):
+        clean_corpus(
+            docs, "doc_id", "text", segmenter=_segmenter(),
+            segment_policy="nope",
+        )
+
+
+def test_clean_corpus_dedup_policy_fingerprints_after_rejoin(spark):
+    """The CCNet order pin holds for the dedup policy too: fingerprints are
+    computed on the REJOINED scrubbed text, so two raw texts with different
+    segmentations that rejoin equal ("x y" vs "x\\ny" with rejoin_sep " ")
+    collapse to the min id — raw-text fingerprinting would miss them. (For
+    shared segments the order is structurally self-enforcing under global
+    keep-first: two survivors can never share a segment at all.)"""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta\ngamma delta")],
+        "doc_id long, text string",
+    )
+    out = clean_corpus(
+        docs,
+        "doc_id",
+        "text",
+        segmenter=_segmenter(),
+        quality_min=0.0,
+        rejoin_sep=" ",
+        jaccard_threshold=0.99,
+        segment_policy="dedup",
+    )
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert rows == {1: "alpha beta gamma delta"}
+
+
+def test_clean_corpus_segment_policy_none(spark):
+    """segment_policy=None skips the segment stage entirely: text passes
+    through raw (all six fixture texts are raw-distinct, so only the
+    quality gate drops anything) and the segmenter column is never
+    evaluated."""
+    docs, eval_df = _fix(spark)
+    out = clean_corpus(
+        docs,
+        "doc_id",
+        "text",
+        segmenter=F.raise_error(F.lit("segmenter must not be evaluated")),
+        quality_min=0.5,
+        jaccard_threshold=0.9,
+        eval_df=eval_df,
+        decon_n=2,
+        segment_policy=None,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 6]
+    assert rows[1]["text"] == ROWS[0][1]  # raw text untouched
+    assert rows[6]["contaminated"] is True
