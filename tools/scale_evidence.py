@@ -354,12 +354,115 @@ FROM sgagg JOIN dsagg USING (source) JOIN dsselagg USING (source)
     return out
 
 
+def measure_minhash_oph(spark, sf_dir: str) -> dict:
+    """Classic vs one-permutation MinHash on a LONG-DOCUMENT corpus:
+    executor CPU per scheme (the box-independent number, via bench.py's
+    REST status-store reader) and pair-set equality of the verified output.
+    This is the machine-readable twin of the round-9 SCALE.md prose claim —
+    OPH is the documented long-document scale path precisely because the
+    classic signature's O(|shingles|·k) mixing dominates there.
+
+    The corpus is built DETERMINISTICALLY from the scale directory's
+    documents: consecutive id-groups concatenated in id order into ~3000-
+    token documents, plus a planted near-dup twin for every 5th long doc
+    (every 97th token dropped) so the verified pair set is non-trivial.
+    Both schemes run on the SAME materialized corpus; each scheme is run
+    twice and the WARM run is recorded (first run pays parquet/codegen
+    warmup)."""
+    from bench import _make_cpu_reader, _stable_cpu_read
+    from switchback_test_dag_spark.caching import release_all
+
+    group = int(os.environ.get("SPARK_GRAFT_OPH_GROUP", "25"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    longdocs = (
+        docs.withColumn("g", F.floor(F.col("doc_id") / group))
+        .groupBy("g")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(doc_id, text))),"
+                " s -> s.text), ' ')"
+            ).alias("text")
+        )
+        .select((F.col("g") * 2).alias("doc_id"), "text")
+    )
+    twins = longdocs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', filter(split(text, ' '), (x, i) -> i % 97 != 0))"
+        ).alias("text"),
+    )
+    corpus = longdocs.unionByName(twins).localCheckpoint()
+    prof = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.size(F.split("text", r"\s+"))), 1).alias("avg_toks"),
+    ).collect()[0]
+    cpu_read = _make_cpu_reader(spark)
+
+    def run(scheme: str) -> dict:
+        rec: dict = {}
+        for attempt in ("cold", "warm"):
+            before = _stable_cpu_read(cpu_read) if cpu_read else None
+            t0 = time.monotonic()
+            pairs = TD.minhash_lsh_pairs(
+                corpus, "doc_id", "text", shingle_n=3, k=64, bands=16,
+                threshold=0.85, scheme=scheme,
+            ).localCheckpoint()
+            n = pairs.count()
+            wall = time.monotonic() - t0
+            after = _stable_cpu_read(cpu_read) if before is not None else None
+            release_all()
+            cpu = (
+                round(sum(v for k, v in after.items() if k not in before) / 1e9, 2)
+                if after is not None
+                else None
+            )
+            rec = {
+                "pairs_df": pairs,
+                "pairs": n,
+                "wall_sec": round(wall, 2),
+                "cpu_sec": cpu,
+            }
+        return rec
+
+    classic = run("classic")
+    oph = run("oph")
+    mismatch = (
+        classic["pairs_df"].select("doc_a", "doc_b")
+        .exceptAll(oph["pairs_df"].select("doc_a", "doc_b"))
+        .unionAll(
+            oph["pairs_df"].select("doc_a", "doc_b")
+            .exceptAll(classic["pairs_df"].select("doc_a", "doc_b"))
+        )
+        .count()
+    )
+    classic.pop("pairs_df")
+    oph.pop("pairs_df")
+    out = {
+        "measurement": "minhash_oph",
+        "sf_dir": sf_dir,
+        "n_docs": prof["n"],
+        "avg_tokens": float(prof["avg_toks"]),
+        "classic": classic,
+        "oph": oph,
+        "cpu_ratio_classic_over_oph": (
+            round(classic["cpu_sec"] / oph["cpu_sec"], 2)
+            if classic["cpu_sec"] and oph["cpu_sec"]
+            else None
+        ),
+        "pair_mismatch_rows": mismatch,
+        "pairs_identical": mismatch == 0,
+    }
+    assert mismatch == 0, f"schemes disagree on {mismatch} pair rows"
+    return out
+
+
 _MEASURES = {
     "components": measure_components,
     "emb_lsh": measure_emb_lsh,
     "spans": measure_spans,
     "decon": measure_decon,
     "selection": measure_selection,
+    "minhash_oph": measure_minhash_oph,
 }
 
 
@@ -377,7 +480,19 @@ def main() -> None:
         help="print only; skip merging into SCALE_evidence.json",
     )
     args = ap.parse_args()
-    spark = get_spark(app_name="scale-evidence", cpus=32, shuffle_partitions=32)
+    spark = get_spark(
+        app_name="scale-evidence",
+        cpus=32,
+        shuffle_partitions=32,
+        # the UI powers the REST status store the minhash_oph measurement
+        # reads executor CPU from (same reader as bench.py)
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+            "spark.ui.retainedStages": "20000",
+            "spark.ui.retainedJobs": "20000",
+        },
+    )
     path = os.path.join(_REPO, "SCALE_evidence.json")
     # the default-sf (sf1) run owns the bare measurement key; a different
     # scale directory gets a suffixed key so e.g. the sf10 selection audit
