@@ -26,8 +26,13 @@ comparable round over round) — into the committed ``SCALE_evidence.json``,
 so scale audits are machine-diffable like BENCH artifacts instead of living
 only in SCALE.md prose.
 
-Usage: python tools/scale_evidence.py [components|emb_lsh ...] [--sf DIR]
-       [--no-write]
+Further measurements: ``spans``, ``decon``, ``selection`` (segment dedup +
+DSIR contracts value-replayed in DuckDB at scale), and ``minhash_oph``
+(classic vs one-permutation MinHash executor CPU + pair-set equality on a
+deterministic long-document corpus).
+
+Usage: python tools/scale_evidence.py [components|emb_lsh|spans|decon|
+       selection|minhash_oph ...] [--sf DIR] [--no-write]
 """
 
 from __future__ import annotations
