@@ -228,8 +228,31 @@ def minhash_lsh_pairs(
     # CPU-heavy shingling/hashing onto as few cores; spread rows first.
     par = df.sparkSession.sparkContext.defaultParallelism
     shingled = _persist(_shingle_hash_frame(df, id_col, text_col, shingle_n, par))
-    make_sig = minhash_signature if scheme == "classic" else minhash_signature_oph
-    sig = shingled.select("doc", "sh", make_sig("sh", k).alias("sig"))
+    if scheme == "classic":
+        # k-permutation signature via explode + k codegen'd MIN aggregates
+        # instead of the nested-transform HOF of minhash_signature: the HOF
+        # form is interpreted per element and allocates one k-hash array per
+        # permutation per doc; the aggregate form keeps all k·|sh| xxhash64
+        # mixes inside WholeStageCodegen. Identical values (min over the same
+        # multiset — duplicates cannot move a min; `{j}` literals parse as
+        # INT, matching sequence(0, k-1) element typing, so the seeded hashes
+        # are bit-for-bit the HOF ones). The shingled frame is persisted and
+        # hash-partitioned on doc, so the groupBy adds no Exchange.
+        mins = (
+            shingled.select("doc", F.explode("sh").alias("h"))
+            .groupBy("doc")
+            .agg(
+                *[
+                    F.min(F.expr(f"xxhash64(h, {j})")).alias(f"__m{j}")
+                    for j in range(k)
+                ]
+            )
+        )
+        sig = mins.select(
+            "doc", F.array(*[f"__m{j}" for j in range(k)]).alias("sig")
+        )
+    else:
+        sig = shingled.select("doc", minhash_signature_oph("sh", k).alias("sig"))
     banded = sig.select(
         "doc", F.explode(lsh_band_keys("sig", bands, rows)).alias("bk")
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -322,23 +345,44 @@ def simhash_pairs(
     from switchback_test_dag_spark.text.analysis import tokens
 
     n_chunks = bits // prefix_bits
-    # persist boundary: stops CollapseProject from inlining the tokenization +
-    # hashing into the per-bit lambda (see minhash_lsh_pairs)
+    # Signature via explode + codegen'd aggregate, NOT the per-bit
+    # ``aggregate(...)`` lambda of simhash_from_hashes: higher-order functions
+    # are interpreted per element (boxed lambda calls), so the HOF form costs
+    # ``bits`` interpreted passes over every token array. Exploding the token
+    # hashes once and folding the per-bit ±1 votes as ``bits`` SUM aggregates
+    # keeps the hot loop inside WholeStageCodegen — bit-for-bit the same
+    # signature (vote sums are order-independent integers). The repartition
+    # spreads the md5 hashing across cores BEFORE the explode (the parquet
+    # scan may be a single file) and doubles as the partitioning the groupBy
+    # reuses, so there is exactly one Exchange in the signature stage.
     par = df.sparkSession.sparkContext.defaultParallelism
-    toks = (
+    th_rows = (
         df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__toks"))
         .filter(F.size("__toks") > 0)
         .repartition(par, "doc")
         .select(
             "doc",
-            F.expr(
-                "transform(__toks,"
-                " t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
-            ).alias("__th"),
+            F.explode(
+                F.expr(
+                    "transform(__toks,"
+                    " t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+                )
+            ).alias("h"),
         )
     )
-    toks = _persist(toks)
-    sigs = toks.select("doc", simhash_from_hashes("__th", bits=bits).alias("sig"))
+    votes = th_rows.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"shiftright(h, {i}) % 2 != 0"), 1).otherwise(-1)
+            ).alias(f"__v{i}")
+            for i in range(bits)
+        ]
+    )
+    sig_sql = " + ".join(
+        f"(CASE WHEN __v{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END)"
+        for i in range(bits)
+    )
+    sigs = votes.select("doc", F.expr(sig_sql).alias("sig"))
     chunks = sigs.select(
         "doc",
         "sig",
