@@ -282,18 +282,19 @@ def fpr_by_window_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     loops, for all four of its candidate methods, as ONE plan. The window
     dimension is exploded onto the fact scan, the single fact shuffle reduces
     to per-(window, bucket) moments, the seed dimension + seeded arm ride
-    that tiny table (pinned post-arm so no branch recomputes the md5
-    assignments), effect injection is exact moment algebra, and every
-    (method, metric) statistic is closed-form off the same table: the t
-    methods per-(window, seed) aggregation, CRSE via the constant-x-per-
-    cluster collapse (stats/crse.crse_from_cluster_moments), the adjusted-p
-    rate by comparing each seed's order-level diff against the per-window
-    (2.5, 97.5) permutation percentiles. Cost is one fact pass for the whole
+    that tiny table, and ALL eight (method, metric) statistics come out of a
+    SINGLE (window, seed) aggregation over it
+    (stats/permutation.fused_sweep_stats: order-t / bucket-t / CRSE with the
+    meat term expanded per arm, effect injection as closed-form moment
+    algebra on the same sums) — the seeded frame is consumed once, so
+    nothing at the windows × buckets × seeds grain is cached or re-read.
+    The adjusted-p rate compares each seed's order-level diff against the
+    per-window (2.5, 97.5) permutation percentiles off the same tiny stats
+    frame. Cost is one fact pass + one seeded aggregation for the whole
     (window, seed, 4-method, metric) grid."""
     from pyspark.sql.functions import broadcast
 
     from switchback_test_dag_spark.caching import pin
-    from switchback_test_dag_spark.stats.crse import crse_from_cluster_moments
 
     ev = load_table(spark, sf_dir, "events").select("value", "ts_ns")
     exploded = ev.withColumn(
@@ -302,75 +303,63 @@ def fpr_by_window_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = F.expr("ts_ns div (window_minutes * 60000000000)")
     moments = P.bucket_moments(exploded, "value", bucket, by=["window_minutes"])
-    # pin the SEEDED frame (grain: windows × buckets × seeds — independent of
-    # fact-row count, so cache size is scale-safe): eight rate branches plus
-    # the threshold branch all read it, and materializing it runs the fact
-    # shuffle and the md5 arm assignment exactly once
-    seeded = pin(P.with_seeds(moments, N_SEEDS))
-    injected = P.inject_additive_effect(seeded, EFFECT)
+    # the seeded frame is consumed ONCE: fused_sweep_stats folds all four
+    # methods × {null, injected} into a single (window, seed) aggregation
+    # (see its docstring for the moment algebra), so the fact pass + md5 arm
+    # assignment run exactly once with no cache materialization at the
+    # windows × buckets × seeds grain. What IS pinned is the tiny stats
+    # frame (windows × seeds rows): the threshold percentiles and the rate
+    # aggregation both read it.
+    seeded = P.with_seeds(moments, N_SEEDS)
+    stats = pin(P.fused_sweep_stats(seeded, EFFECT, by=["window_minutes"]))
 
-    def rate(t: DataFrame, method: str, metric: str) -> DataFrame:
-        sig = F.when(
-            F.col("se").isNotNull() & (F.abs(F.col("mean_diff") / F.col("se")) > CRIT),
+    # adjusted-p thresholds (T5 as a sweep method): diffs rounded to 6
+    # BEFORE the percentile so both engines interpolate identical doubles
+    # and the strict threshold comparison cannot flip on summation-order
+    # ULPs (same rounding applied to the compared diff below)
+    th = stats.groupBy("window_minutes").agg(
+        F.expr("percentile(round(ot_diff, 6), 0.025)").alias("lower"),
+        F.expr("percentile(round(ot_diff, 6), 0.975)").alias("upper"),
+    )
+
+    def sig(diff: str, se: str):
+        return F.when(
+            F.col(se).isNotNull() & (F.abs(F.col(diff) / F.col(se)) > CRIT), 1.0
+        ).otherwise(0.0)
+
+    def adj(diff: str):
+        return F.when(
+            (F.round(diff, 6) < F.col("lower"))
+            | (F.round(diff, 6) > F.col("upper")),
             1.0,
         ).otherwise(0.0)
-        return t.groupBy("window_minutes").agg(
-            F.round(F.avg(sig), 6).alias("rate"),
+
+    cells = {
+        "bucket_t_fpr": sig("bt_diff", "bt_se"),
+        "order_t_fpr": sig("ot_diff", "ot_se"),
+        "crse_fpr": sig("cr_diff", "cr_se"),
+        "bucket_t_power": sig("bt_diff_p", "bt_se_p"),
+        "order_t_power": sig("ot_diff_p", "ot_se_p"),
+        "crse_power": sig("cr_diff_p", "cr_se_p"),
+        "adjusted_fpr": adj("ot_diff"),
+        "adjusted_power": adj("ot_diff_p"),
+    }
+    rates = (
+        stats.join(broadcast(th), "window_minutes")
+        .groupBy("window_minutes")
+        .agg(
+            *[F.round(F.avg(e), 6).alias(k) for k, e in cells.items()],
             F.count(F.lit(1)).alias("n_sims"),
-        ).select(
-            "window_minutes",
-            F.lit(method).alias("method"),
-            F.lit(metric).alias("metric"),
-            "rate",
-            "n_sims",
         )
-
-    out = rate(P.bucket_level_t(seeded, ["window_minutes"]), "bucket_t", "fpr")
-    for t, method, metric in (
-        (P.order_level_t(seeded, ["window_minutes"]), "order_t", "fpr"),
-        (crse_from_cluster_moments(seeded, ["window_minutes"]), "crse", "fpr"),
-        (P.bucket_level_t(injected, ["window_minutes"]), "bucket_t", "power"),
-        (P.order_level_t(injected, ["window_minutes"]), "order_t", "power"),
-        (crse_from_cluster_moments(injected, ["window_minutes"]), "crse", "power"),
-    ):
-        out = out.unionByName(rate(t, method, metric))
-
-    # adjusted-p (T5 as a sweep method): diffs rounded to 6 BEFORE the
-    # percentile so both engines interpolate identical doubles and the strict
-    # threshold comparison cannot flip on summation-order ULPs
-    d0 = P.order_level_t(seeded, ["window_minutes"]).select(
-        "window_minutes", F.round("mean_diff", 6).alias("mean_diff")
     )
-    d1 = P.order_level_t(injected, ["window_minutes"]).select(
-        "window_minutes", F.round("mean_diff", 6).alias("mean_diff")
+    stack_args = ", ".join(
+        f"'{k.rsplit('_', 1)[0]}', '{k.rsplit('_', 1)[1]}', {k}" for k in cells
     )
-    th = P.permutation_thresholds(d0, by=["window_minutes"]).select(
-        "window_minutes", "lower", "upper"
+    return rates.select(
+        "window_minutes",
+        F.expr(f"stack({len(cells)}, {stack_args}) AS (method, metric, rate)"),
+        "n_sims",
     )
-
-    def adj_rate(d: DataFrame, metric: str) -> DataFrame:
-        sig = F.when(
-            (F.col("mean_diff") < F.col("lower"))
-            | (F.col("mean_diff") > F.col("upper")),
-            1.0,
-        ).otherwise(0.0)
-        return (
-            d.join(broadcast(th), "window_minutes")
-            .groupBy("window_minutes")
-            .agg(
-                F.round(F.avg(sig), 6).alias("rate"),
-                F.count(F.lit(1)).alias("n_sims"),
-            )
-            .select(
-                "window_minutes",
-                F.lit("adjusted").alias("method"),
-                F.lit(metric).alias("metric"),
-                "rate",
-                "n_sims",
-            )
-        )
-
-    return out.unionByName(adj_rate(d0, "fpr")).unionByName(adj_rate(d1, "power"))
 
 
 @query(

@@ -249,6 +249,144 @@ def bucket_level_t(seeded: DataFrame, by: Sequence[str] = ()) -> DataFrame:
     return _bucket_level_t(seeded, list(by))
 
 
+def fused_sweep_stats(
+    seeded: DataFrame, effect: float, by: Sequence[str] = ()
+) -> DataFrame:
+    """All four sweep methods × {null, injected-effect} in ONE aggregation
+    pass over the seeded moment table.
+
+    The composed sweep (``order_level_t`` + ``bucket_level_t`` +
+    ``crse.crse_from_cluster_moments``, each on the null AND the
+    effect-injected frame, = 6 branch aggregations + CRSE's per-branch
+    score-sum re-join) re-reads the (by, bucket, seed) frame once per branch
+    — ~10 passes at the sweep's grain. Every one of those statistics is
+    closed-form in per-(by, seed, arm) SUMS of the bucket moments, so one
+    groupBy computing 18 aggregate columns replaces all of them:
+
+    - **order-level t** (T2): per-arm ``n, Σs1, Σs2`` — the exact
+      ``order_level_t`` formulas.
+    - **bucket-mean t** (T3): per-arm ``B, Σbm, Σbm²`` (bm = s1/n); the
+      sample variance via ``Σbm² − (Σbm)²/B over B−1`` — algebraically
+      ``var_samp``, with the same B≤1 → 0 fallback the composed form gets
+      from ``coalesce(var_samp, 0)``.
+    - **CRSE** (T6, CR1): expanding ``crse_from_cluster_moments``'s meat
+      ``Σ_g h_g²`` per arm — for On clusters (x=1) ``h = (1−x̄)(s1 − n·c)``
+      with c = α+β, for Off (x=0) ``h = −x̄(s1 − n·α)`` — gives
+      ``meat = (1−x̄)²(Σs1² − 2cΣs1n + c²Σn²)_On + x̄²(Σs1² − 2αΣs1n +
+      α²Σn²)_Off``: three more per-arm sums (``Σs1², Σs1·n, Σn²``), no
+      second pass and no re-join of (x̄, α, β) onto clusters.
+    - **effect injection** (T8) is moment algebra on the SAME sums
+      (``inject_additive_effect`` per bucket, pushed through the sums):
+      ``Σs1_On += δ·Σn_On``, ``Σs2_On += 2δΣs1 + δ²Σn``,
+      ``Σbm_On += δ·B_On``, ``Σbm²_On += 2δΣbm + δ²B_On``. For CRSE the
+      injection cancels inside the meat (``s1' − n(α+β') = s1 − n(α+β)``)
+      and leaves x̄, bread and the correction untouched, so
+      ``se_power = se_null`` and only β shifts by δ — derived, not
+      re-aggregated.
+
+    Returns one row per (by..., seed) with, for each method m ∈
+    {ot, bt, cr}, ``{m}_diff / {m}_se`` (null hypothesis) and ``{m}_diff_p /
+    {m}_se_p`` (injected effect) — NULL se under exactly the composed
+    operators' validity guards. Differential-tested against the composed
+    branches in tests/test_inference.py."""
+    by = list(by)
+    on_ = F.col("arm") == ON
+    d = float(effect)
+
+    def per_arm(expr: Column, name: str) -> list[Column]:
+        return [
+            F.sum(F.when(on_, expr)).alias(f"{name}_on"),
+            F.sum(F.when(~on_, expr)).alias(f"{name}_off"),
+        ]
+
+    bm = F.col("s1") / F.col("n")
+    g = seeded.groupBy(*by, "seed").agg(
+        F.sum("n").alias("N"),
+        F.count(F.lit(1)).alias("G"),
+        *per_arm(F.col("n"), "n"),
+        *per_arm(F.col("s1"), "s1"),
+        *per_arm(F.col("s2"), "s2"),
+        F.count(F.when(on_, F.lit(1))).alias("B_on"),
+        F.count(F.when(~on_, F.lit(1))).alias("B_off"),
+        *per_arm(bm, "bm1"),
+        *per_arm(bm * bm, "bm2"),
+        *per_arm(F.col("s1") * F.col("s1"), "q"),
+        *per_arm(F.col("s1") * F.col("n"), "r"),
+        *per_arm(F.col("n").cast("double") * F.col("n"), "w"),
+    )
+    c = F.col
+
+    def order_t(s1_on: Column, s2_on: Column) -> tuple[Column, Column]:
+        n_on, n_off = c("n_on"), c("n_off")
+        m_on, m_off = s1_on / n_on, c("s1_off") / n_off
+        ss_on = s2_on - s1_on * s1_on / n_on
+        ss_off = c("s2_off") - c("s1_off") * c("s1_off") / n_off
+        valid = (n_on > 1) & (n_off > 1)
+        sp2 = F.when(valid, (ss_on + ss_off) / (n_on + n_off - 2))
+        se = F.when(valid & (sp2 > 0), F.sqrt(sp2 * (1 / n_on + 1 / n_off)))
+        return m_on - m_off, se
+
+    def bucket_t(bm1_on: Column, bm2_on: Column) -> tuple[Column, Column]:
+        b_on, b_off = c("B_on"), c("B_off")
+
+        def var(b: Column, m1: Column, m2: Column) -> Column:
+            return F.when(b > 1, (m2 - m1 * m1 / b) / (b - 1)).otherwise(0.0)
+
+        v_on = var(b_on, bm1_on, bm2_on)
+        v_off = var(b_off, c("bm1_off"), c("bm2_off"))
+        valid = (b_on > 1) & (b_off > 1)
+        sp2 = ((b_on - 1) * v_on + (b_off - 1) * v_off) / (b_on + b_off - 2)
+        se = F.when(valid & (sp2 > 0), F.sqrt(sp2 * (1 / b_on + 1 / b_off)))
+        return bm1_on / b_on - c("bm1_off") / b_off, se
+
+    # CRSE: α/β/x̄ per crse_from_cluster_moments, meat expanded per arm
+    xbar = c("n_on") / c("N")
+    alpha = c("s1_off") / c("n_off")
+    beta = c("s1_on") / c("n_on") - alpha
+    cc = alpha + beta
+    meat = (1 - xbar) * (1 - xbar) * (
+        c("q_on") - 2 * cc * c("r_on") + cc * cc * c("w_on")
+    ) + xbar * xbar * (c("q_off") - 2 * alpha * c("r_off") + alpha * alpha * c("w_off"))
+    bread = c("N") * xbar * (1 - xbar)
+    correction = (c("G") / (c("G") - 1)) * ((c("N") - 1) / (c("N") - 2))
+    cr_valid = (
+        (c("G") > 1)
+        & (c("N") > 2)
+        & xbar.isNotNull()
+        & (xbar > 0)
+        & (xbar < 1)
+    )
+    cr_se = F.when(cr_valid, F.sqrt(correction * meat / (bread * bread)))
+
+    # injected-effect (power) twins, derived on the same sums
+    s1_on_p = c("s1_on") + d * c("n_on")
+    s2_on_p = c("s2_on") + 2 * d * c("s1_on") + d * d * c("n_on")
+    bm1_on_p = c("bm1_on") + d * c("B_on")
+    bm2_on_p = c("bm2_on") + 2 * d * c("bm1_on") + d * d * c("B_on")
+
+    ot_diff, ot_se = order_t(c("s1_on"), c("s2_on"))
+    ot_diff_p, ot_se_p = order_t(s1_on_p, s2_on_p)
+    bt_diff, bt_se = bucket_t(c("bm1_on"), c("bm2_on"))
+    bt_diff_p, bt_se_p = bucket_t(bm1_on_p, bm2_on_p)
+
+    return g.select(
+        *by,
+        "seed",
+        ot_diff.alias("ot_diff"),
+        ot_se.alias("ot_se"),
+        ot_diff_p.alias("ot_diff_p"),
+        ot_se_p.alias("ot_se_p"),
+        bt_diff.alias("bt_diff"),
+        bt_se.alias("bt_se"),
+        bt_diff_p.alias("bt_diff_p"),
+        bt_se_p.alias("bt_se_p"),
+        beta.alias("cr_diff"),
+        cr_se.alias("cr_se"),
+        (beta + d).alias("cr_diff_p"),
+        cr_se.alias("cr_se_p"),
+    )
+
+
 def fpr_simulation(
     df: DataFrame,
     value_col: str,

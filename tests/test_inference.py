@@ -231,3 +231,40 @@ def test_crse_from_cluster_moments_matches_row_level(events):
         ).collect()[0]
         assert got[seed]["mean_diff"] == pytest.approx(exp["beta"], rel=1e-9)
         assert got[seed]["se"] == pytest.approx(exp["se"], rel=1e-7)
+
+
+def test_fused_sweep_matches_composed_branches(events):
+    """fused_sweep_stats (the one-pass 4-method sweep) must reproduce the
+    composed operators it replaces — order_level_t / bucket_level_t /
+    crse_from_cluster_moments, each on the null AND the effect-injected
+    frame — per (seed): identical validity (se NULL-ness) and float-sum-
+    tolerance-equal diffs/ses."""
+    from switchback_test_dag_spark.stats.crse import crse_from_cluster_moments
+
+    effect, n_seeds = 7.5, 25
+    m = P.bucket_moments(events, "value", F.expr(BUCKET))
+    seeded = P.with_seeds(m, n_seeds)
+    fused = {r["seed"]: r for r in P.fused_sweep_stats(seeded, effect).collect()}
+    assert len(fused) == n_seeds
+
+    injected = P.inject_additive_effect(seeded, effect)
+    branches = {
+        ("ot", ""): P.order_level_t(seeded),
+        ("ot", "_p"): P.order_level_t(injected),
+        ("bt", ""): P.bucket_level_t(seeded),
+        ("bt", "_p"): P.bucket_level_t(injected),
+        ("cr", ""): crse_from_cluster_moments(seeded),
+        ("cr", "_p"): crse_from_cluster_moments(injected),
+    }
+    for (tag, suffix), frame in branches.items():
+        exp = {r["seed"]: r for r in frame.collect()}
+        for seed in range(n_seeds):
+            got_d = fused[seed][f"{tag}_diff{suffix}"]
+            got_se = fused[seed][f"{tag}_se{suffix}"]
+            assert got_d == pytest.approx(exp[seed]["mean_diff"], rel=1e-9), (
+                tag, suffix, seed)
+            if exp[seed]["se"] is None:
+                assert got_se is None, (tag, suffix, seed)
+            else:
+                assert got_se == pytest.approx(exp[seed]["se"], rel=1e-7), (
+                    tag, suffix, seed)

@@ -105,14 +105,14 @@ def test_sweep_and_finder_scan_once(spark, sf_dir):
     # consumers (two self-join sides + per-city std) share a single fact scan
     try:
         plan = _plan(spark, "fpr_by_window_size", sf_dir)
-        # 14 consumers of the pinned seeded-moments frame (grain windows ×
-        # buckets × seeds — tiny and scale-safe): {bucket-t, order-t} ×
-        # {null, injected} = 4, CRSE × {null, injected} = 6 (global agg,
-        # cluster join side, and the final stats join each re-read it),
-        # adjusted-p = 4 (null diffs, thresholds ×2 — once per metric branch,
-        # injected diffs). What matters at 100 TB: the PARQUET fact scan and
-        # its moments shuffle run exactly once, at cache materialization.
-        assert plan.count("InMemoryTableScan") == 14
+        # fused_sweep_stats collapses the sweep to ONE aggregation over the
+        # seeded frame, so the only pinned frame is the tiny (window, seed)
+        # stats table, read exactly twice: the adjusted-p threshold
+        # percentiles and the rate aggregation's join side. What matters at
+        # 100 TB: the PARQUET fact scan, its moments shuffle, AND the
+        # windows × buckets × seeds aggregation all run exactly once, at
+        # cache materialization — nothing at the seeded grain is cached.
+        assert plan.count("InMemoryTableScan") == 2
         assert "EvalPython" not in plan
     finally:
         from switchback_test_dag_spark.caching import release_all
