@@ -384,25 +384,44 @@ def power_ci_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 + T10 off the same moment table: detection power for an injected
     +3.0 effect (exact moment algebra — no second fact pass) and CI coverage
     under the null (≈ 95% at the normal critical value), one row."""
-    from switchback_test_dag_spark.caching import pin
-
     ev = load_table(spark, sf_dir, "events")
-    # pin: one bucket-moments pass (the only fact-table shuffle) feeds both
-    # the power and the coverage halves
-    m = pin(P.bucket_moments(ev, "value", F.expr(_SPARK_BUCKET)))
-    pw = P.power_simulation(
-        ev, "value", F.expr(_SPARK_BUCKET), N_SEEDS, EFFECT, CRIT, moments=m
+    # one fact pass, one seeded aggregation: fused_sweep_stats yields the
+    # bucket-t statistic per seed for BOTH the injected (power) and the null
+    # (coverage) hypotheses, so the power and coverage halves are two
+    # aggregate columns over the same per-seed frame — no pinned moments, no
+    # second seeded expansion, no cross join of branch results
+    m = P.bucket_moments(ev, "value", F.expr(_SPARK_BUCKET))
+    stats = P.fused_sweep_stats(P.with_seeds(m, N_SEEDS), EFFECT)
+    covered = (
+        (F.col("bt_diff") - CRIT * F.col("bt_se") <= 0)
+        & (F.col("bt_diff") + CRIT * F.col("bt_se") >= 0)
     )
-    cv = P.ci_coverage(ev, "value", F.expr(_SPARK_BUCKET), N_SEEDS, CRIT, moments=m)
-    from pyspark.sql.functions import broadcast
-
-    return pw.select(F.round("power", 6).alias("power"), "n_sims").crossJoin(
-        broadcast(
-            cv.select(
-                F.round("coverage", 6).alias("coverage"),
-                F.col("n_sims").alias("n_sims_cov"),
-            )
-        )
+    return stats.agg(
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("bt_se_p").isNotNull()
+                    & (F.abs(F.col("bt_diff_p") / F.col("bt_se_p")) > CRIT),
+                    1.0,
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("power"),
+        F.count(F.lit(1)).alias("n_sims"),
+        # avg skips NULLs, so gating the indicator on se IS NOT NULL is the
+        # filter(se notnull) of ci_coverage expressed as one aggregate column
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("bt_se").isNotNull(),
+                    F.when(covered, 1.0).otherwise(0.0),
+                )
+            ),
+            6,
+        ).alias("coverage"),
+        F.sum(F.when(F.col("bt_se").isNotNull(), 1).otherwise(0)).alias(
+            "n_sims_cov"
+        ),
     )
 
 
