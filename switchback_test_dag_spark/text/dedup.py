@@ -256,6 +256,11 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc", F.explode(lsh_band_keys("sig", bands, rows)).alias("bk")
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # persist the band-key frame: the candidate SELF-join otherwise plans the
+    # whole signature pipeline (shingle scan → k-min aggregate → banding) as
+    # two independent subtrees — the signature cost doubles. The cache is
+    # docs × bands rows of three fixed-width columns, scale-safe.
+    banded = _persist(banded)
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
@@ -394,6 +399,11 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select("doc", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
+    # persist the chunk frame: the pigeonhole SELF-join otherwise plans the
+    # whole signature pipeline (token md5 → 60-sum vote aggregate → chunking)
+    # as two independent subtrees — the signature cost doubles. The cache is
+    # docs × n_chunks fixed-width rows, scale-safe.
+    chunks = _persist(chunks)
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(
@@ -588,6 +598,11 @@ def ngram_jaccard_pairs(
             .filter(F.col("rn") <= prefix_bound)
             .select("doc", "h")
         )
+        # persist the prefix postings: the candidate SELF-join otherwise
+        # plans the df-count window + prefix-rank window (two sorts over all
+        # postings) as two independent subtrees — the indexing cost doubles.
+        # The cache is the prefix postings only (≤ (1−t)·|sh|+1 per doc).
+        pref = _persist(pref)
         cand = (
             pref.alias("a")
             .join(
