@@ -515,7 +515,10 @@ def winnow_shared_pairs(
             .filter(F.col("_df") <= max_df)
             .select("fingerprint")
         )
-        fps = fps.join(rare, "fingerprint")
+        # persist the capped postings too: the pair SELF-join below otherwise
+        # plans the df-cap join (cache scan + df aggregate + join) once per
+        # side — the whole boilerplate-cap stage would run twice
+        fps = _persist(fps.join(rare, "fingerprint"))
     return (
         fps.alias("a")
         .join(
