@@ -226,11 +226,15 @@ def test_winnow_plan_shares_fingerprint_scan(spark, sf_dir):
     # all-JVM arrays, no cartesian
     try:
         plan = _plan(spark, "doc_winnow_pairs", sf_dir)
-        # every fingerprint consumer must read the persisted frame: each
-        # self-join side re-derives the capped frame (postings scan + the
-        # max_df rare-fingerprint count's scan) = 4 cached reads, zero
-        # re-runs of the md5/winnowing transform or the documents scan
-        assert plan.count("InMemoryTableScan") == 4
+        # the pair self-join reads the PERSISTED capped-postings frame on
+        # both sides (the df-cap stage — postings scan + rare-fingerprint
+        # count + join — used to re-run once per side). The printed text
+        # repeats each cached relation's child description, so the count is
+        # 6: 2 top-level capped reads, each printing its 2 inner fps-cache
+        # reads. What matters at runtime: md5/winnowing and the documents
+        # scan run once, at fps materialization; the cap stage once, at
+        # capped-frame materialization.
+        assert plan.count("InMemoryTableScan") == 6
         assert "CartesianProduct" not in plan
         assert "EvalPython" not in plan
     finally:
