@@ -377,7 +377,10 @@ def measure_minhash_oph(spark, sf_dir: str) -> dict:
     from bench import _make_cpu_reader, _stable_cpu_read
     from switchback_test_dag_spark.caching import release_all
 
-    group = int(os.environ.get("SPARK_GRAFT_OPH_GROUP", "25"))
+    # 50 consecutive sf1 docs ≈ 3000 tokens — the corpus the docstring and
+    # the committed SCALE.md numbers describe (25 would halve the document
+    # length and understate the classic scheme's O(|shingles|·k) term)
+    group = int(os.environ.get("SPARK_GRAFT_OPH_GROUP", "50"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     longdocs = (
         docs.withColumn("g", F.floor(F.col("doc_id") / group))
