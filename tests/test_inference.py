@@ -268,3 +268,52 @@ def test_fused_sweep_matches_composed_branches(events):
             else:
                 assert got_se == pytest.approx(exp[seed]["se"], rel=1e-7), (
                     tag, suffix, seed)
+
+
+def test_fused_sweep_degenerate_arms_match_composed(spark):
+    """Edge semantics of the fused sweep on hand-built moment tables: a seed
+    whose buckets all land on one arm (empty other arm), a single bucket per
+    arm (bucket-t variance fallback), and n=1 buckets (order-t dof guard)
+    must produce EXACTLY the composed operators' NULL-se pattern."""
+    from switchback_test_dag_spark.stats.crse import crse_from_cluster_moments
+
+    # p=1.0 -> every bucket 'On' (empty Off arm) for every seed;
+    # p=0.0 -> empty On arm
+    rows = [(float(b), 3, 6.0, 14.0) for b in range(4)]
+    m = spark.createDataFrame(rows, "bucket double, n long, s1 double, s2 double")
+    for p in (1.0, 0.0):
+        seeded = P.with_seeds(m, 2, p=p)
+        fused = P.fused_sweep_stats(seeded, 1.0).collect()
+        for r in fused:
+            assert r["ot_se"] is None and r["bt_se"] is None and r["cr_se"] is None
+            assert r["ot_se_p"] is None and r["bt_se_p"] is None and r["cr_se_p"] is None
+
+    # exactly one bucket per arm: bucket-t g_on = g_off = 1 -> se NULL in
+    # both forms; order-t still valid (n_on = n_off = 3 > 1)
+    two = spark.createDataFrame(
+        [(0.0, 3, 6.0, 14.0), (1.0, 3, 9.0, 29.0)],
+        "bucket double, n long, s1 double, s2 double",
+    )
+    # find a seed where the md5 arm split puts one bucket per arm
+    seeded = P.with_seeds(two, 50)
+    split = {
+        r["seed"]
+        for r in seeded.groupBy("seed")
+        .agg(F.countDistinct("arm").alias("k"))
+        .filter(F.col("k") == 2)
+        .collect()
+    }
+    assert split, "no seed split the two buckets across arms"
+    seeded2 = seeded.filter(F.col("seed").isin(list(split)[:3]))
+    fused = {r["seed"]: r for r in P.fused_sweep_stats(seeded2, 1.0).collect()}
+    comp_bt = {r["seed"]: r for r in P.bucket_level_t(seeded2).collect()}
+    comp_ot = {r["seed"]: r for r in P.order_level_t(seeded2).collect()}
+    comp_cr = {r["seed"]: r for r in crse_from_cluster_moments(seeded2).collect()}
+    for s, r in fused.items():
+        assert r["bt_se"] is None and comp_bt[s]["se"] is None
+        assert (r["ot_se"] is None) == (comp_ot[s]["se"] is None)
+        if comp_ot[s]["se"] is not None:
+            assert r["ot_se"] == pytest.approx(comp_ot[s]["se"], rel=1e-9)
+        assert (r["cr_se"] is None) == (comp_cr[s]["se"] is None)
+        if comp_cr[s]["se"] is not None:
+            assert r["cr_se"] == pytest.approx(comp_cr[s]["se"], rel=1e-9)
