@@ -4,16 +4,19 @@ embedding-cosine near-dup, designed for 100 TB corpora.
 Scale design:
 - **exact**: hash-groupBy on a content fingerprint — one shuffle keyed on the
   fingerprint, map-side combinable.
-- **MinHash+LSH**: signatures are a single ``transform(sequence(0,k-1), ...)``
-  expression (no UDF, no explode); banding explodes k/r band keys per doc and
-  self-joins on (band, band_hash) — the shuffle is keyed on band hashes, which
-  are uniform by construction (no skew). Candidates are then verified with the
-  exact Jaccard on shingle sets. This is the shape of every published web-scale
-  dedup (e.g. the C4/RefinedWeb pipelines): candidate generation cost
-  O(docs · bands), never O(docs²).
-- **SimHash**: 64-bit signature folded from token hashes with
-  ``aggregate``/``zip_with`` bit-vector sums — per-row work O(tokens · 64) in
-  codegen, then near-dup detection by Hamming distance on signature prefixes.
+- **MinHash+LSH**: the classic k-permutation signature is an explode over the
+  hashed shingles + k codegen'd MIN aggregates (higher-order-function lambdas
+  are interpreted per element — measured 7.7× slower than the aggregate form
+  on long documents); banding explodes k/r band keys per doc and self-joins
+  on (band, band_hash) — the shuffle is keyed on band hashes, which are
+  uniform by construction (no skew), and the band frame is persisted so the
+  self-join cannot re-derive the signature pipeline per side. Candidates are
+  then verified with the exact Jaccard on shingle sets. This is the shape of
+  every published web-scale dedup (e.g. the C4/RefinedWeb pipelines):
+  candidate generation cost O(docs · bands), never O(docs²).
+- **SimHash**: per-bit ±1 votes folded as ``bits`` codegen'd SUM aggregates
+  over the exploded token hashes (same interpreted-HOF avoidance), then
+  near-dup detection by Hamming distance on signature prefixes.
 - **brute-force variants** (n-gram Jaccard, embedding cosine) are quadratic and
   exist as the *oracle/verification* path and for small candidate pools —
   production flows go through LSH first.
