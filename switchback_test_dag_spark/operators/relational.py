@@ -155,10 +155,16 @@ def exact_quantiles(
         wide_groups = not by
     vals = df.filter(F.col(value_col).isNotNull()).select(*by, value_col)
     counts = vals.groupBy(*by, value_col).agg(F.count(F.lit(1)).alias("_c"))
-    totals = counts.groupBy(*by).agg(F.sum("_c").alias("_n"))
     if not wide_groups:
         w = Window.partitionBy(*by).orderBy(value_col)
         cum = counts.withColumn("_cum", F.sum("_c").over(w))
+        # _n per group is the group's LAST cumulative count — a second
+        # window over the same partitioning (already sorted; no new
+        # exchange). The previous counts→totals aggregation re-evaluated
+        # the whole distinct-count scan a second time and joined it back.
+        joined = cum.withColumn(
+            "_n", F.max("_cum").over(Window.partitionBy(*by))
+        )
     else:
         # Parallel cumulative sum: ascending (by..., value) ranges land on
         # ascending partition ids (the range partitioner's invariant), so a
@@ -201,13 +207,17 @@ def exact_quantiles(
             .withColumn("_cum", F.col("_lcum") + F.col("_off"))
             .drop("_pid", "_lcum", "_off")
         )
-    # null-safe: a group whose key is NULL must keep its quantile row, exactly
-    # like the builtin percentile's groupBy semantics
-    joined = (
-        _null_safe_equi_join(cum, totals, list(by))
-        if by
-        else cum.crossJoin(broadcast(totals))
-    )
+        # group totals off the PINNED range-partitioned frame (an
+        # aggregate-sized cache read; deriving them from `counts` would
+        # re-run the distinct-count scan from the raw table). null-safe: a
+        # group whose key is NULL must keep its quantile row, exactly like
+        # the builtin percentile's groupBy semantics.
+        totals = parts.groupBy(*by).agg(F.sum("_c").alias("_n"))
+        joined = (
+            _null_safe_equi_join(cum, totals, list(by))
+            if by
+            else cum.crossJoin(broadcast(totals))
+        )
     v = F.col(value_col).cast("double")
     prev = F.col("_cum") - F.col("_c")
     aggs = [F.min("_n").alias("_n")]
