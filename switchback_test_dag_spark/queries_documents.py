@@ -1339,7 +1339,13 @@ def media_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes, JPEG reconstructed pixel sums) are deliberately excluded from the hash — their exactness
     contracts are pytest-gated (see ``_media_jpeg_agg``); everything else is
     integer-exact until the final mean/rms."""
-    disp = _media_dispatch_agg(spark, sf_dir)
+    # pin: the dims and n_media branches below both read this tiny per-fmt
+    # aggregate — without the boundary the dispatch branch's whole
+    # mapInPandas decode (Python-worker work, invisible to cpu_total but
+    # real) runs once per consumer
+    from switchback_test_dag_spark.caching import pin as _pin
+
+    disp = _pin(_media_dispatch_agg(spark, sf_dir))
     disp_dims = disp.select(
         F.concat(F.lit("dispatch_"), F.col("fmt")).alias("fmt"),
         F.lit("all").alias("source"),

@@ -131,7 +131,11 @@ def crse_ols(
     joined = (
         clean.join(broadcast(glob), on=by) if by else clean.crossJoin(broadcast(glob))
     )
-    # per-cluster score sums  h_g = Σ x̃ e
+    # per-cluster score sums  h_g = Σ x̃ e. The global fit constants ride
+    # the aggregations as first() columns (constant per by-group) so the
+    # result needs NO join back onto `glob` — a second consumption of glob
+    # would re-run its full-scan aggregation (glob is tiny but its child
+    # is the fact table).
     per_cluster = (
         joined.withColumn(
             "_score",
@@ -139,14 +143,20 @@ def crse_ols(
             * (F.col("_y") - F.col("_alpha") - F.col("_beta") * F.col("_x")),
         )
         .groupBy(*by, "_cluster")
-        .agg(F.sum("_score").alias("_h"))
+        .agg(
+            F.sum("_score").alias("_h"),
+            F.first("_n").alias("_n"),
+            F.first("_xbar").alias("_xbar"),
+            F.first("_beta").alias("_beta"),
+        )
     )
-    meat = per_cluster.groupBy(*by).agg(
+    res = per_cluster.groupBy(*by).agg(
         F.sum(F.pow("_h", 2)).alias("_meat"),
         F.count(F.lit(1)).alias("n_clusters"),
+        F.first("_n").alias("_n"),
+        F.first("_xbar").alias("_xbar"),
+        F.first("_beta").alias("_beta"),
     )
-
-    res = glob.join(broadcast(meat), on=by) if by else glob.crossJoin(broadcast(meat))
     n, g = F.col("_n"), F.col("n_clusters")
     # guard degenerate partitions (ANSI mode: unguarded x/0 throws)
     valid = (
