@@ -339,3 +339,20 @@ def test_registry_wide_no_unbounded_nested_loop_joins(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in _SCALAR_ATTACH_BNLJ:
             unexpected[name] = "BroadcastNestedLoopJoin"
     assert not unexpected, unexpected
+
+
+def test_single_scan_contracts(spark, sf_dir):
+    """Queries whose round-10 audit removed duplicated scan subtrees must
+    keep their scan counts: the IQR query is two passes over the fact
+    (quantile fences, then filter+aggregate — exact_quantiles itself no
+    longer re-evaluates its distinct-count scan for group totals), and the
+    CRSE fit is two passes (global means, then residual scores — the fit
+    constants ride the aggregations instead of re-joining the glob
+    aggregate). Neither query caches anything, so raw text counts are
+    runtime scan counts."""
+    plan = _plan(spark, "iqr_filtered_stats", sf_dir)
+    assert plan.count("Scan parquet") == 2
+    assert "InMemoryTableScan" not in plan
+    plan = _plan(spark, "crse_beta_se", sf_dir)
+    assert plan.count("Scan parquet") == 2
+    assert "InMemoryTableScan" not in plan
