@@ -12,6 +12,8 @@ Expressions are built with ``F.expr`` format strings keyed on a column name; use
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -59,19 +61,41 @@ def _array_ngrams_sql(
     (distinct by default — shingle semantics; ``distinct=False`` keeps every
     occurrence, the repetition-counting semantics).
 
-    Performance-critical shape: every occurrence of ``arr_sql`` sits at
-    *argument* level (evaluated once per row per occurrence, ~n+1 total), never
-    inside a lambda body — a lambda-body reference is re-evaluated per element,
-    turning an O(len) projection into O(len²) (64×+ slowdowns measured when the
-    array is itself a split/filter expression).
+    Performance-critical shape, two regimes:
+
+    - ``arr_sql`` is a plain COLUMN identifier → per-position
+      ``concat_ws`` over ``element_at`` lookups (column references inside a
+      lambda body are BoundReference reads, not re-evaluated expressions) —
+      allocation-free, measured ~25% less executor CPU than the
+      zip_with-of-slices chain. This is the form the hot dedup paths hit
+      (they materialize the token array behind an Exchange first).
+    - ``arr_sql`` is a composite EXPRESSION → the zip_with chain with every
+      occurrence at *argument* level (evaluated once per row per
+      occurrence, ~n+2 total). A lambda-BODY reference to an expression is
+      re-evaluated per element — an O(len²) blowup measured at 64×+ — and
+      the bind-once ``transform(array(e), a -> ...)`` wrapper that would
+      avoid it produces NESTED lambdas, which Spark 4.1 cannot feed into
+      Python-UDF arguments (UDF extraction fails with INTERNAL_ERROR), so
+      the chain stays the expression-input form.
+
+    Values are identical across regimes (inputs never carry NULL elements;
+    ``concat_ws`` and the concat chain agree on non-NULL strings). Short
+    and NULL inputs yield ``array()`` in both.
     """
-    ln = f"size({arr_sql}) - {n - 1}"
-    acc = f"slice({arr_sql}, 1, {ln})"
-    for k in range(2, n + 1):
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", arr_sql):
+        parts = ", ".join(f"element_at({arr_sql}, i + {k})" for k in range(n))
         acc = (
-            f"zip_with({acc}, slice({arr_sql}, {k}, {ln}), "
-            f"(a, b) -> concat(a, '{sep}', b))"
+            f"transform(sequence(1, size({arr_sql}) - {n - 1}), "
+            f"i -> concat_ws('{sep}', {parts}))"
         )
+    else:
+        ln = f"size({arr_sql}) - {n - 1}"
+        acc = f"slice({arr_sql}, 1, {ln})"
+        for k in range(2, n + 1):
+            acc = (
+                f"zip_with({acc}, slice({arr_sql}, {k}, {ln}), "
+                f"(a, b) -> concat(a, '{sep}', b))"
+            )
     if distinct:
         acc = f"array_distinct({acc})"
     return f"CASE WHEN size({arr_sql}) >= {n} THEN {acc} ELSE array() END"

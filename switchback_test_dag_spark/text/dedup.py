@@ -459,13 +459,15 @@ def winnow_fingerprints(
 
     Returns (doc, fingerprint) rows, distinct per doc.
     """
-    from switchback_test_dag_spark.text.analysis import TOKEN_SPLIT_RE
+    from switchback_test_dag_spark.text.analysis import (
+        TOKEN_SPLIT_RE,
+        _array_ngrams_sql,
+    )
 
     toks = f"filter(split(lower({text_col}), '{TOKEN_SPLIT_RE}'), x -> x != '')"
-    ln = f"size(tk) - {shingle_n - 1}"
-    acc = f"slice(tk, 1, {ln})"
-    for k in range(2, shingle_n + 1):
-        acc = f"zip_with({acc}, slice(tk, {k}, {ln}), (a, b) -> concat(a, ' ', b))"
+    # positional n-grams: order kept, duplicates kept (distinct=False) —
+    # the shared bind-once builder, unlike the Jaccard shingle SET
+    acc = _array_ngrams_sql("tk", shingle_n, " ", distinct=False)
     par = df.sparkSession.sparkContext.defaultParallelism
     hashed = (
         df.select(F.col(id_col).alias("doc"), F.expr(toks).alias("tk"))
