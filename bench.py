@@ -339,14 +339,21 @@ def main() -> None:
     }
     # the round-6 artifact lost the first ~8 queries' run arrays to the
     # driver's bounded stdout capture: persist the COMPLETE artifact to a
-    # file as the durable record (committed per round; SPARK_GRAFT_BENCH_FULL
-    # points big-scale-factor runs at their own file so they never clobber
-    # the sf0.1 record), and keep the stdout line compact (separators strip
-    # ~15%) so the capture has the best shot at parsing whole too
+    # file as the durable record, and keep the stdout line compact
+    # (separators strip ~15%) so the capture has the best shot at parsing
+    # whole too. The DEFAULT path is a .gitignore'd scratch file
+    # (.bench/BENCH_full.json) so driver-initiated and exploratory runs
+    # never dirty the committed record (rounds 8-10 each left the tree
+    # dirty this way); committing an anchor is a deliberate act — point
+    # SPARK_GRAFT_BENCH_FULL at BENCH_full.json (or copy the scratch file)
+    # when recording one. BASELINE.md "Anchor policy" states which artifact
+    # series the cross-round gate reads.
     full_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_FULL", os.path.join(_REPO_DIR, "BENCH_full.json")
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(_REPO_DIR, ".bench", "BENCH_full.json"),
     )
     try:
+        os.makedirs(os.path.dirname(full_path) or ".", exist_ok=True)
         with open(full_path, "w") as fh:
             json.dump(out, fh, indent=1)
             fh.write("\n")
