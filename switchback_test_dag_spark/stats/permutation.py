@@ -347,6 +347,15 @@ def fused_sweep_stats(
     meat = (1 - xbar) * (1 - xbar) * (
         c("q_on") - 2 * cc * c("r_on") + cc * cc * c("w_on")
     ) + xbar * xbar * (c("q_off") - 2 * alpha * c("r_off") + alpha * alpha * c("w_off"))
+    # Conditioning tradeoff of the expanded form: the composed operator sums
+    # per-cluster (s1 − n·c)² (non-negative by construction); the expansion
+    # Σs1² − 2cΣs1·n + c²Σn² subtracts LARGE near-equal terms when bucket
+    # sums dwarf residuals (n large, mean ≫ std), and float rounding can
+    # leave a tiny NEGATIVE meat where the true value is ~0 — sqrt would
+    # then return NaN rather than the guarded NULL. Clamp at 0: the clamp
+    # only engages where the exact meat is within rounding of 0, i.e. the
+    # SE itself is ~0.
+    meat = F.greatest(meat, F.lit(0.0))
     bread = c("N") * xbar * (1 - xbar)
     correction = (c("G") / (c("G") - 1)) * ((c("N") - 1) / (c("N") - 2))
     cr_valid = (

@@ -63,9 +63,9 @@ def _array_ngrams_sql(
 
     Performance-critical shape, two regimes:
 
-    - ``arr_sql`` is a plain COLUMN identifier → per-position
-      ``concat_ws`` over ``element_at`` lookups (column references inside a
-      lambda body are BoundReference reads, not re-evaluated expressions) —
+    - ``arr_sql`` is a plain COLUMN identifier → per-position ``concat``
+      over ``element_at`` lookups (column references inside a lambda body
+      are BoundReference reads, not re-evaluated expressions) —
       allocation-free, measured ~25% less executor CPU than the
       zip_with-of-slices chain. This is the form the hot dedup paths hit
       (they materialize the token array behind an Exchange first).
@@ -78,15 +78,19 @@ def _array_ngrams_sql(
       Python-UDF arguments (UDF extraction fails with INTERNAL_ERROR), so
       the chain stays the expression-input form.
 
-    Values are identical across regimes (inputs never carry NULL elements;
-    ``concat_ws`` and the concat chain agree on non-NULL strings). Short
-    and NULL inputs yield ``array()`` in both.
+    Values are identical across regimes INCLUDING arrays carrying NULL
+    elements: both forms use ``concat``, which propagates a NULL element
+    into a NULL n-gram (the earlier ``concat_ws`` form silently SKIPPED
+    NULLs, so an identifier-named caller with NULL elements would have
+    gotten regime-dependent n-grams). Short and NULL inputs yield
+    ``array()`` in both.
     """
     if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", arr_sql):
-        parts = ", ".join(f"element_at({arr_sql}, i + {k})" for k in range(n))
+        elems = [f"element_at({arr_sql}, i + {k})" for k in range(n)]
+        joiner = f", '{sep}', " if sep else ", "
         acc = (
             f"transform(sequence(1, size({arr_sql}) - {n - 1}), "
-            f"i -> concat_ws('{sep}', {parts}))"
+            f"i -> concat({joiner.join(elems)}))"
         )
     else:
         ln = f"size({arr_sql}) - {n - 1}"

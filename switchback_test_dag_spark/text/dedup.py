@@ -486,16 +486,22 @@ def winnow_fingerprints(
     # executor CPU on the selection stage at sf0.1, value-identical (least
     # and array_min share the binary string ordering; every element_at is
     # in-bounds by the sequence upper limit, so no NULLs enter).
-    least = ", ".join(f"element_at(h, j + {k})" for k in range(1, window + 1))
-    fps = hashed.select(
-        "doc",
-        F.explode(
-            F.expr(
-                f"array_distinct(transform(sequence(0, size(h) - {window}), "
-                f"j -> least({least})))"
-            )
-        ).alias("fingerprint"),
-    )
+    if window < 1:
+        raise ValueError(f"winnowing window must be >= 1, got {window}")
+    if window == 1:
+        # degenerate window: every position is its own minimum, so the
+        # fingerprint set is simply the distinct hashes (least() needs >= 2
+        # args, so the general form below cannot express this case)
+        sel = "array_distinct(h)"
+    else:
+        least = ", ".join(
+            f"element_at(h, j + {k})" for k in range(1, window + 1)
+        )
+        sel = (
+            f"array_distinct(transform(sequence(0, size(h) - {window}), "
+            f"j -> least({least})))"
+        )
+    fps = hashed.select("doc", F.explode(F.expr(sel)).alias("fingerprint"))
     return fps
 
 

@@ -317,3 +317,39 @@ def test_fused_sweep_degenerate_arms_match_composed(spark):
         assert (r["cr_se"] is None) == (comp_cr[s]["se"] is None)
         if comp_cr[s]["se"] is not None:
             assert r["cr_se"] == pytest.approx(comp_cr[s]["se"], rel=1e-9)
+
+
+def test_fused_sweep_crse_meat_cancellation_clamped(spark):
+    """The fused CRSE meat uses the expanded form Σs1² − 2cΣs1·n + c²Σn²;
+    when bucket sums dwarf residuals the subtraction cancels and float
+    rounding can leave the meat slightly NEGATIVE where the exact value
+    is ~0 — unguarded, sqrt() returns NaN instead of a ~0 SE. The values
+    below replicate the aggregation arithmetic in Python and are verified
+    to produce a negative expanded meat; the clamp must yield a finite
+    (≈0) cr_se, never NaN."""
+    a, b = 1000000000.1, 999999999.9  # meat ≈ −163.84 in IEEE double
+
+    # Python replication of the expanded-form arithmetic (test validity
+    # guard: if this stops being negative, the fixture no longer exercises
+    # the clamp and must be re-tuned)
+    s1_on = a + a + a
+    q_on = a * a + a * a + a * a
+    s1_off = b + b
+    q_off = b * b + b * b
+    xbar = 3.0 / 5.0
+    alpha = s1_off / 2.0
+    cc = alpha + (s1_on / 3.0 - alpha)
+    meat = (1 - xbar) * (1 - xbar) * (q_on - 2 * cc * s1_on + cc * cc * 3.0) + (
+        xbar * xbar * (q_off - 2 * alpha * s1_off + alpha * alpha * 2.0)
+    )
+    assert meat < 0, "fixture must hit the cancellation regime"
+
+    rows = [(0, P.ON, 1, a, a * a)] * 3 + [(0, P.OFF, 1, b, b * b)] * 2
+    seeded = spark.createDataFrame(
+        rows, "seed int, arm string, n long, s1 double, s2 double"
+    ).coalesce(1)
+    r = P.fused_sweep_stats(seeded, 0.5).collect()[0]
+    for col in ("cr_se", "cr_se_p"):
+        v = r[col]
+        assert v is not None and not math.isnan(v), f"{col} must not be NaN"
+        assert abs(v) < 1e-3  # exact meat is ~0 here, so SE ≈ 0

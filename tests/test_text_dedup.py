@@ -595,3 +595,65 @@ def test_component_dedup_collapses_clusters(spark):
     pairs = spark.createDataFrame([(1, 3), (2, 3)], "doc_a long, doc_b long")
     kept = sorted(r["doc_id"] for r in component_dedup(docs, "doc_id", pairs).collect())
     assert kept == [1, 9]  # 2 and 3 collapse into cluster keeper 1; 9 untouched
+
+
+def test_winnow_window_one_is_distinct_hashes(spark):
+    """window=1 degenerates to 'every hash is a fingerprint': the general
+    least()-lookup form cannot express it (least needs ≥2 args — analysis-
+    time failure before the special case), so it must return exactly the
+    distinct per-position shingle hashes; window<1 is a ValueError."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["fingerprint"]
+        for r in TD.winnow_fingerprints(
+            df, "doc_id", "text", shingle_n=3, window=1
+        ).collect()
+    }
+    toks = "alpha beta gamma delta alpha beta gamma".split()
+    shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    expected = {
+        hashlib.md5(s.encode()).hexdigest()[:16] for s in shingles
+    }
+    assert got == expected
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        TD.winnow_fingerprints(df, "doc_id", "text", window=0)
+
+    # a window=1 fingerprint set is a superset of any larger window's
+    wide = {
+        r["fingerprint"]
+        for r in TD.winnow_fingerprints(
+            df, "doc_id", "text", shingle_n=3, window=2
+        ).collect()
+    }
+    assert wide <= got
+
+
+def test_array_ngrams_regimes_identical_with_null_elements(spark):
+    """The two _array_ngrams_sql regimes (element_at+concat for column
+    identifiers, zip_with chain for expressions) must be value-identical
+    even when the array carries NULL elements: both use concat, which
+    propagates a NULL element into a NULL n-gram (the old concat_ws form
+    silently skipped NULLs — regime-dependent values)."""
+    from switchback_test_dag_spark.text.analysis import _array_ngrams_sql
+
+    df = spark.createDataFrame(
+        [(["a", None, "b", "c"],), (["x", "y"],), ([],), (None,)],
+        "arr array<string>",
+    )
+    col_form = _array_ngrams_sql("arr", 2, " ", distinct=False)
+    # identity expression defeats the identifier fast-path -> chain regime
+    expr_form = _array_ngrams_sql("slice(arr, 1, size(arr))", 2, " ",
+                                  distinct=False)
+    rows = df.selectExpr(f"{col_form} as a", f"{expr_form} as b").collect()
+    for r in rows:
+        assert r["a"] == r["b"], (r["a"], r["b"])
+    # spot-check the NULL-propagation semantics themselves
+    assert rows[0]["a"] == [None, None, "b c"]
