@@ -264,6 +264,38 @@ soc AS MATERIALIZED (
          count(CASE WHEN sc.covered > 0 THEN 1 END) AS n_dup_span_docs
   FROM documents dd LEFT JOIN scov sc ON dd.doc_id = sc.doc_id
   GROUP BY dd.source
+), stok AS (
+  -- span REMOVAL replay: original-case token rows of affected docs only
+  SELECT doc_id, unnest(
+    [struct_pack(pos := i - 1, tok := otoks[i])
+     for i in generate_series(1, len(otoks))],
+    recursive := true)
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')
+                 AS otoks
+        FROM documents
+        WHERE doc_id IN (SELECT DISTINCT doc_id FROM shit))
+), smark AS (
+  -- running max of duplicated-window ends marks covered token positions
+  SELECT st.doc_id, st.pos, st.tok,
+         max(sh.pos + {_SPAN_L}) OVER (
+           PARTITION BY st.doc_id ORDER BY st.pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce
+  FROM stok st LEFT JOIN shit sh ON st.doc_id = sh.doc_id AND st.pos = sh.pos
+), srebuilt AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN ce IS NULL OR pos >= ce THEN tok END,
+                             ' ' ORDER BY pos), '') AS new_text,
+         count(CASE WHEN ce IS NOT NULL AND pos < ce THEN 1 END) AS cut_toks
+  FROM smark GROUP BY doc_id
+), srem AS (
+  SELECT dd.source,
+         CAST(sum(coalesce(sr.cut_toks, 0)) AS BIGINT) AS span_cut_tokens,
+         count(sr.doc_id) AS n_span_cut_docs,
+         CAST(sum(('0x' || substring(md5(sr.new_text), 1, 10))::BIGINT)
+              AS BIGINT) AS span_text_hash
+  FROM documents dd LEFT JOIN srebuilt sr ON dd.doc_id = sr.doc_id
+  GROUP BY dd.source
 )"""
 
 
@@ -293,10 +325,12 @@ soc AS MATERIALIZED (
               pagg.n_pack_seqs, pagg.pack_max_fill, pagg.pack_overflow_seqs,
               pchk.pack_id_hash,
               ragg.avg_top_token_frac, ragg.avg_dup_2gram_frac,
-              sfr.avg_dup_span_frac, sfr.n_dup_span_docs
+              sfr.avg_dup_span_frac, sfr.n_dup_span_docs,
+              srem.span_cut_tokens, srem.n_span_cut_docs, srem.span_text_hash
        FROM prof JOIN sagg USING (source) JOIN fagg USING (source)
             JOIN pagg USING (source) JOIN pchk USING (source)
-            JOIN ragg USING (source) JOIN sfr USING (source)""",
+            JOIN ragg USING (source) JOIN sfr USING (source)
+            JOIN srem USING (source)""",
 )
 def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis suite per source, one documents scan: token counting
@@ -322,7 +356,11 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-L suffix-dedup approximation): per-source average duplicated-token
     coverage and the count of docs containing any corpus-duplicated
     ``_SPAN_L``-token window, portable md5-prefix window keys replayed
-    verbatim in the oracle."""
+    verbatim in the oracle; and the span-REMOVAL contract
+    (``text/spans.remove_duplicated_spans``): per-source tokens cut, docs
+    affected, and a checksum of the rebuilt texts — the oracle re-performs
+    the cut (running-max coverage over token rows, ordered string_agg), so
+    the value hash pins the actual output text, not just counts."""
     docs = load_table(spark, sf_dir, "documents")
     sample_base = docs.select("doc_id", "source")  # pruned scan for samplers
     qs = TA.quality_score("text")
@@ -441,6 +479,28 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("dup_token_frac"), 6).alias("avg_dup_span_frac"),
         F.count(F.when(F.col("n_dup_positions") > 0, 1)).alias("n_dup_span_docs"),
     )
+    # span-REMOVAL contract (text/spans.remove_duplicated_spans): per-source
+    # tokens cut, documents affected, and a value-sensitive checksum of the
+    # REBUILT texts (40-bit md5-prefix sum) — the oracle replays the cut
+    # itself (token rows of affected docs, running-max coverage, ordered
+    # string_agg), so a single moved/kept token breaks the hash
+    cut = SP.remove_duplicated_spans(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        "text",
+        span_len=_SPAN_L,
+        portable=True,
+    )
+    cut_text_hash = F.conv(
+        F.substring(F.md5(F.col("text")), 1, 10), 16, 10
+    ).cast("long")
+    cagg = cut.join(sample_base, "doc_id").groupBy("source").agg(
+        F.sum("spans_cut_tokens").cast("long").alias("span_cut_tokens"),
+        F.count(F.when(F.col("spans_cut_tokens") > 0, 1)).alias("n_span_cut_docs"),
+        F.sum(F.when(F.col("spans_cut_tokens") > 0, cut_text_hash))
+        .cast("long")
+        .alias("span_text_hash"),
+    )
     return (
         prof.join(F.broadcast(sagg), "source", "left")
         .join(F.broadcast(fagg), "source", "left")
@@ -448,6 +508,7 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(pchk), "source", "left")
         .join(F.broadcast(ragg), "source", "left")
         .join(F.broadcast(spagg), "source", "left")
+        .join(F.broadcast(cagg), "source", "left")
         .withColumn("n_sampled_k7", F.coalesce("n_sampled_k7", F.lit(0)).cast("long"))
         .withColumn(
             "n_frac_sampled", F.coalesce("n_frac_sampled", F.lit(0)).cast("long")

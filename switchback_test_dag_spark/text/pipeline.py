@@ -34,6 +34,7 @@ from switchback_test_dag_spark.text import analysis as TA
 from switchback_test_dag_spark.text import decontaminate as DC
 from switchback_test_dag_spark.text import dedup as TD
 from switchback_test_dag_spark.text import lines as LN
+from switchback_test_dag_spark.text import spans as SP
 
 
 def clean_corpus(
@@ -50,6 +51,9 @@ def clean_corpus(
     decon_n: int = 13,
     quality_col: str = "quality",
     segment_policy: str | None = "boilerplate",
+    span_policy: str | None = None,
+    span_len: int = 13,
+    span_min_count: int = 2,
 ) -> DataFrame:
     """Run the full cleaning chain; returns one row per SURVIVING document
     (quality-passed, scrubbed non-empty, fingerprint-unique, no near-dup
@@ -78,7 +82,25 @@ def clean_corpus(
     Whatever the policy, the stage runs BEFORE fingerprinting — the CCNet
     order pin applies to both segment policies (scrubbing changes
     fingerprints), and is load-bearing-tested for both.
+
+    ``span_policy`` selects a duplicated-SPAN stage between segment
+    scrubbing and exact dedup:
+
+    - ``None`` (default, the oracled contract): no span stage;
+    - ``"remove"``: cut every token covered by a corpus-duplicated
+      ``span_len``-token window (``spans.remove_duplicated_spans`` — Lee et
+      al. 2021's substring dedup applied). Runs on the SCRUBBED text and
+      BEFORE fingerprinting for the same reason the segment stage does:
+      cutting changes fingerprints, so span removal must precede exact and
+      near-dup detection (order pin tested). The output then carries a
+      ``spans_cut_tokens`` bigint column; documents cut to empty text are
+      dropped (the scrubbed-to-nothing rule).
     """
+    if span_policy not in ("remove", None):
+        raise ValueError(
+            f"clean_corpus: unknown span_policy {span_policy!r} "
+            "(expected 'remove' or None)"
+        )
     if segment_policy not in ("boilerplate", "dedup", None):
         raise ValueError(
             f"clean_corpus: unknown segment_policy {segment_policy!r} "
@@ -104,6 +126,13 @@ def clean_corpus(
             .withColumn(text_col, F.concat_ws(rejoin_sep, "_cc_segs"))
             .drop("_cc_segs")
             .filter(F.col(text_col) != "")
+        )
+    if span_policy == "remove":
+        scrubbed = pin(
+            SP.remove_duplicated_spans(
+                scrubbed, id_col, text_col,
+                span_len=span_len, min_count=span_min_count,
+            ).filter(F.col(text_col) != "")
         )
     kept1 = TD.exact_dedup(scrubbed, id_col, text_col)
     near = (

@@ -246,3 +246,64 @@ def test_clean_corpus_segment_policy_none(spark):
     assert sorted(rows) == [1, 2, 3, 4, 6]
     assert rows[1]["text"] == ROWS[0][1]  # raw text untouched
     assert rows[6]["contaminated"] is True
+
+
+def test_clean_corpus_span_policy_remove(spark):
+    """span_policy='remove' cuts corpus-duplicated spans BEFORE
+    fingerprinting (the order pin: two docs that become identical only
+    after the cut must exact-dedup), drops docs cut to empty, carries the
+    spans_cut_tokens column, and rejects unknown policies."""
+    import pytest as _pytest
+
+    # docs 10/11 share the 5-token run "one two three four five" (two
+    # duplicated 4-windows cover it; the boundary windows differ between
+    # the docs, so only the run is cut); the remainder "zz yy xx" is
+    # IDENTICAL but SHORTER than span_len (3 < 4), so it is never a window
+    # of its own — after the cut the docs are exact duplicates and the
+    # fingerprint stage keeps min id 10 (the order pin: cut BEFORE
+    # fingerprinting). doc 12 is ONLY a duplicated span (shared with 13's
+    # prefix) -> cut to empty -> dropped; 13 keeps its unique tail.
+    rows = [
+        (10, "one two three four five zz yy xx"),
+        (11, "zz yy xx one two three four five"),
+        (12, "red orange yellow green blue"),
+        (13, "red orange yellow green blue plus unique trailing words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus(
+        docs,
+        "doc_id",
+        "text",
+        segmenter=_segmenter(),
+        quality_min=0.0,
+        segment_policy=None,
+        span_policy="remove",
+        span_len=4,
+        jaccard_threshold=0.95,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(got) == [10, 13]
+    assert got[10]["text"] == "zz yy xx"
+    assert got[10]["spans_cut_tokens"] == 5
+    assert got[13]["text"] == "plus unique trailing words here"
+    assert got[13]["spans_cut_tokens"] == 5
+    assert "spans_cut_tokens" in out.columns
+
+    # default policy unchanged: no span column, no cutting
+    out_none = clean_corpus(
+        docs,
+        "doc_id",
+        "text",
+        segmenter=_segmenter(),
+        quality_min=0.0,
+        segment_policy=None,
+        jaccard_threshold=0.95,
+    )
+    assert "spans_cut_tokens" not in out_none.columns
+    assert {r["doc_id"] for r in out_none.collect()} == {10, 11, 12, 13}
+
+    with _pytest.raises(ValueError, match="span_policy"):
+        clean_corpus(
+            docs, "doc_id", "text", segmenter=_segmenter(),
+            span_policy="trim",
+        )
