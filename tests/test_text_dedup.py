@@ -657,3 +657,37 @@ def test_array_ngrams_regimes_identical_with_null_elements(spark):
         assert r["a"] == r["b"], (r["a"], r["b"])
     # spot-check the NULL-propagation semantics themselves
     assert rows[0]["a"] == [None, None, "b c"]
+
+
+def test_ivf_training_sample_unbiased_and_partition_invariant(emb):
+    """The coarse-quantizer sample is ordered by xxhash64(id, seed) — a
+    uniform permutation, not the lowest ids (id order correlates with
+    shard/domain at corpus scale and would train the quantizer on one
+    corner of the distribution). Pin: (a) identical centroids across
+    repartitionings (the order is data-determined, not layout-determined),
+    (b) a different seed draws a different sample when the corpus exceeds
+    the sample budget, (c) the sample is NOT the lowest-id prefix."""
+    c1 = VS.train_ivf_centroids(
+        emb.repartition(7), "vec_id", "embedding", n_cells=8, sample_size=64
+    )
+    c2 = VS.train_ivf_centroids(
+        emb.repartition(3), "vec_id", "embedding", n_cells=8, sample_size=64
+    )
+    assert (c1 == c2).all()
+    c3 = VS.train_ivf_centroids(
+        emb, "vec_id", "embedding", n_cells=8, sample_size=64, seed=7
+    )
+    assert not (c1 == c3).all()
+    # the hash order must not reproduce the id order: the first 64 ids by
+    # hash differ from the first 64 ids numerically
+    from pyspark.sql import functions as F
+
+    by_hash = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(0)), "vec_id")
+        .limit(64)
+        .collect()
+    ]
+    by_id = sorted(r["vec_id"] for r in emb.select("vec_id").collect())[:64]
+    assert set(by_hash) != set(by_id)
