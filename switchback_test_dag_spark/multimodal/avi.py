@@ -12,10 +12,12 @@ honored, headers located wherever they appear) — and each frame's pixel rows
 decode exactly like ``bmp.py``'s pixel array (stride padding, bottom-up flip,
 BGR order).
 
-Entropy-coded video (H.26x/VP9/AV1) still requires real codec libraries and
-remains out of scope; uncompressed-DIB AVI is the standard container every
-video toolchain accepts, so frame-sampling / per-frame feature pipelines are
-exercised on REAL bytes end to end.
+MJPEG-in-AVI (fourcc ``MJPG``) composes this container walker with the
+baseline-JPEG codec (``jpeg.py``): each ``00dc`` chunk is one complete JPEG
+image, so COMPRESSED video decode runs end to end on real bytes with parts
+already on the shelf — only the fourcc dispatch and per-frame JPEG slicing
+are new. Motion-compensated video (H.26x/VP9/AV1) still requires real codec
+libraries and remains the one documented stub.
 """
 
 from __future__ import annotations
@@ -28,6 +30,33 @@ _FOURCC_RIFF = b"RIFF"
 _FOURCC_AVI = b"AVI "
 _FOURCC_LIST = b"LIST"
 _INFO_HEADER = "<IiiHHIIiiII"
+# BITMAPINFOHEADER biCompression value for MJPEG ('MJPG' little-endian)
+_MJPG_INT = int.from_bytes(b"MJPG", "little")
+
+
+def _iter_chunks(buf: bytes, pos: int, end: int):
+    """Depth-first (name, body_offset, size) walk over RIFF chunks, LISTs
+    flattened, unknown chunks surfaced for the caller to skip — the shared
+    walking discipline of both AVI decoders (word-alignment padding honored,
+    headers located wherever they appear)."""
+    while pos + 8 <= end:
+        name, size = struct.unpack_from("<4sI", buf, pos)
+        pos += 8
+        body_end = min(pos + size, end)
+        if name == _FOURCC_LIST:
+            yield from _iter_chunks(buf, pos + 4, body_end)
+        else:
+            yield name, pos, size
+        pos += size + (size & 1)  # RIFF word alignment
+
+
+def _require_avi(payload: bytes) -> None:
+    if (
+        len(payload) < 12
+        or payload[:4] != _FOURCC_RIFF
+        or payload[8:12] != _FOURCC_AVI
+    ):
+        raise ValueError("not a RIFF/AVI container")
 
 
 def _row_stride(width: int) -> int:
@@ -92,53 +121,137 @@ def decode_avi_dib(payload: bytes) -> tuple[int, np.ndarray]:
     ``00db``/``00dc``-BI_RGB frame inside ``LIST movi`` wherever they sit;
     skips unknown chunks with RIFF word alignment. Raises ``ValueError`` on
     malformed containers or compressed streams."""
-    if len(payload) < 12 or payload[:4] != _FOURCC_RIFF or payload[8:12] != _FOURCC_AVI:
-        raise ValueError("not a RIFF/AVI container")
+    _require_avi(payload)
 
     geom: dict = {}
     frames: list[np.ndarray] = []
-
-    def walk(buf: bytes, pos: int, end: int) -> None:
-        while pos + 8 <= end:
-            name, size = struct.unpack_from("<4sI", buf, pos)
-            pos += 8
-            body_end = min(pos + size, end)
-            if name == _FOURCC_LIST:
-                walk(buf, pos + 4, body_end)  # skip the 4-byte list type
-            elif name == b"strh":
-                fcc_type, _hdl, _fl, _pri, _lang, _init, scale, rate = (
-                    struct.unpack_from("<4s4sIHHIII", buf, pos)
+    for name, pos, size in _iter_chunks(payload, 12, len(payload)):
+        if name == b"strh":
+            fcc_type, _hdl, _fl, _pri, _lang, _init, scale, rate = (
+                struct.unpack_from("<4s4sIHHIII", payload, pos)
+            )
+            if fcc_type == b"vids" and scale:
+                geom["fps"] = rate // scale
+        elif name == b"strf" and "w" not in geom:
+            hsize, w, h, _planes, bpp, compression = struct.unpack_from(
+                "<IiiHHI", payload, pos
+            )
+            if hsize >= 40 and bpp == 24 and compression == 0:
+                geom["w"], geom["h"] = w, abs(h)
+                geom["top_down"] = h < 0
+            else:
+                raise ValueError(
+                    f"unsupported stream: bpp={bpp} compression={compression}"
                 )
-                if fcc_type == b"vids" and scale:
-                    geom["fps"] = rate // scale
-            elif name == b"strf" and "w" not in geom:
-                hsize, w, h, _planes, bpp, compression = struct.unpack_from(
-                    "<IiiHHI", buf, pos
-                )
-                if hsize >= 40 and bpp == 24 and compression == 0:
-                    geom["w"], geom["h"] = w, abs(h)
-                    geom["top_down"] = h < 0
-                else:
-                    raise ValueError(
-                        f"unsupported stream: bpp={bpp} compression={compression}"
-                    )
-            elif name in (b"00db", b"00dc"):
-                if "w" not in geom:
-                    raise ValueError("frame chunk before stream format header")
-                w, h = geom["w"], geom["h"]
-                stride = _row_stride(w)
-                if size < stride * h:
-                    raise ValueError("truncated frame chunk")
-                rows = np.frombuffer(
-                    buf, dtype=np.uint8, count=stride * h, offset=pos
-                ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-                rgb = rows[:, :, ::-1]
-                if not geom.get("top_down"):
-                    rgb = rgb[::-1]
-                frames.append(np.ascontiguousarray(rgb))
-            pos += size + (size & 1)  # RIFF word alignment
+        elif name in (b"00db", b"00dc"):
+            if "w" not in geom:
+                raise ValueError("frame chunk before stream format header")
+            w, h = geom["w"], geom["h"]
+            stride = _row_stride(w)
+            if size < stride * h:
+                raise ValueError("truncated frame chunk")
+            rows = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * h, offset=pos
+            ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+            rgb = rows[:, :, ::-1]
+            if not geom.get("top_down"):
+                rgb = rgb[::-1]
+            frames.append(np.ascontiguousarray(rgb))
+    if "w" not in geom or not frames:
+        raise ValueError("missing stream header or frames")
+    return geom.get("fps", 0), np.stack(frames)
 
-    walk(payload, 12, len(payload))
+
+def encode_avi_mjpg(jpeg_frames: list, width: int, height: int, fps: int = 10) -> bytes:
+    """List of complete baseline-JPEG byte payloads (same geometry each) →
+    MJPEG AVI bytes: the identical RIFF layout as :func:`encode_avi_dib`
+    with fccHandler/biCompression 'MJPG' and one ``00dc`` chunk per JPEG.
+    Container size is NOT closed-form (entropy-coded frame sizes vary) —
+    byte-accounting contracts stay with the DIB path."""
+    if not jpeg_frames:
+        raise ValueError("MJPEG AVI needs at least one frame")
+    frames = [bytes(f) for f in jpeg_frames]
+    n = len(frames)
+    max_size = max(len(f) for f in frames)
+
+    strf = struct.pack(
+        _INFO_HEADER, 40, width, height, 1, 24, _MJPG_INT, max_size, 0, 0, 0, 0
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, max_size, 0, 0, 0, 0,
+        width, height,
+    )
+    strl = (
+        _FOURCC_LIST
+        + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf))
+        + b"strl"
+        + b"strh" + struct.pack("<I", len(strh)) + strh
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    )
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, max_size * fps, 0, 0x10, n, 0, 1, max_size,
+        width, height, 0, 0, 0, 0,
+    )
+    hdrl = (
+        _FOURCC_LIST
+        + struct.pack("<I", 4 + 8 + len(avih) + len(strl))
+        + b"hdrl"
+        + b"avih" + struct.pack("<I", len(avih)) + avih
+        + strl
+    )
+    movi_body = b"".join(
+        b"00dc" + struct.pack("<I", len(f)) + f + (b"\x00" if len(f) & 1 else b"")
+        for f in frames
+    )
+    movi = _FOURCC_LIST + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = _FOURCC_AVI + hdrl + movi
+    return _FOURCC_RIFF + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpg(payload: bytes) -> tuple[int, np.ndarray]:
+    """MJPEG AVI bytes → (fps, (n, h, w, 3) uint8 RGB frame stack): the same
+    chunk walk as :func:`decode_avi_dib`, but the stream format must declare
+    biCompression 'MJPG' and every ``00dc``/``00db`` chunk body is one
+    complete baseline JPEG decoded by the full entropy-decode + dequantize +
+    IDCT parser (``jpeg.decode_jpeg``). Raises ``ValueError`` on
+    uncompressed or otherwise non-MJPG streams (use :func:`decode_avi_dib`),
+    malformed containers, or a frame whose decoded geometry disagrees with
+    the stream header."""
+    from switchback_test_dag_spark.multimodal.jpeg import decode_jpeg
+
+    _require_avi(payload)
+
+    geom: dict = {}
+    frames: list[np.ndarray] = []
+    for name, pos, size in _iter_chunks(payload, 12, len(payload)):
+        if name == b"strh":
+            fcc_type, _hdl, _fl, _pri, _lang, _init, scale, rate = (
+                struct.unpack_from("<4s4sIHHIII", payload, pos)
+            )
+            if fcc_type == b"vids" and scale:
+                geom["fps"] = rate // scale
+        elif name == b"strf" and "w" not in geom:
+            hsize, w, h, _planes, _bpp, compression = struct.unpack_from(
+                "<IiiHHI", payload, pos
+            )
+            if hsize >= 40 and compression == _MJPG_INT:
+                geom["w"], geom["h"] = w, abs(h)
+            else:
+                raise ValueError(
+                    f"not an MJPG stream: compression={compression}"
+                )
+        elif name in (b"00db", b"00dc"):
+            if "w" not in geom:
+                raise ValueError("frame chunk before stream format header")
+            frame = decode_jpeg(payload[pos : pos + size])
+            if frame.shape[:2] != (geom["h"], geom["w"]):
+                raise ValueError(
+                    f"frame geometry {frame.shape[:2]} disagrees with stream "
+                    f"header {(geom['h'], geom['w'])}"
+                )
+            frames.append(frame)
     if "w" not in geom or not frames:
         raise ValueError("missing stream header or frames")
     return geom.get("fps", 0), np.stack(frames)

@@ -411,6 +411,95 @@ def decode_avi_features(media: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_mjpeg_avi_videos(df: DataFrame, id_col: str, quality: int = 90) -> DataFrame:
+    """MEDIA_SCHEMA video rows with REAL MJPEG-in-AVI payloads — compressed
+    video through parts already on the shelf (baseline-JPEG encoder +
+    RIFF/AVI writer, ``jpeg.py`` + ``avi.py``). Per id: ``2 + id % 3``
+    frames of geometry ``(6 + id % 7) × (6 + id % 5)`` (closed-form for the
+    oracle), frame ``j`` the BMP test pattern seeded by ``id·1009 + j``,
+    each frame JPEG-encoded then boxed as a ``00dc`` chunk, fps 12."""
+    from switchback_test_dag_spark.multimodal.avi import encode_avi_mjpg
+    from switchback_test_dag_spark.multimodal.jpeg import encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs, durs = [], [], [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, n = 6 + mid % 7, 6 + mid % 5, 2 + mid % 3
+                blobs = [
+                    encode_jpeg(_bmp_pixels(mid * 1009 + j, w, h), quality)[0]
+                    for j in range(n)
+                ]
+                payloads.append(encode_avi_mjpg(blobs, width=w, height=h, fps=12))
+                ws.append(w)
+                hs.append(h)
+                durs.append(n * 1000 // 12)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "video",
+                    "payload": payloads,
+                    "mime": "video/x-msvideo",
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "duration_ms": durs,
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_mjpeg_avi_features(media: DataFrame) -> DataFrame:
+    """Parse REAL MJPEG AVI bytes → video features through the full
+    container walk + per-frame baseline-JPEG decode
+    (``avi.decode_avi_mjpg``). Frame count, fps, and decoder-reported
+    geometry are closed-form per id (oracle-replayable); ``n_bytes`` and the
+    reconstructed pixel sums are entropy-/quantization-dependent and NOT
+    SQL-replayable — their exactness contracts are pytest-gated, same policy
+    as the still-JPEG path (``_media_jpeg_agg``)."""
+    from switchback_test_dag_spark.multimodal.avi import decode_avi_mjpg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            fpss, nfs, ws, hs, nbs, sums, w0 = [], [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                fps, frames = decode_avi_mjpg(raw)
+                n, h, w, _ = frames.shape
+                f0 = frames[0].astype(np.int64)
+                weights = np.arange(1, h * w * 3 + 1, dtype=np.int64).reshape(
+                    h, w, 3
+                )
+                fpss.append(fps)
+                nfs.append(n)
+                ws.append(w)
+                hs.append(h)
+                nbs.append(len(raw))
+                sums.append(int(frames.astype(np.int64).sum()))
+                w0.append(int((f0 * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fps": fpss,
+                    "n_frames": nfs,
+                    "width": ws,
+                    "height": hs,
+                    "n_bytes": nbs,
+                    "sum_px": sums,
+                    "frame0_wsum": w0,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=VIDEO_FEATURE_SCHEMA
+    )
+
+
 def sample_avi_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     """REAL frame sampling over AVI payloads (superseding the fake slicer in
     :func:`sample_frames` for this container): decode, keep every ``every_n``-th

@@ -1118,6 +1118,50 @@ def _media_avi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MJPEG-in-AVI: frame count / fps / decoder-reported geometry are closed-form
+# per doc_id; byte size and reconstructed pixels are entropy-coded and stay
+# pytest-gated (the still-JPEG policy)
+_DUCK_MJPG_AGG = """
+       SELECT source, CAST(count(*) AS BIGINT) AS n_media,
+              CAST(sum(2 + doc_id % 3) AS BIGINT) AS total_frames,
+              CAST(12 AS BIGINT) AS fps_max,
+              CAST(sum((6 + doc_id % 7) * (6 + doc_id % 5) * (2 + doc_id % 3))
+                   AS BIGINT) AS total_px
+       FROM documents GROUP BY source"""
+
+
+def _media_mjpg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED video in the driver-oracled suite: per-document MJPEG AVI
+    payloads (variable geometry and frame count, closed-form per doc_id;
+    each frame a real baseline JPEG inside a real RIFF container —
+    multimodal/avi.py + jpeg.py composed) are decoded by the container walk
+    + full per-frame JPEG parse inside ``mapInPandas``. The hash pins frame
+    counts, fps, and decoder-reported geometry — a chunk-slicing, fourcc, or
+    marker-parse bug breaks the match; a decode failure on any payload fails
+    the whole query, so the hash certifies the compressed-video path RUNS on
+    every payload. Reconstructed pixel fidelity is pytest-gated
+    (tests/test_multimodal.py), the same policy as the still-JPEG branch."""
+    from switchback_test_dag_spark.multimodal.media import (
+        decode_mjpeg_avi_features,
+        synthesize_mjpeg_avi_videos,
+    )
+
+    docs = _fanout_docs(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    )
+    media = synthesize_mjpeg_avi_videos(docs, "doc_id", quality=90)
+    feats = decode_mjpeg_avi_features(media)
+    joined = feats.join(docs, feats.media_id == docs.doc_id)
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_media"),
+        F.sum("n_frames").cast("long").alias("total_frames"),
+        F.max("fps").cast("long").alias("fps_max"),
+        F.sum(
+            F.col("width").cast("long") * F.col("height") * F.col("n_frames")
+        ).cast("long").alias("total_px"),
+    )
+
+
 _DUCK_JPEG_PER = """jpeg_dims AS (
          SELECT doc_id, source, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
          FROM documents
@@ -1313,7 +1357,7 @@ _DUCK_MEDIA_SUITE = (
     )
     + f",\nbmp_agg AS ({_DUCK_BMP_AGG}),\nwav_agg AS ({_DUCK_WAV_AGG}),"
     + f"\npng_agg AS ({_DUCK_PNG_AGG}),\navi_agg AS ({_DUCK_AVI_AGG}),"
-    + f"\njpeg_agg AS ({_DUCK_JPEG_AGG})\n"
+    + f"\njpeg_agg AS ({_DUCK_JPEG_AGG}),\nmjpg_agg AS ({_DUCK_MJPG_AGG})\n"
     + "\nUNION ALL\n".join(
         [
             _duck_unpivot(
@@ -1373,6 +1417,11 @@ _DUCK_MEDIA_SUITE = (
                 "jpeg",
                 ["n_media", "total_px", "total_w", "total_h"],
             ),
+            _duck_unpivot(
+                "mjpg_agg",
+                "mjpg",
+                ["n_media", "total_frames", "fps_max", "total_px"],
+            ),
             _DUCK_DISPATCH_TALL,
         ]
     )
@@ -1381,11 +1430,13 @@ _DUCK_MEDIA_SUITE = (
 
 @query("media_decode_suite", _DUCK_MEDIA_SUITE)
 def media_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL FIVE real codec paths in one (fmt, source, metric) contract — BMP
+    """ALL SIX real codec paths in one (fmt, source, metric) contract — BMP
     (uncompressed DIB), WAV (RIFF PCM16), PNG (DEFLATE + all five scanline
-    filters), AVI (RIFF container walk + per-frame DIB decode), and baseline
-    JPEG (entropy decode + dequantize + IDCT) payloads decoded by the
-    pure-Python parsers inside Arrow-batched ``mapInPandas``
+    filters), AVI (RIFF container walk + per-frame DIB decode), baseline
+    JPEG (entropy decode + dequantize + IDCT), and MJPEG-in-AVI (the
+    container walk COMPOSED with the JPEG parser — real compressed video)
+    payloads decoded by the pure-Python parsers inside Arrow-batched
+    ``mapInPandas``
     (multimodal/{bmp,wav,png,avi,jpeg}.py), features aggregated per source,
     then unpivoted to a shared tall schema and unioned. The oracle never sees
     bytes: each branch recomputes its metrics from closed-form payload
@@ -1431,6 +1482,7 @@ def media_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_unpivot_metrics(_media_png_agg(spark, sf_dir), "png"))
         .unionByName(_unpivot_metrics(_media_avi_agg(spark, sf_dir), "avi"))
         .unionByName(_unpivot_metrics(_media_jpeg_agg(spark, sf_dir), "jpeg"))
+        .unionByName(_unpivot_metrics(_media_mjpg_agg(spark, sf_dir), "mjpg"))
         .unionByName(disp_dims)
         .unionByName(disp_n)
     )
