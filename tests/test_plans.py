@@ -356,3 +356,66 @@ def test_single_scan_contracts(spark, sf_dir):
     plan = _plan(spark, "crse_beta_se", sf_dir)
     assert plan.count("Scan parquet") == 2
     assert "InMemoryTableScan" not in plan
+
+
+def test_no_new_duplicated_scans(spark, sf_dir):
+    """The round-10 duplicated-scan sweep (tools/scan_audit.py), frozen as a
+    regression gate: every registry query with an UNCACHED duplicated scan
+    (imts=0 — the trustworthy suspects; cached plans over-count by printing
+    each InMemoryRelation's child) must appear in the allowlist below with
+    at most its audited excess. A NEW uncached duplicated-scan row, or an
+    allowlisted query's excess GROWING, fails — registry changes must update
+    the allowlist explicitly, with a reason.
+
+    Allowlist reasons (the round-10 verdict's documented categories):
+    - recall contracts scan the corpus for the approximate AND the exact
+      path by design (emb_lsh_topk, emb_ivf_topk, emb_cosine_topk);
+    - the ELT stage chain re-reads temp views by documented semantics
+      (elt_orders_fact), and its tiny dims re-scan harmlessly
+      (sb_metrics / sb_mwu_pvalues: nation);
+    - two-branch exhibits read the same table once per contrasted mode
+      (region_nation_explode_modes, orders_semi_anti_join,
+      topk_union_customers, events_scalar_suite, keep_drop_flag_clean,
+      doc_fingerprint_dups: corpus + planted-dup union);
+    - two-pass statistics whose first pass produces a broadcast scalar
+      (iqr_filtered_stats: fences then filter; crse_beta_se: means then
+      scores; assign_spatial_battery: city set then assignment).
+    """
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    from scan_audit import audit_registry
+
+    ALLOWED_UNCACHED_EXCESS = {
+        "emb_lsh_topk": 3,
+        "emb_ivf_topk": 3,
+        "emb_cosine_topk": 1,
+        "elt_orders_fact": 2,
+        "region_nation_explode_modes": 2,
+        "orders_semi_anti_join": 2,
+        "sb_mwu_pvalues": 1,
+        "sb_metrics": 1,
+        "topk_union_customers": 1,
+        "keep_drop_flag_clean": 1,
+        "iqr_filtered_stats": 1,
+        "events_scalar_suite": 1,
+        "doc_fingerprint_dups": 1,
+        "crse_beta_se": 1,
+        "assign_spatial_battery": 1,
+    }
+    errors: list[str] = []
+    rows = audit_registry(
+        spark, sf_dir,
+        on_error=lambda name, exc: errors.append(f"{name}: {exc}"),
+    )
+    assert not errors, errors
+    violations = {}
+    for excess, _scans, _ntab, imts, name, dup in rows:
+        if imts:
+            continue  # cached plans over-count; eyeball via --show
+        if excess > ALLOWED_UNCACHED_EXCESS.get(name, 0):
+            violations[name] = (excess, dup)
+    assert not violations, (
+        "new or grown uncached duplicated scans (fix the plan or extend the "
+        f"allowlist with a reason): {violations}"
+    )

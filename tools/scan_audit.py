@@ -40,6 +40,37 @@ from switchback_test_dag_spark.session import get_spark  # noqa: E402
 _TABLE_RE = re.compile(r"/(\w+)\.parquet")
 
 
+def audit_registry(spark, sf: str, on_error=None) -> list[tuple]:
+    """One sweep over every registry query: build the executed plan (no
+    execution) and return ``(excess, scans, n_tables, imts, name, dup)``
+    rows for queries whose plan carries more parquet-scan nodes than
+    distinct tables, sorted worst-first. Shared by the CLI below and the
+    regression gate in tests/test_plans.py (``test_no_new_duplicated_scans``
+    — a NEW uncached duplicated-scan row fails there, so the sweep is a
+    failing test, not a periodic chore)."""
+    from switchback_test_dag_spark import queries as q
+
+    rows = []
+    for name, fn in q.QUERIES.items():
+        try:
+            plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 - audit is best-effort per query
+            if on_error:
+                on_error(name, exc)
+            continue
+        finally:
+            release_all()
+        scans = plan.count("Scan parquet")
+        tables = Counter(_TABLE_RE.findall(plan))
+        imts = plan.count("InMemoryTableScan")
+        excess = scans - len(tables)
+        if excess > 0:
+            dup = {t: c for t, c in tables.items() if c > 1}
+            rows.append((excess, scans, len(tables), imts, name, dup))
+    rows.sort(reverse=True)
+    return rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
@@ -59,23 +90,13 @@ def main() -> None:
         print(plan)
         return
 
-    rows = []
-    for name, fn in q.QUERIES.items():
-        try:
-            plan = fn(spark, args.sf)._jdf.queryExecution().executedPlan().toString()
-        except Exception as exc:  # noqa: BLE001 - audit is best-effort per query
-            print(f"{name}: ERROR {type(exc).__name__}: {exc}", file=sys.stderr)
-            continue
-        finally:
-            release_all()
-        scans = plan.count("Scan parquet")
-        tables = Counter(_TABLE_RE.findall(plan))
-        imts = plan.count("InMemoryTableScan")
-        excess = scans - len(tables)
-        if excess > 0:
-            dup = {t: c for t, c in tables.items() if c > 1}
-            rows.append((excess, scans, len(tables), imts, name, dup))
-    rows.sort(reverse=True)
+    rows = audit_registry(
+        spark,
+        args.sf,
+        on_error=lambda name, exc: print(
+            f"{name}: ERROR {type(exc).__name__}: {exc}", file=sys.stderr
+        ),
+    )
     print(f"{'excess':>6} {'scans':>5} {'tables':>6} {'imts':>4}  query  (tables scanned >1x)")
     for excess, scans, ntab, imts, name, dup in rows:
         flag = "" if imts else "  <- uncached: real duplication"
