@@ -219,6 +219,19 @@ def minhash_lsh_pairs(
     Final pair semantics are identical either way (every candidate is
     verified with exact Jaccard); only candidate recall depends on the
     scheme, and both schemes' banding detection math is the same.
+
+    **Choosing the scheme — the crossover rule.** Signature cost is
+    ~k hash-mins per shingle for classic vs ~1 hash per shingle plus O(k)
+    densification per document for OPH, so OPH's win grows with
+    shingles-per-document and shrinks with k. Measured on this engine
+    (SCALE_evidence.json ``minhash_oph``: 1 200 docs, ~3 000 tokens/doc,
+    k=64): OPH 1.88× less executor CPU with byte-identical verified pairs.
+    Rule of thumb: prefer ``"oph"`` when typical documents carry more than
+    ~10·k shingles (long-form corpora — the codegen'd classic aggregates
+    close most of the gap below that, and at ≲k shingles OPH's bins are
+    mostly empty so densification does the work for no saving); prefer
+    ``"classic"`` for short-text corpora and wherever an external engine
+    must replay the exact signature (the oracle replays classic).
     """
     if scheme not in ("classic", "oph"):
         raise ValueError(f"minhash_lsh_pairs: unknown scheme {scheme!r}")
