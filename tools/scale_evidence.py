@@ -464,6 +464,68 @@ def measure_minhash_oph(spark, sf_dir: str) -> dict:
     return out
 
 
+def measure_span_removal(spark, sf_dir: str) -> dict:
+    """Duplicated-span REMOVAL (text/spans.remove_duplicated_spans) on the
+    10x documents, VALUE-VERIFIED against a DuckDB replay of the full cut
+    (the same CTE chain the sf0.01 oracle hashes inside doc_text_profile:
+    duplicated-window starts → running-max coverage over token rows →
+    ordered string_agg reassembly). Portable md5 keys so both engines group
+    identically; the compared values are docs-affected, tokens-cut, and the
+    40-bit checksum SUM over every rebuilt text — a single moved or kept
+    token at scale breaks the match."""
+    import duckdb
+
+    from switchback_test_dag_spark.queries_documents import _DUCK_SPANS
+    from switchback_test_dag_spark.text import spans as SP
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    t0 = time.monotonic()
+    cut = SP.remove_duplicated_spans(
+        docs, "doc_id", "text", span_len=4, portable=True
+    )
+    h = F.conv(F.substring(F.md5(F.col("text")), 1, 10), 16, 10).cast("long")
+    agg = cut.agg(
+        F.count(F.when(F.col("spans_cut_tokens") > 0, 1)).alias("n_cut_docs"),
+        F.sum("spans_cut_tokens").cast("long").alias("cut_tokens"),
+        F.sum(F.when(F.col("spans_cut_tokens") > 0, h))
+        .cast("long")
+        .alias("cut_text_hash"),
+    ).collect()[0]
+    wall = time.monotonic() - t0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
+    )
+    t1 = time.monotonic()
+    dk = con.execute(
+        f"WITH {_DUCK_SPANS.strip()} "
+        "SELECT count(*) AS n_cut_docs, "
+        "CAST(sum(cut_toks) AS BIGINT) AS cut_tokens, "
+        "CAST(sum(('0x' || substring(md5(new_text), 1, 10))::BIGINT) AS BIGINT)"
+        "  AS cut_text_hash "
+        "FROM srebuilt"
+    ).fetchone()
+    duck_wall = time.monotonic() - t1
+    got = (agg["n_cut_docs"], agg["cut_tokens"], agg["cut_text_hash"])
+    want = (dk[0], dk[1], dk[2])
+    out = {
+        "measurement": "span_removal",
+        "sf_dir": sf_dir,
+        "sec": round(wall, 2),
+        "duck_sec": round(duck_wall, 2),
+        "n_docs": n_docs,
+        "n_cut_docs": agg["n_cut_docs"],
+        "cut_tokens": agg["cut_tokens"],
+        "cut_text_hash": agg["cut_text_hash"],
+        "values_match": got == want,
+    }
+    assert got == want, f"span removal replay mismatch: spark={got} duck={want}"
+    return out
+
+
 _MEASURES = {
     "components": measure_components,
     "emb_lsh": measure_emb_lsh,
@@ -471,6 +533,7 @@ _MEASURES = {
     "decon": measure_decon,
     "selection": measure_selection,
     "minhash_oph": measure_minhash_oph,
+    "span_removal": measure_span_removal,
 }
 
 
