@@ -495,10 +495,10 @@ def measure_span_removal(spark, sf_dir: str) -> dict:
     wall = time.monotonic() - t0
 
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
-    )
+    p = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
     t1 = time.monotonic()
     dk = con.execute(
         f"WITH {_DUCK_SPANS.strip()} "
