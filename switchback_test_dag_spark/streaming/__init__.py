@@ -3,6 +3,7 @@ from switchback_test_dag_spark.streaming.windows import (
     session_window_sessions,
     stream_dedup,
     stream_events,
+    stream_jsonl_events,
     windowed_bucket_metrics,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "session_window_sessions",
     "stream_dedup",
     "stream_events",
+    "stream_jsonl_events",
     "windowed_bucket_metrics",
 ]

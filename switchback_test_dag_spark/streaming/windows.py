@@ -51,6 +51,38 @@ def stream_events(
     return normalize_events_ts(reader.parquet(path))
 
 
+def stream_jsonl_events(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over JSON-lines events (the interchange format twin of
+    :func:`stream_events`): what a pipeline sees when an upstream system
+    drops JSONL files into a landing directory instead of parquet.
+
+    ``schema`` is REQUIRED (StructType or DDL string) — unlike parquet,
+    JSONL is not self-describing, and schema inference on a stream is both
+    an extra scan and a type-drift hazard (``io.read_jsonl_table``'s
+    discipline). Timestamps parse under the same µs-precise format the
+    batch writer emits, and the output carries the package-wide events
+    contract (µs ``ts`` + exact ``ts_ns``) via the shared normalizer, so
+    every windowed operator downstream is source-agnostic."""
+    from ..io import _TS_FMT, normalize_events_ts
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("mode", "FAILFAST")
+        .option("timestampFormat", _TS_FMT)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return normalize_events_ts(reader.json(path))
+
+
 def windowed_bucket_metrics(
     events: DataFrame,
     window: str = "1 hour",

@@ -5,8 +5,9 @@ operations a 100 TB training-data pipeline needs: tokenization, language ID,
 quality scoring, fingerprinting, repetition filters, PII hygiene
 (analysis.py), exact/MinHash-LSH/SimHash/n-gram-Jaccard/winnowing/embedding
 deduplication with cluster resolution (dedup.py), train/eval benchmark
-decontamination (decontaminate.py), duplicated-span detection — the
-fixed-L suffix-dedup approximation (spans.py), segment-level keep-first
+decontamination (decontaminate.py), duplicated-span detection AND removal —
+the fixed-L suffix-dedup approximation, measured and then applied as the
+Lee et al. 2021 cut (spans.py), segment-level keep-first
 dedup and boilerplate removal — the CCNet line-dedup family (lines.py),
 DSIR hashed-n-gram importance weighting AND resampling for targeted corpus
 selection with a stateless pure-JVM streaming scorer (dsir.py), and the

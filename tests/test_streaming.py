@@ -296,3 +296,26 @@ def test_streaming_session_windows_match_batch(spark, sf_dir, tmp_path):
     assert len(got) > 0
     assert got <= expected, "streamed session not present in batch result"
     assert closed <= got, "batch-closed session missing from append output"
+
+
+def test_jsonl_stream_matches_parquet_batch(spark, sf_dir, tmp_path):
+    """Interchange-format streaming twin: events written as JSONL, streamed
+    back under the explicit schema, must produce windowed metrics identical
+    to the parquet batch path — the events ts contract (µs ts + exact ts_ns)
+    survives format, stream boundary, and the µs timestampFormat pin."""
+    from switchback_test_dag_spark.io import write_jsonl_table
+    from switchback_test_dag_spark.streaming import stream_jsonl_events
+
+    ev = load_table(spark, sf_dir, "events")
+    jsonl_dir = str(tmp_path / "events_jsonl")
+    write_jsonl_table(ev, jsonl_dir)
+
+    stream = stream_jsonl_events(spark, jsonl_dir, ev.schema)
+    assert stream.isStreaming
+    streamed = windowed_bucket_metrics(stream, window="1 hour", watermark="2 hours")
+    run_stream_to_memory(streamed, "jsonl_bucket_metrics_test", str(tmp_path))
+    got = _sorted_rows(spark.table("jsonl_bucket_metrics_test"))
+
+    expected = _sorted_rows(windowed_bucket_metrics(ev, window="1 hour"))
+    assert len(got) > 0
+    assert got == expected
