@@ -1225,19 +1225,57 @@ def _components_alternating_star(
 
 
 def component_dedup(
-    df: DataFrame, id_col: str, pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    keeper_by: str | None = None,
 ) -> DataFrame:
-    """Cluster-canonical dedup: keep exactly ONE doc — the min id — per
-    connected duplicate cluster. The policy complement of
-    :func:`minhash_dedup`'s pairwise drop-the-greater (C4-style): pairwise
-    keeps every doc that never appears as a pair's greater side, so a
-    cluster {A~C, B~C} retains both A and B; cluster-canonical collapses the
-    whole component to its keeper — the usual choice when near-dup clusters
-    represent one underlying document. Cost: the O(diameter) component
-    rounds plus one broadcast-able anti-join of the loser ids (|pairs|-bounded,
-    tiny relative to the corpus)."""
+    """Cluster-canonical dedup: keep exactly ONE doc per connected duplicate
+    cluster. The policy complement of :func:`minhash_dedup`'s pairwise
+    drop-the-greater (C4-style): pairwise keeps every doc that never appears
+    as a pair's greater side, so a cluster {A~C, B~C} retains both A and B;
+    cluster-canonical collapses the whole component to its keeper — the
+    usual choice when near-dup clusters represent one underlying document.
+
+    Keeper policy: by default the MIN ID (deterministic, replayable — the
+    component label itself). ``keeper_by`` names a column of ``df`` to keep
+    the BEST member instead — highest value wins, NULL sorts lowest, ties
+    break to the min id — the production choice when a quality/length score
+    exists and the canonical copy should be the best one, not the first one
+    (e.g. ``keeper_by="quality"`` after ``TA.quality_score``).
+
+    Cost: the O(diameter) component rounds plus one broadcast-able anti-join
+    of the loser ids; the ``keeper_by`` variant adds one |clustered-nodes|-
+    bounded join to fetch priorities and a per-component ``max_by`` — all
+    |pairs|-bounded, tiny relative to the corpus. The corpus itself is only
+    ever touched by the final anti-join."""
     comp = connected_components(pairs, src, dst)
-    losers = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
-    )
+    if keeper_by is None:
+        losers = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        pri = df.select(
+            F.col(id_col).alias("node"), F.col(keeper_by).alias("_pri")
+        )
+        members = comp.join(pri, "node")
+        # argmax by (non-NULL first, priority), then MIN ID among the tied
+        # best — two tiny per-component aggs instead of a negated-id max_by,
+        # so ids only need to be ORDERABLE (the same contract
+        # connected_components' min-label already imposes), not numeric
+        rank = F.struct(F.col("_pri").isNotNull().alias("_nn"), F.col("_pri"))
+        best = members.groupBy("component").agg(F.max(rank).alias("_best"))
+        keep = (
+            members.join(best, "component")
+            .filter(rank.eqNullSafe(F.col("_best")))
+            .groupBy("component")
+            .agg(F.min("node").alias("_keep"))
+        )
+        losers = (
+            members.join(keep, "component")
+            .filter(F.col("node") != F.col("_keep"))
+            .select(F.col("node").alias(id_col))
+        )
     return df.join(losers, on=id_col, how="left_anti")

@@ -691,3 +691,32 @@ def test_ivf_training_sample_unbiased_and_partition_invariant(emb):
     ]
     by_id = sorted(r["vec_id"] for r in emb.select("vec_id").collect())[:64]
     assert set(by_hash) != set(by_id)
+
+
+def test_component_dedup_keeper_by_priority(spark):
+    """keeper_by keeps the highest-priority member per cluster (NULL lowest,
+    ties to min id); default stays min-id; the corpus outside clusters is
+    untouched either way."""
+    docs = spark.createDataFrame(
+        [
+            (1, 0.2), (2, 0.9), (3, None),      # cluster {1,2,3}: best = 2
+            (10, 0.5), (11, 0.5),               # cluster {10,11}: tie -> 10
+            (20, None), (21, None),             # all-NULL cluster -> min id 20
+            (99, 0.1),                          # unclustered: always kept
+        ],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    by_quality = {
+        r["doc_id"]
+        for r in TD.component_dedup(
+            docs, "doc_id", pairs, keeper_by="quality"
+        ).collect()
+    }
+    assert by_quality == {2, 10, 20, 99}
+    by_min = {
+        r["doc_id"] for r in TD.component_dedup(docs, "doc_id", pairs).collect()
+    }
+    assert by_min == {1, 10, 20, 99}
