@@ -1279,3 +1279,164 @@ def component_dedup(
             .select(F.col("node").alias(id_col))
         )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------- #
+# incremental dedup (batch-vs-index — the daily-ops pattern at corpus scale)
+# --------------------------------------------------------------------------- #
+#
+# A production corpus is not deduplicated once; it GROWS. Re-running full
+# dedup over corpus+batch every day is O(corpus) daily — the index pattern
+# makes it O(batch + collisions): persist a small per-doc summary
+# (fingerprint / minhash signature), dedup each arriving batch against the
+# index and within itself, then APPEND the survivors' summaries. Append-only
+# writes — no read-modify-write of a 100 TB table, and candidate joins stay
+# keyed on uniform hashes exactly like the batch operators.
+
+
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact dedup of a NEW batch against a persisted fingerprint index.
+
+    ``index`` carries one ``fingerprint`` string column (the summaries of
+    every previously-kept doc; None = first batch). Returns
+    ``(survivors, new_index_rows)``: survivors are batch rows that are the
+    min-id first occurrence WITHIN the batch and whose fingerprint is absent
+    from the index; ``new_index_rows`` are exactly the survivors'
+    fingerprints — append them to the stored index (append-only; the next
+    batch reads the union).
+
+    Invariant (pytest-differential): folding batches B1..Bn through this —
+    ids increasing across batches, the keep-first canon — keeps exactly the
+    docs ``exact_dedup`` keeps on the full concatenation.
+
+    Scale shape: one fingerprint shuffle over the BATCH, one anti-join
+    against the index keyed on the fingerprint (uniform hash — no skew), no
+    touch of historical text."""
+    fp = new_docs.select(
+        F.col(id_col), content_fingerprint(text_col).alias("fingerprint")
+    )
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    if index is not None:
+        keep = keep.join(
+            index.select("fingerprint").distinct(), "fingerprint", "left_anti"
+        )
+    survivors = new_docs.join(keep.select(id_col), on=id_col, how="left_semi")
+    return survivors, keep.select("fingerprint")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    k: int = 64,
+    scheme: str = "classic",
+) -> DataFrame:
+    """Per-doc MinHash signature frame ``(doc, sig array<bigint>)`` — the
+    persistable near-dup index unit (parquet-append per batch; band keys are
+    DERIVED from the signature at query time, so the index stores k longs
+    per doc and nothing else). Same signature math as
+    :func:`minhash_lsh_pairs` (classic: k codegen'd seeded-min aggregates;
+    oph: one-permutation + densification), so signatures indexed by
+    different batches are comparable as long as (shingle_n, k, scheme)
+    match."""
+    if scheme not in ("classic", "oph"):
+        raise ValueError(f"minhash_signatures: unknown scheme {scheme!r}")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    shingled = _shingle_hash_frame(df, id_col, text_col, shingle_n, par)
+    if scheme == "classic":
+        mins = (
+            shingled.select("doc", F.explode("sh").alias("h"))
+            .groupBy("doc")
+            .agg(
+                *[
+                    F.min(F.expr(f"xxhash64(h, {j})")).alias(f"__m{j}")
+                    for j in range(k)
+                ]
+            )
+        )
+        return mins.select(
+            "doc", F.array(*[f"__m{j}" for j in range(k)]).alias("sig")
+        )
+    return shingled.select("doc", minhash_signature_oph("sh", k).alias("sig"))
+
+
+def estimated_jaccard(a_col: str, b_col: str) -> Column:
+    """Signature-agreement Jaccard estimate: the fraction of equal MinHash
+    components. Unbiased (each component agrees with probability J);
+    sd = sqrt(J(1−J)/k) — at k=64 and J≈0.9, ±0.037. The index-mode
+    verification tradeoff: shingle sets are not stored, so cross-batch pairs
+    are judged on the estimate, not exact Jaccard."""
+    return F.expr(
+        f"size(filter(zip_with({a_col}, {b_col}, (x, y) -> x = y), v -> v)) "
+        f"/ cast(size({a_col}) as double)"
+    )
+
+
+def minhash_pairs_vs_index(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame | None,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.85,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against itself AND a persisted
+    signature index (``minhash_signatures`` frames; disjoint doc ids by
+    caller contract). Returns ``(doc_a, doc_b, est_jaccard)`` with
+    est_jaccard ≥ threshold — estimate-verified (:func:`estimated_jaccard`);
+    index×index pairs are deliberately NOT regenerated (they were reported
+    when those batches arrived — that is the whole point of the index).
+
+    Scale shape: band keys derived from signatures (narrow maps), candidate
+    joins keyed on uniform band hashes — new×new via self-join, new×index
+    via band join against the index's band frame; per-batch cost is
+    O(|batch| · bands + collisions), never O(corpus²) and never a rescan of
+    historical text."""
+    rows = k // bands
+    band = lambda s: s.select(  # noqa: E731 - tiny local shaper
+        "doc", F.explode(lsh_band_keys("sig", bands, rows)).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bn = _persist(band(new_sigs))
+    a, b = bn.alias("a"), bn.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+    )
+    if index_sigs is not None:
+        bi = band(index_sigs)
+        n, i = bn.alias("n"), bi.alias("i")
+        # orient cross pairs (index, new) so doc_a is the EXISTING doc — the
+        # keeper under the first-arrival canon
+        cross = (
+            n.join(
+                i,
+                (F.col("n.band") == F.col("i.band"))
+                & (F.col("n.key") == F.col("i.key")),
+            )
+            .select(F.col("i.doc").alias("doc_a"), F.col("n.doc").alias("doc_b"))
+        )
+        cand = cand.unionByName(cross)
+    cand = cand.distinct()
+    all_sigs = (
+        new_sigs if index_sigs is None
+        else new_sigs.unionByName(index_sigs)
+    )
+    sa = all_sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = all_sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", estimated_jaccard("sig_a", "sig_b"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )

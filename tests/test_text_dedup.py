@@ -720,3 +720,82 @@ def test_component_dedup_keeper_by_priority(spark):
         r["doc_id"] for r in TD.component_dedup(docs, "doc_id", pairs).collect()
     }
     assert by_min == {1, 10, 20, 99}
+
+
+def test_exact_dedup_incremental_matches_batch(spark):
+    """Folding id-ordered batches through exact_dedup_incremental keeps
+    exactly what exact_dedup keeps on the full concatenation (the keep-first
+    canon), and the index accumulates only survivors' fingerprints."""
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "delta epsilon zeta"),
+        (3, "ALPHA   beta GAMMA"),   # normalized-dup of 1 (same batch)
+        (10, "delta epsilon zeta"),  # dup of 2 (earlier batch)
+        (11, "eta theta iota"),
+        (20, "eta theta iota"),      # dup of 11 (earlier batch)
+        (21, "alpha beta gamma"),    # dup of 1 (two batches back)
+        (22, "kappa lambda mu"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batches = [
+        docs.filter(F.col("doc_id") < 10),
+        docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
+        docs.filter(F.col("doc_id") >= 20),
+    ]
+    index = None
+    kept_ids: set[int] = set()
+    for b in batches:
+        surv, new_rows = TD.exact_dedup_incremental(b, "doc_id", "text", index)
+        kept_ids |= {r["doc_id"] for r in surv.collect()}
+        index = new_rows if index is None else index.unionByName(new_rows)
+    full = {r["doc_id"] for r in TD.exact_dedup(docs, "doc_id", "text").collect()}
+    assert kept_ids == full == {1, 2, 11, 22}
+    # index holds exactly one fingerprint per kept doc
+    assert index.distinct().count() == len(full)
+
+
+def test_minhash_pairs_vs_index_finds_cross_batch_near_dups(spark):
+    """Signature-index near-dup: cross-batch planted near-dups are found
+    oriented (existing doc first), within-batch pairs are found, index×index
+    pairs are NOT regenerated, and est_jaccard tracks exact jaccard within
+    the k=64 estimate noise."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch from a mossy log near the river bank today"
+    )
+    variant = base.replace("today", "tonight")
+    rows_a = [(1, base), (2, "totally unrelated words about spacecraft "
+                             "navigation systems and orbital mechanics here")]
+    rows_b = [(100, variant),                      # near-dup of index doc 1
+              (101, "fresh unique content on medieval bread baking and "
+                    "stone oven construction methods in rural villages"),
+              (102, variant + " extra")]           # near-dup of 100 (in-batch)
+    A = spark.createDataFrame(rows_a, "doc_id long, text string")
+    B = spark.createDataFrame(rows_b, "doc_id long, text string")
+    sig_a = TD.minhash_signatures(A, "doc_id", "text")
+    sig_b = TD.minhash_signatures(B, "doc_id", "text")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in TD.minhash_pairs_vs_index(
+            sig_b, sig_a, k=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert (1, 100) in pairs, pairs          # cross-batch, index doc first
+    assert (100, 102) in pairs               # within-batch
+    assert all(a != 2 or b != 1 for a, b in pairs)  # no index-only pairs
+    # estimate accuracy vs exact jaccard of the planted pair
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in TD.ngram_jaccard_pairs(
+            A.unionByName(B), "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert abs(pairs[(1, 100)] - exact[(1, 100)]) < 0.2
+    # no-index mode: within-batch pairs only
+    only_new = {
+        (r["doc_a"], r["doc_b"])
+        for r in TD.minhash_pairs_vs_index(
+            sig_b, None, k=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert only_new == {(100, 102)}
