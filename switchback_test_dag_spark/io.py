@@ -130,6 +130,16 @@ def register_views(
 # round trip distinctly, and quotes/escapes embedded delimiters and newlines
 # (readers therefore run multiLine=true — correct first; for multi-TB CSV
 # prefer many input files, or JSONL, which stays line-splittable).
+#
+# KNOWN CAVEAT of the `\N` convention: a string field whose value is EXACTLY
+# the two characters backslash-N collides with the NULL marker — Spark's CSV
+# writer emits it unquoted (it only quotes on delimiter/quote/newline), and
+# the reader maps any whole unquoted field equal to nullValue back to NULL.
+# Values that merely CONTAIN `\N` round-trip fine; only the exact-match whole
+# field is lossy (NULL-on-read). Data where the literal string `\N` is a
+# possible whole-field value must go through JSONL, which has a real null
+# token and escapes backslashes. Pinned by test_io.py's
+# `test_csv_backslash_n_literal_collides_with_null`.
 
 # Spark's default CSV/JSON timestampFormat carries milliseconds only — a
 # silent µs truncation that would corrupt the events ts contract on a round

@@ -333,7 +333,7 @@ soc AS MATERIALIZED (
             JOIN srem USING (source)""",
 )
 def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-analysis suite per source, one documents scan: token counting
+    """Text-analysis suite per source over the documents table: token counting
     (whitespace + BPE-ish regex) for corpus budgeting, composite quality
     scoring (length/stopword/punctuation/word-length — the cheap pre-filter of
     a pretraining pipeline), the language-ID heuristic (stopword-profile
@@ -360,9 +360,23 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``text/spans.remove_duplicated_spans``): per-source tokens cut, docs
     affected, and a checksum of the rebuilt texts — the oracle re-performs
     the cut (running-max coverage over token rows, ordered string_agg), so
-    the value hash pins the actual output text, not just counts."""
+    the value hash pins the actual output text, not just counts.
+
+    Scan shape: the profile aggregation itself is one documents pass, but
+    each contract branch (sampling, packing, repetition, span stats, span
+    removal) is its own scan subtree — Catalyst does not dedupe common
+    subtrees, and the span operators additionally explode the text to token
+    grain internally (and pin a starts frame, so InMemoryTableScans appear in
+    the printed plan). All branches derive from the single loaded frame below
+    with column-pruned selects, so every extra scan reads only (doc_id,
+    source, text) — acceptable for an audit/profiling query; a production
+    pipeline would persist the pruned base once."""
     docs = load_table(spark, sf_dir, "documents")
     sample_base = docs.select("doc_id", "source")  # pruned scan for samplers
+    text_base = docs.select("doc_id", "text")  # pruned scan for span/rep ops
+    pk_base = docs.select(
+        "doc_id", "source", TA.token_count("text").cast("long").alias("_toks")
+    )  # pruned scan for the packing contract
     qs = TA.quality_score("text")
     lang = TA.lang_id("text")
     aug = F.when(
@@ -427,9 +441,6 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invariant, and an assignment-sensitive checksum — the oracle replays the
     # next-fit walk itself as a recursive CTE, so a changed ORDER or bucket
     # routing breaks the hash even when counts agree
-    pk_base = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", TA.token_count("text").cast("long").alias("_toks")
-    )
     packed = PK.pack_documents(
         pk_base,
         "doc_id",
@@ -455,12 +466,7 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repetition contract: the Gopher-style per-doc repetition signals
     # averaged per source (docs too short for a signal score 0.0 and stay in
     # the average — repetition_stats left-joins every input row back)
-    rep = TA.repetition_stats(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-        "doc_id",
-        "text",
-        ngram_n=2,
-    )
+    rep = TA.repetition_stats(text_base, "doc_id", "text", ngram_n=2)
     ragg = rep.join(sample_base, "doc_id").groupBy("source").agg(
         F.round(F.avg("top_token_frac"), 6).alias("avg_top_token_frac"),
         F.round(F.avg("dup_ngram_frac"), 6).alias("avg_dup_2gram_frac"),
@@ -469,11 +475,7 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count of documents containing any duplicated fixed-L window, portable
     # keys so the oracle replays the exact grouping
     span = SP.duplicated_span_stats(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-        "doc_id",
-        "text",
-        span_len=_SPAN_L,
-        portable=True,
+        text_base, "doc_id", "text", span_len=_SPAN_L, portable=True
     )
     spagg = span.join(sample_base, "doc_id").groupBy("source").agg(
         F.round(F.avg("dup_token_frac"), 6).alias("avg_dup_span_frac"),
@@ -485,11 +487,7 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # itself (token rows of affected docs, running-max coverage, ordered
     # string_agg), so a single moved/kept token breaks the hash
     cut = SP.remove_duplicated_spans(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-        "doc_id",
-        "text",
-        span_len=_SPAN_L,
-        portable=True,
+        text_base, "doc_id", "text", span_len=_SPAN_L, portable=True
     )
     cut_text_hash = F.conv(
         F.substring(F.md5(F.col("text")), 1, 10), 16, 10

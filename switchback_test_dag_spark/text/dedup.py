@@ -345,37 +345,29 @@ def hamming64(a_col: str, b_col: str) -> Column:
     return F.expr(f"bit_count({a_col} ^ {b_col})")
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    max_hamming: int = 3,
-    prefix_bits: int = 15,
-    bits: int = 60,
+def _simhash_sig_frame(
+    df: DataFrame, id_col: str, text_col: str, bits: int
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share one of 4 signature chunks
-    (pigeonhole: any pair within Hamming ≤ 3 agrees on ≥ 1 of 4 chunks),
-    verified by full Hamming distance. Candidate join is keyed on
-    (chunk index, chunk value) — uniform, skew-free.
+    """``(doc, sig)`` SimHash signature frame — the shared signature stage of
+    :func:`simhash_pairs` (batch) and :func:`simhash_signatures` (the
+    persistable incremental-index unit). Signature via explode + codegen'd
+    aggregate, NOT the per-bit ``aggregate(...)`` lambda of
+    :func:`simhash_from_hashes`: higher-order functions are interpreted per
+    element (boxed lambda calls), so the HOF form costs ``bits`` interpreted
+    passes over every token array. Exploding the token hashes once and
+    folding the per-bit ±1 votes as ``bits`` SUM aggregates keeps the hot
+    loop inside WholeStageCodegen — bit-for-bit the same signature (vote
+    sums are order-independent integers). The repartition spreads the md5
+    hashing across cores BEFORE the explode (the parquet scan may be a
+    single file) and doubles as the partitioning the groupBy reuses, so
+    there is exactly one Exchange in the signature stage.
 
     Portability: token hashes are the first 15 hex chars of md5 read as a
     60-bit bigint (same trick as :func:`winnow_fingerprints`), so the
-    signature, the pigeonhole candidate set, and the Hamming verification are
-    all bit-for-bit replayable in any engine with md5 + integer shifts — the
-    DuckDB oracle replays the whole algorithm, not just an aggregate."""
+    signature is bit-for-bit replayable in any engine with md5 + integer
+    shifts."""
     from switchback_test_dag_spark.text.analysis import tokens
 
-    n_chunks = bits // prefix_bits
-    # Signature via explode + codegen'd aggregate, NOT the per-bit
-    # ``aggregate(...)`` lambda of simhash_from_hashes: higher-order functions
-    # are interpreted per element (boxed lambda calls), so the HOF form costs
-    # ``bits`` interpreted passes over every token array. Exploding the token
-    # hashes once and folding the per-bit ±1 votes as ``bits`` SUM aggregates
-    # keeps the hot loop inside WholeStageCodegen — bit-for-bit the same
-    # signature (vote sums are order-independent integers). The repartition
-    # spreads the md5 hashing across cores BEFORE the explode (the parquet
-    # scan may be a single file) and doubles as the partitioning the groupBy
-    # reuses, so there is exactly one Exchange in the signature stage.
     par = df.sparkSession.sparkContext.defaultParallelism
     th_rows = (
         df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__toks"))
@@ -403,17 +395,48 @@ def simhash_pairs(
         f"(CASE WHEN __v{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END)"
         for i in range(bits)
     )
-    sigs = votes.select("doc", F.expr(sig_sql).alias("sig"))
+    return votes.select("doc", F.expr(sig_sql).alias("sig"))
+
+
+def simhash_chunk_keys(sig_col: str, prefix_bits: int, bits: int) -> Column:
+    """Pigeonhole chunk keys derived from a SimHash signature:
+    ``array<struct<chunk:int, val:bigint>>`` of the ``bits // prefix_bits``
+    non-overlapping ``prefix_bits``-wide slices. Any pair within Hamming
+    distance < bits//prefix_bits agrees on at least one chunk, so a join
+    keyed on (chunk, val) generates complete candidates for the defaults
+    (4 chunks, max_hamming 3). Derived at QUERY time — an index stores one
+    bigint per doc, nothing else."""
+    n_chunks = bits // prefix_bits
+    return F.expr(
+        f"""transform(sequence(0, {n_chunks - 1}),
+                      c -> struct(c AS chunk,
+                                  shiftright({sig_col}, c * {prefix_bits}) & {(1 << prefix_bits) - 1} AS val))"""
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 15,
+    bits: int = 60,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of 4 signature chunks
+    (pigeonhole: any pair within Hamming ≤ 3 agrees on ≥ 1 of 4 chunks),
+    verified by full Hamming distance. Candidate join is keyed on
+    (chunk index, chunk value) — uniform, skew-free.
+
+    Portability: token hashes are the first 15 hex chars of md5 read as a
+    60-bit bigint (same trick as :func:`winnow_fingerprints`), so the
+    signature, the pigeonhole candidate set, and the Hamming verification are
+    all bit-for-bit replayable in any engine with md5 + integer shifts — the
+    DuckDB oracle replays the whole algorithm, not just an aggregate."""
+    sigs = _simhash_sig_frame(df, id_col, text_col, bits)
     chunks = sigs.select(
         "doc",
         "sig",
-        F.explode(
-            F.expr(
-                f"""transform(sequence(0, {n_chunks - 1}),
-                              c -> struct(c AS chunk,
-                                          shiftright(sig, c * {prefix_bits}) & {(1 << prefix_bits) - 1} AS val))"""
-            )
-        ).alias("ck"),
+        F.explode(simhash_chunk_keys("sig", prefix_bits, bits)).alias("ck"),
     ).select("doc", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
     # persist the chunk frame: the pigeonhole SELF-join otherwise plans the
     # whole signature pipeline (token md5 → 60-sum vote aggregate → chunking)
@@ -595,7 +618,8 @@ def ngram_jaccard_pairs(
     Jaccard. Hot shingles land at the END of the df order — outside most
     prefixes — so df² collapses to the rare-shingle postings.
 
-    Shuffles: df count (by shingle) + prefix rank (by doc) + candidate join
+    Shuffles: df count + re-join (by shingle; map-side-combined groupBy, NOT a
+    window — see inline comment) + prefix rank (by doc) + candidate join
     (by prefix shingle) + verification (by doc) — all keyed, no all-pairs.
     ``prefix_filter=False`` keeps the single-join form (fine for small or
     low-overlap corpora; differential-tested equal)."""
@@ -607,9 +631,13 @@ def ngram_jaccard_pairs(
     if prefix_filter:
         from pyspark.sql import Window
 
-        # df(h) via a count window over the h-partition: one shuffle on h
-        # attaches every posting's document frequency (an agg + re-join would
-        # shuffle twice for the same result)
+        # df(h) via groupBy + re-join, NOT count().over(Window.partitionBy("h")):
+        # h is a NATURAL key with Zipfian skew (a stop-word shingle can appear
+        # in a large fraction of all docs), and WindowExec routes every posting
+        # of a key to ONE task with no skew mitigation — a straggler/OOM at
+        # scale. groupBy("h").count() partial-aggregates map-side (the hot key
+        # collapses to one row per map partition before the exchange), and the
+        # join back on h is the shape AQE skew-join splitting handles.
         # prefix bound |d| − ⌈t·|d|⌉ + 1 in EXACT integer arithmetic: the
         # threshold is interpreted as the decimal the caller wrote (0.85 =
         # 17/20), and ⌈num·sz/den⌉ = (num·sz + den − 1) div den — a float
@@ -623,8 +651,9 @@ def ngram_jaccard_pairs(
         prefix_bound = (
             F.col("sz") - F.expr(f"(({num} * sz + {den} - 1) div {den})") + F.lit(1)
         )
+        dfc = ex.groupBy("h").agg(F.count(F.lit(1)).alias("dfr"))
         pref = (
-            ex.withColumn("dfr", F.count(F.lit(1)).over(Window.partitionBy("h")))
+            ex.join(dfc, "h")
             .withColumn(
                 "rn",
                 F.row_number().over(Window.partitionBy("doc").orderBy("dfr", "h")),
@@ -1371,7 +1400,24 @@ def estimated_jaccard(a_col: str, b_col: str) -> Column:
     components. Unbiased (each component agrees with probability J);
     sd = sqrt(J(1−J)/k) — at k=64 and J≈0.9, ±0.037. The index-mode
     verification tradeoff: shingle sets are not stored, so cross-batch pairs
-    are judged on the estimate, not exact Jaccard."""
+    are judged on the estimate, not exact Jaccard.
+
+    Sizing k for an estimate-gated threshold: matches ~ Binomial(k, J), so
+    the FALSE-NEGATIVE rate of ``estimate >= t`` for a truly-duplicate pair
+    is P(Binom(k, J) < ceil(t·k)). At the default t=0.85 that is, per true J:
+
+    ====  ======  ======  ======  ======
+    k     J=0.86  J=0.88  J=0.90  J=0.95
+    ====  ======  ======  ======  ======
+    64    41%     23%     10.3%   0.12%
+    128   33%     13%     3.0%    ~0
+    256   31%     7.1%    0.54%   ~0
+    ====  ======  ======  ======  ======
+
+    (False positives mirror symmetrically below t.) Pairs NEAR the threshold
+    are inherently coin-flips for any unbiased estimator; raise k to narrow
+    the band, or pass ``texts=`` to :func:`minhash_pairs_vs_index` to verify
+    candidates with exact Jaccard and remove the band entirely."""
     return F.expr(
         f"size(filter(zip_with({a_col}, {b_col}, (x, y) -> x = y), v -> v)) "
         f"/ cast(size({a_col}) as double)"
@@ -1384,19 +1430,39 @@ def minhash_pairs_vs_index(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.85,
+    texts: DataFrame | None = None,
+    id_col: str = "doc",
+    text_col: str = "text",
+    shingle_n: int = 3,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against itself AND a persisted
     signature index (``minhash_signatures`` frames; disjoint doc ids by
-    caller contract). Returns ``(doc_a, doc_b, est_jaccard)`` with
-    est_jaccard ≥ threshold — estimate-verified (:func:`estimated_jaccard`);
-    index×index pairs are deliberately NOT regenerated (they were reported
-    when those batches arrived — that is the whole point of the index).
+    caller contract). index×index pairs are deliberately NOT regenerated
+    (they were reported when those batches arrived — that is the whole
+    point of the index).
+
+    Two verification contracts, chosen by ``texts``:
+
+    - ``texts=None`` (default): returns ``(doc_a, doc_b, est_jaccard)``
+      with est_jaccard ≥ threshold — judged on the k-component signature
+      ESTIMATE (:func:`estimated_jaccard`; its docstring tabulates the
+      false-negative rate near the threshold, e.g. ~10% at k=64 for a
+      true-J=0.90 pair at t=0.85). Zero text touch.
+    - ``texts=<DataFrame>`` (``id_col``/``text_col`` rows covering every doc
+      id that can appear in a candidate — batch AND index): candidates are
+      semi-joined back to text and verified with EXACT Jaccard over
+      ``shingle_n``-gram shingle sets — byte-identical semantics to the
+      batch operator :func:`minhash_lsh_pairs` (same ``_shingle_hash_frame``
+      + :func:`exact_jaccard`), so flipping from batch to incremental loses
+      no accuracy. Returns ``(doc_a, doc_b, jaccard)``. Text touch is
+      O(candidate ids), not O(corpus): only docs colliding in some band are
+      shingled. ``shingle_n`` must match the value used for the signatures.
 
     Scale shape: band keys derived from signatures (narrow maps), candidate
     joins keyed on uniform band hashes — new×new via self-join, new×index
     via band join against the index's band frame; per-batch cost is
-    O(|batch| · bands + collisions), never O(corpus²) and never a rescan of
-    historical text."""
+    O(|batch| · bands + collisions), never O(corpus²); historical text is
+    touched only in exact-verify mode and only for colliding ids."""
     rows = k // bands
     band = lambda s: s.select(  # noqa: E731 - tiny local shaper
         "doc", F.explode(lsh_band_keys("sig", bands, rows)).alias("bk")
@@ -1427,6 +1493,32 @@ def minhash_pairs_vs_index(
         )
         cand = cand.unionByName(cross)
     cand = cand.distinct()
+    if texts is not None:
+        # exact verification on candidates only: shingle just the ids that
+        # collided in some band (semi-join prunes the text scan), then the
+        # batch operator's verification verbatim
+        cand = _persist(cand)  # consumed by the id set and the final join
+        ids = (
+            cand.select(F.col("doc_a").alias("doc"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc")))
+            .distinct()
+        )
+        par = texts.sparkSession.sparkContext.defaultParallelism
+        cand_texts = texts.join(
+            ids.withColumnRenamed("doc", id_col), on=id_col, how="left_semi"
+        )
+        shingled = _persist(
+            _shingle_hash_frame(cand_texts, id_col, text_col, shingle_n, par)
+        )
+        sh_a = shingled.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+        sh_b = shingled.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+        return (
+            cand.join(sh_a, "doc_a")
+            .join(sh_b, "doc_b")
+            .withColumn("jaccard", exact_jaccard("sh_a", "sh_b"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        )
     all_sigs = (
         new_sigs if index_sigs is None
         else new_sigs.unionByName(index_sigs)
@@ -1440,3 +1532,100 @@ def minhash_pairs_vs_index(
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard"))
     )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 60,
+) -> DataFrame:
+    """Per-doc SimHash signature frame ``(doc, sig bigint)`` — the
+    persistable near-dup index unit for the cheapest signature scheme: ONE
+    64-bit integer per document (vs k longs for MinHash), parquet-append per
+    batch. Chunk keys are DERIVED from the signature at query time
+    (:func:`simhash_chunk_keys`), so the index stores the signature and
+    nothing else. Same signature math as :func:`simhash_pairs`
+    (:func:`_simhash_sig_frame`: md5-15-hex token hashes, codegen'd per-bit
+    vote sums), so signatures indexed by different batches are comparable as
+    long as ``bits`` matches — and, unlike MinHash, the signature IS the
+    verifier (Hamming distance is computed exactly from two signatures), so
+    the incremental twin has no estimate-accuracy cliff at all."""
+    return _simhash_sig_frame(df, id_col, text_col, bits)
+
+
+def simhash_pairs_vs_index(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame | None,
+    max_hamming: int = 3,
+    prefix_bits: int = 15,
+    bits: int = 60,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against itself AND a persisted SimHash
+    signature index (``simhash_signatures`` frames; disjoint doc ids by
+    caller contract). Returns ``(doc_a, doc_b, hamming)`` with
+    hamming ≤ max_hamming; cross pairs are oriented (index, new) so doc_a is
+    the EXISTING doc — the keeper under the first-arrival canon. index×index
+    pairs are deliberately NOT regenerated (they were reported when those
+    batches arrived).
+
+    Verification is EXACT by construction: the full Hamming distance is
+    computed from the two stored signatures (``bit_count(a ^ b)``) — no
+    estimate, no text touch, so batch (:func:`simhash_pairs`) and
+    incremental report identical pairs over the same docs
+    (fold-of-batches == full-batch, pytest-differential). Candidate
+    completeness is the same pigeonhole argument as the batch operator: any
+    pair within Hamming ≤ max_hamming agrees on at least one of the
+    ``bits // prefix_bits`` chunks whenever ``max_hamming <
+    bits // prefix_bits`` (defaults: 3 < 4).
+
+    Scale shape: chunk keys derived from signatures (integer shifts on one
+    bigint), candidate joins keyed on (chunk, val) — uniform, skew-free;
+    per-batch cost is O(|batch| · n_chunks + collisions), never O(corpus²)
+    and never a rescan of historical text."""
+    n_chunks = bits // prefix_bits
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"simhash_pairs_vs_index: max_hamming={max_hamming} needs more "
+            f"chunks than bits//prefix_bits={n_chunks} provides (pigeonhole "
+            "requires max_hamming < n_chunks)"
+        )
+    chunk = lambda s: s.select(  # noqa: E731 - tiny local shaper
+        "doc",
+        "sig",
+        F.explode(simhash_chunk_keys("sig", prefix_bits, bits)).alias("ck"),
+    ).select(
+        "doc", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val")
+    )
+    cn = _persist(chunk(new_sigs))
+    a, b = cn.alias("a"), cn.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.expr("bit_count(a.sig ^ b.sig)").alias("hamming"),
+        )
+    )
+    if index_sigs is not None:
+        ci = chunk(index_sigs)
+        n, i = cn.alias("n"), ci.alias("i")
+        cross = (
+            n.join(
+                i,
+                (F.col("n.chunk") == F.col("i.chunk"))
+                & (F.col("n.val") == F.col("i.val")),
+            )
+            .select(
+                F.col("i.doc").alias("doc_a"),
+                F.col("n.doc").alias("doc_b"),
+                F.expr("bit_count(n.sig ^ i.sig)").alias("hamming"),
+            )
+        )
+        pairs = pairs.unionByName(cross)
+    return pairs.distinct().filter(F.col("hamming") <= max_hamming)

@@ -88,6 +88,37 @@ def test_csv_roundtrip_flat_fixture_tables(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(rows)
 
 
+def test_csv_backslash_n_literal_collides_with_null(spark, tmp_path):
+    """The documented limitation of the \\N NULL convention (io.py header):
+    a string field whose WHOLE value is exactly the two characters
+    backslash-N is emitted unquoted and read back as NULL — indistinguishable
+    from a true NULL after one round trip. Values merely containing \\N
+    survive (covered by the hostile-rows test). This pin asserts the
+    limitation stays exactly this narrow, and that JSONL — the documented
+    escape hatch for such data — round-trips the same value faithfully."""
+    from switchback_test_dag_spark.io import (
+        read_csv_table,
+        read_jsonl_table,
+        write_csv_table,
+        write_jsonl_table,
+    )
+
+    rows = [(1, "\\N"), (2, None), (3, "x\\N"), (4, "\\Nx")]
+    df = spark.createDataFrame(rows, "id long, s string")
+
+    p = str(tmp_path / "nul_csv")
+    write_csv_table(df, p)
+    back = {r.id: r.s for r in read_csv_table(spark, p, df.schema).collect()}
+    assert back[1] is None  # the collision: literal "\N" became NULL
+    assert back[2] is None
+    assert back[3] == "x\\N" and back[4] == "\\Nx"  # containment is safe
+
+    pj = str(tmp_path / "nul_jsonl")
+    write_jsonl_table(df, pj)
+    backj = {r.id: r.s for r in read_jsonl_table(spark, pj, df.schema).collect()}
+    assert backj[1] == "\\N" and backj[2] is None  # JSONL keeps them distinct
+
+
 def test_csv_rejects_nested_and_failfast_rejects_malformed(spark, sf_dir, tmp_path):
     from switchback_test_dag_spark.io import (
         load_table,

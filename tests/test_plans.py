@@ -383,7 +383,9 @@ def test_no_new_duplicated_scans(spark, sf_dir):
     """
     import sys as _sys
 
-    _sys.path.insert(0, "/root/repo/tools")
+    _sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tools")
+    )
     from scan_audit import audit_registry
 
     ALLOWED_UNCACHED_EXCESS = {
@@ -418,4 +420,48 @@ def test_no_new_duplicated_scans(spark, sf_dir):
     assert not violations, (
         "new or grown uncached duplicated scans (fix the plan or extend the "
         f"allowlist with a reason): {violations}"
+    )
+
+
+def test_no_window_partitioned_by_content_hash(spark, sf_dir):
+    """Registry-wide pin (round-12): no WindowExec may partition by a
+    CONTENT-HASH column. Content hashes (shingle hashes, fingerprints,
+    minhash/simhash signatures, LSH band keys) are NATURAL keys with Zipfian
+    skew — a boilerplate shingle can occur in a large fraction of all
+    documents — and WindowExec routes every row of a partition key to ONE
+    task with no skew mitigation (unlike groupBy, which partial-aggregates
+    map-side, or joins, which AQE skew-splits). The round-11 audit found
+    exactly one such stage (ngram_jaccard_pairs' df-count window, since
+    replaced by groupBy + join); this test keeps the whole 50-query surface
+    clean. Entity keys (doc, user_id, query_id, strata, ...) are fine —
+    their per-key row counts are bounded by per-entity data, not by corpus-
+    wide token popularity."""
+    import re
+
+    # base names (case-insensitive) that identify a content-derived hash key
+    content_hash = re.compile(
+        r"^(h|sh|fp|fingerprint|sig\w*|minh\w*|simhash\w*|band\w*|shingle\w*"
+        r"|\w*hash\w*)$",
+        re.IGNORECASE,
+    )
+    offenders: dict[str, set[str]] = {}
+    for name in q.QUERIES:
+        plan = _plan(spark, name, sf_dir)
+        for line in plan.splitlines():
+            if "Window " not in line:
+                continue
+            # physical text: Window [funcs], [partSpec](, [orderSpec])? —
+            # bracket group 1 (0-based) is the partition spec; group 0 (the
+            # window functions) never nests square brackets in this codebase
+            groups = re.findall(r"\[([^\[\]]*)\]", line)
+            if len(groups) < 2:
+                continue
+            for col in groups[1].split(","):
+                base = col.strip().split("#")[0]
+                if base and content_hash.match(base):
+                    offenders.setdefault(name, set()).add(base)
+    assert not offenders, (
+        "WindowExec partitioned by a content-hash column (Zipf-skewed natural "
+        "key through an unmitigated single-task-per-key operator — use "
+        f"groupBy + join instead): {offenders}"
     )

@@ -799,3 +799,110 @@ def test_minhash_pairs_vs_index_finds_cross_batch_near_dups(spark):
         ).collect()
     }
     assert only_new == {(100, 102)}
+
+
+def test_simhash_pairs_vs_index_matches_batch(spark):
+    """SimHash incremental twin differential: folding batches through
+    simhash_signatures + simhash_pairs_vs_index reports exactly the pairs
+    simhash_pairs reports on the full concatenation (as unordered id pairs
+    with identical Hamming distances) — no estimate cliff exists because the
+    signature IS the verifier. Cross-batch pairs arrive oriented with the
+    EXISTING doc first; index×index pairs are not regenerated."""
+    base = (
+        "seventeen green turtles watch from a mossy log near the river "
+        "bank while the quick brown fox jumps over the lazy dog today"
+    )
+    rows_a = [
+        (1, base),
+        (2, "completely different content about orbital mechanics and "
+            "spacecraft navigation systems for deep space missions"),
+        (3, base.replace("today", "tonight")),  # within-batch near-dup of 1
+    ]
+    rows_b = [
+        (100, base.replace("river", "creek")),  # cross-batch near-dup of 1/3
+        (101, "fresh unique prose on medieval bread baking and stone oven "
+              "construction methods in rural mountain villages"),
+        (102, base.replace("river", "creek").replace("dog", "cat")),
+    ]
+    A = spark.createDataFrame(rows_a, "doc_id long, text string")
+    B = spark.createDataFrame(rows_b, "doc_id long, text string")
+    full = A.unionByName(B)
+
+    # prefix_bits=5 -> 12 chunks: pigeonhole-complete up to Hamming 11,
+    # loose enough to pick up the planted near-dups
+    HAM, PB = 11, 5
+    batch = {
+        frozenset((r["doc_a"], r["doc_b"])): r["hamming"]
+        for r in TD.simhash_pairs(
+            full, "doc_id", "text", max_hamming=HAM, prefix_bits=PB
+        ).collect()
+    }
+    sig_a = TD.simhash_signatures(A, "doc_id", "text")
+    sig_b = TD.simhash_signatures(B, "doc_id", "text")
+    inc = {}
+    oriented = {}
+    for r in (
+        TD.simhash_pairs_vs_index(
+            sig_a, None, max_hamming=HAM, prefix_bits=PB
+        ).collect()
+        + TD.simhash_pairs_vs_index(
+            sig_b, sig_a, max_hamming=HAM, prefix_bits=PB
+        ).collect()
+    ):
+        inc[frozenset((r["doc_a"], r["doc_b"]))] = r["hamming"]
+        oriented[(r["doc_a"], r["doc_b"])] = r["hamming"]
+    assert inc == batch and batch  # identical pairs AND distances, non-empty
+    # the planted cross-batch pair is oriented (index doc, new doc)
+    cross = [p for p in oriented if p[0] <= 3 and p[1] >= 100]
+    assert cross, oriented
+    # pigeonhole guard: max_hamming must stay below the chunk count
+    with pytest.raises(ValueError, match="pigeonhole"):
+        TD.simhash_pairs_vs_index(sig_b, sig_a, max_hamming=4)
+
+
+def test_minhash_vs_index_exact_verify_closes_estimate_band(spark):
+    """The texts= option of minhash_pairs_vs_index: with exact verification
+    on, the incremental operator reports EXACTLY the pairs whose true n-gram
+    Jaccard clears the threshold (byte-identical values to the ground truth),
+    while the default estimate path — judged on k=64 signature agreement —
+    misclassifies some pairs sitting near the threshold (the documented
+    ±0.037-sd band). This is the accuracy-cliff closure: flipping from batch
+    to incremental loses nothing when texts are supplied."""
+    # 20 disjoint-vocabulary (base, variant) pairs whose exact 3-gram Jaccard
+    # brackets the 0.85 threshold: replacing one interior token of an
+    # L-token doc changes 3 of L-2 shingles -> J = (L-5)/(L+1)
+    rows = []
+    for i, L in enumerate(range(28, 68, 2)):
+        toks = [f"w{i}x{j}" for j in range(L)]
+        var = list(toks)
+        var[L // 2] = f"sub{i}"
+        rows.append((1000 + i, " ".join(toks)))      # base (index side)
+        rows.append((2000 + i, " ".join(var)))       # variant (new batch)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ground = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in TD.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.85
+        ).collect()
+    }
+    assert 0 < len(ground) < 20  # the threshold truly bisects the pairs
+
+    index_docs = docs.filter(F.col("doc_id") < 2000)
+    new_docs = docs.filter(F.col("doc_id") >= 2000)
+    sig_i = TD.minhash_signatures(index_docs, "doc_id", "text")
+    sig_n = TD.minhash_signatures(new_docs, "doc_id", "text")
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in TD.minhash_pairs_vs_index(
+            sig_n, sig_i, threshold=0.85, texts=docs, id_col="doc_id"
+        ).collect()
+    }
+    assert exact == ground  # same pairs, same exact-jaccard values
+
+    est = {
+        (r["doc_a"], r["doc_b"])
+        for r in TD.minhash_pairs_vs_index(sig_n, sig_i, threshold=0.85)
+        .collect()
+    }
+    assert est != set(ground)  # the estimate band misjudges boundary pairs

@@ -90,9 +90,19 @@ def _recover_from_tail(tail: str, path: str) -> dict:
     if "cpu" not in art:
         # the region before "cpu_total" is inside cpu_runs (its immediate
         # predecessor key): every COMPLETE "name":[nums] pair there is one
-        # query's raw best-of-N CPU array
+        # query's raw best-of-N CPU array. Scope the scan to AFTER the last
+        # structural marker that precedes cpu_runs ("cpu_runs":, or the
+        # "cpu":{ object that failed to parse above) — otherwise, when
+        # "cpu":{ is present-but-unparsable, the fragment before it still
+        # holds trailing "runs" WALL-time arrays, which the name:[nums]
+        # regex would harvest as per-query CPU numbers
         end = tail.find('"cpu_total":')
         frag = tail[:end] if end != -1 else ""
+        runs_idx = frag.rfind('"cpu_runs":')
+        if runs_idx != -1:
+            frag = frag[runs_idx + len('"cpu_runs":'):]
+        elif cpu_idx != -1 and cpu_idx < len(frag):
+            frag = frag[cpu_idx + len('"cpu":'):]
         pairs = re.findall(r'"([A-Za-z0-9_]+)":\[([0-9.,eE+-]+)\]', frag)
         cpu = {}
         for name, nums in pairs:
