@@ -210,3 +210,149 @@ def read_jsonl_table(spark: SparkSession, path: str, schema) -> DataFrame:
         .schema(schema)
         .json(path)
     )
+
+
+# --------------------------------------------------------------------------- #
+# atomic table materialization — the Delta/Iceberg-shaped sink boundary
+# --------------------------------------------------------------------------- #
+#
+# The reference's warehouse gave it ACID CREATE OR REPLACE for free
+# (data_extraction_queries_automated_script.sql:7,24 — every stage is a
+# CREATE OR REPLACE TABLE); a bare Spark `mode("overwrite")` parquet write is
+# NOT that: it deletes the old directory first, so a mid-write failure leaves
+# a truncated "table" for the next reader. This section implements the
+# public snapshot-pointer commit protocol those table formats use, in
+# miniature:
+#
+#   <path>/v0000000001/        immutable version dirs (plain parquet)
+#   <path>/v0000000002/
+#   <path>/_CURRENT            one-line pointer file naming the live version
+#
+# A writer stages a FRESH version directory (never touching live files),
+# verifies Spark's _SUCCESS commit marker, then flips _CURRENT via
+# write-temp + fsync + os.replace — an atomic POSIX rename, so a reader
+# either sees the old pointer or the new one, never a half-written table. A
+# crash at ANY point before the pointer flip leaves the previous version
+# live and intact (crash-sim pytest: tests/test_io.py). Old versions remain
+# readable for in-flight jobs until `vacuum_versions`.
+#
+# Boundary statement: pointer files + os.replace are the LOCAL-filesystem
+# realization; at warehouse scale the same protocol is what Delta's
+# _delta_log / Iceberg's metadata-pointer swap provide on object stores —
+# swap this module for a real table format there (S3 renames are not
+# atomic). Single-writer-per-table is assumed (the reference pipeline is a
+# daily Airflow task); concurrent writers are last-commit-wins.
+
+_CURRENT_PTR = "_CURRENT"
+_VERSION_FMT = "v{:010d}"
+
+
+def _version_dirs(path: str) -> list[int]:
+    import re as _re
+
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        m = _re.fullmatch(r"v(\d{10})", name)
+        if m and os.path.isdir(os.path.join(path, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _commit_pointer(path: str, version: str) -> None:
+    """Atomically flip <path>/_CURRENT to name ``version``: write a temp
+    pointer, fsync it, os.replace over the live pointer (atomic on POSIX),
+    then best-effort fsync the directory so the rename survives power loss."""
+    import uuid as _uuid
+
+    tmp = os.path.join(path, f".{_CURRENT_PTR}.{_uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(version)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(path, _CURRENT_PTR))
+    try:
+        dfd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # directory fsync is a durability nicety, not correctness
+
+
+def current_version(path: str) -> str | None:
+    """The committed version name at ``path`` (None = nothing committed)."""
+    ptr = os.path.join(path, _CURRENT_PTR)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        return fh.read().strip() or None
+
+
+def atomic_overwrite(df: DataFrame, path: str, fmt: str = "parquet") -> str:
+    """CREATE-OR-REPLACE ``path`` with ``df``, atomically: stage a fresh
+    immutable version directory, verify Spark's ``_SUCCESS`` marker, flip
+    the ``_CURRENT`` pointer. Returns the committed version directory.
+
+    Failure contract: a crash/kill at any point — mid-file, between files,
+    even between _SUCCESS and the pointer flip — leaves the previously
+    committed version live and byte-identical; the orphaned staging dir is
+    swept by the next writer's numbering (max+1) and by
+    :func:`vacuum_versions`. Readers via :func:`read_committed` never see a
+    partial table."""
+    os.makedirs(path, exist_ok=True)
+    versions = _version_dirs(path)
+    ver = _VERSION_FMT.format((versions[-1] + 1) if versions else 1)
+    vdir = os.path.join(path, ver)
+    # errorifexists: a version dir is immutable once created — a collision
+    # means a concurrent writer raced this one; fail loudly instead of
+    # corrupting its staging
+    df.write.mode("errorifexists").format(fmt).save(vdir)
+    if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+        raise IOError(
+            f"atomic_overwrite: staging write at {vdir} carries no _SUCCESS "
+            "commit marker; refusing to flip the table pointer"
+        )
+    _commit_pointer(path, ver)
+    return vdir
+
+
+def read_committed(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None
+) -> DataFrame:
+    """Read the COMMITTED version of an :func:`atomic_overwrite` table —
+    resolves ``_CURRENT`` once at plan time, so the returned frame keeps
+    reading its snapshot even if a writer commits a newer version mid-job
+    (snapshot isolation, the reader half of the protocol)."""
+    ver = current_version(path)
+    if ver is None:
+        raise FileNotFoundError(
+            f"read_committed: no committed version at {path} (no "
+            f"{_CURRENT_PTR} pointer — never written, or only failed writes)"
+        )
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(os.path.join(path, ver))
+
+
+def vacuum_versions(path: str, keep: int = 1) -> list[str]:
+    """Delete superseded version dirs (committed-but-old and orphaned
+    staging), keeping the current version plus the ``keep``-1 newest others.
+    Returns the deleted dir names. Run it when no reader still holds a plan
+    over an old snapshot — same operational contract as Delta's VACUUM."""
+    import shutil as _shutil
+
+    cur = current_version(path)
+    names = [_VERSION_FMT.format(v) for v in _version_dirs(path)]
+    survivors = set(names[-max(keep - 1, 0):] if keep > 1 else [])
+    if cur is not None:
+        survivors.add(cur)
+    deleted = []
+    for name in names:
+        if name not in survivors:
+            _shutil.rmtree(os.path.join(path, name))
+            deleted.append(name)
+    return deleted

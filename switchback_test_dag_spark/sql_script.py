@@ -117,10 +117,25 @@ def substitute_variables(stmt: str, env: dict) -> str:
 
 
 def run_script(
-    spark: SparkSession, script: str, variables: dict | None = None
+    spark: SparkSession,
+    script: str,
+    variables: dict | None = None,
+    materialize_dir: str | None = None,
 ) -> DataFrame | None:
     """Execute a multi-statement script; returns the last statement's DataFrame
-    (or None for a script of pure DDL/SET statements)."""
+    (or None for a script of pure DDL/SET statements).
+
+    ``materialize_dir=None`` (default) keeps CREATE OR REPLACE TABLE stages as
+    lazy temp views — one fused Catalyst plan end-to-end, the right shape when
+    the script runs as a single job. With a directory, every CREATE OR REPLACE
+    TABLE stage is PHYSICALLY materialized under
+    ``<materialize_dir>/<table>`` through the atomic snapshot-pointer
+    protocol (:func:`switchback_test_dag_spark.io.atomic_overwrite`), and
+    downstream statements read the COMMITTED files — the reference warehouse's
+    ACID CREATE OR REPLACE semantics
+    (`data_extraction_queries_automated_script.sql:7,24`): a stage that dies
+    mid-write leaves the table's previous version live and complete for the
+    next reader, never a truncated directory."""
     env: dict = dict(variables or {})
     last: DataFrame | None = None
     for stmt in split_statements(strip_comments(script)):
@@ -137,7 +152,19 @@ def run_script(
         if m:
             name, select = m.group(1), m.group(2)
             last = spark.sql(select)
-            last.createOrReplaceTempView(name.split(".")[-1])
+            view = name.split(".")[-1]
+            if materialize_dir is not None:
+                import os as _os
+
+                from switchback_test_dag_spark.io import (
+                    atomic_overwrite,
+                    read_committed,
+                )
+
+                table_path = _os.path.join(materialize_dir, view)
+                atomic_overwrite(last, table_path)
+                last = read_committed(spark, table_path)
+            last.createOrReplaceTempView(view)
         else:
             last = spark.sql(stmt)
     return last

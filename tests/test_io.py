@@ -166,3 +166,99 @@ def test_jsonl_roundtrip_nested_and_events(spark, sf_dir, tmp_path):
     a = sorted((r["event_id"], r["ts_ns"], r["ts"]) for r in ev.collect())
     b = sorted((r["event_id"], r["ts_ns"], r["ts"]) for r in back.collect())
     assert a == b
+
+
+def test_atomic_overwrite_roundtrip_and_vacuum(spark, tmp_path):
+    """Snapshot-pointer sink basics: commit, replace, snapshot isolation of
+    an already-planned reader, vacuum of superseded versions."""
+    from switchback_test_dag_spark.io import (
+        atomic_overwrite,
+        current_version,
+        read_committed,
+        vacuum_versions,
+    )
+
+    path = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    atomic_overwrite(v1, path)
+    assert current_version(path) == "v0000000001"
+    old_reader = read_committed(spark, path)  # plans against v1's snapshot
+
+    v2 = spark.createDataFrame([(3, "c")], "id long, s string")
+    atomic_overwrite(v2, path)
+    assert current_version(path) == "v0000000002"
+    assert {r.id for r in read_committed(spark, path).collect()} == {3}
+    # snapshot isolation: the pre-commit reader still sees version 1
+    assert {r.id for r in old_reader.collect()} == {1, 2}
+
+    deleted = vacuum_versions(path)
+    assert deleted == ["v0000000001"]
+    assert {r.id for r in read_committed(spark, path).collect()} == {3}
+
+
+def test_atomic_overwrite_crash_leaves_old_table_live(spark, tmp_path, monkeypatch):
+    """Crash simulations: a writer that dies at ANY stage before the pointer
+    flip — partial staging files, a complete-but-unmarked staging dir, or a
+    kill between the _SUCCESS check and the pointer write — leaves the
+    previously committed version exactly readable, and a retry succeeds."""
+    import os
+
+    import switchback_test_dag_spark.io as sio
+
+    path = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    sio.atomic_overwrite(v1, path)
+
+    # crash A: killed mid-write — a partial staging dir with some files and
+    # no _SUCCESS (simulated directly: Spark can't be killed between files
+    # in-process, but the reader-side contract only depends on the on-disk
+    # state a kill leaves behind)
+    part = os.path.join(path, "v0000000002")
+    os.makedirs(part)
+    with open(os.path.join(part, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"\x00" * 10)  # truncated garbage, as a kill would leave
+    assert sio.current_version(path) == "v0000000001"
+    assert {r.id for r in sio.read_committed(spark, path).collect()} == {1, 2}
+
+    # crash B: killed between the staging write and the pointer flip
+    real_commit = sio._commit_pointer
+
+    def dying_commit(p, v):
+        raise RuntimeError("killed before pointer flip")
+
+    monkeypatch.setattr(sio, "_commit_pointer", dying_commit)
+    v2 = spark.createDataFrame([(9, "z")], "id long, s string")
+    with pytest.raises(RuntimeError):
+        sio.atomic_overwrite(v2, path)
+    assert sio.current_version(path) == "v0000000001"
+    assert {r.id for r in sio.read_committed(spark, path).collect()} == {1, 2}
+
+    # retry after the crash commits cleanly (fresh version number, the two
+    # orphaned staging dirs are skipped, then vacuumable)
+    monkeypatch.setattr(sio, "_commit_pointer", real_commit)
+    sio.atomic_overwrite(v2, path)
+    assert {r.id for r in sio.read_committed(spark, path).collect()} == {9}
+    deleted = set(sio.vacuum_versions(path))
+    assert "v0000000002" in deleted and "v0000000001" in deleted
+
+
+def test_run_script_materializes_stages_atomically(spark, sf_dir, tmp_path):
+    """run_script(materialize_dir=...): CREATE OR REPLACE TABLE stages land
+    as committed snapshot tables, downstream statements read the committed
+    files, and re-running replaces each stage atomically (version 2)."""
+    from switchback_test_dag_spark.io import current_version, read_committed
+    from switchback_test_dag_spark.io import register_views
+    from switchback_test_dag_spark.sql_script import run_script
+
+    register_views(spark, sf_dir, ("region", "nation"))
+    script = """
+    CREATE OR REPLACE TABLE proj.ds.stage1 AS
+      SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey;
+    SELECT r_name, n FROM stage1 JOIN region ON n_regionkey = r_regionkey;
+    """
+    out = run_script(spark, script, materialize_dir=str(tmp_path))
+    assert out.count() == 5
+    assert current_version(str(tmp_path / "stage1")) == "v0000000001"
+    run_script(spark, script, materialize_dir=str(tmp_path))
+    assert current_version(str(tmp_path / "stage1")) == "v0000000002"
+    assert read_committed(spark, str(tmp_path / "stage1")).count() == 5
