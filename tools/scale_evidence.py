@@ -32,7 +32,8 @@ DSIR contracts value-replayed in DuckDB at scale), and ``minhash_oph``
 deterministic long-document corpus).
 
 Usage: python tools/scale_evidence.py [components|emb_lsh|spans|decon|
-       selection|minhash_oph ...] [--sf DIR] [--no-write]
+       selection|minhash_oph|span_removal|clean_corpus_full ...]
+       [--sf DIR] [--no-write]
 """
 
 from __future__ import annotations
@@ -526,6 +527,249 @@ def measure_span_removal(spark, sf_dir: str) -> dict:
     return out
 
 
+def measure_clean_corpus_full(spark, sf_dir: str) -> dict:
+    """The COMPOSED cleaning pipeline with EVERY stage on — quality filter →
+    segment boilerplate scrub → duplicated-span REMOVAL → exact dedup →
+    n-gram-Jaccard near-dup removal → decontamination — value-verified at
+    scale against a DuckDB replay of the whole chain. The stages are each
+    individually verified (sf0.01 oracle rows + the sf1 span_removal /
+    selection replays), and corpus_clean_stats oracles the composition
+    WITHOUT the span stage at sf0.01; this measurement closes the remaining
+    gap: the full composition, span stage included, at 100× the oracle
+    fixture. Compared per source: clean-survivor count, contaminated count,
+    avg quality (of the RAW text, rounded 4), total span-cut tokens over all
+    survivors, and 40-bit md5 checksum SUMS over the surviving docs' FINAL
+    text and ids — a changed keeper, a moved token, or a flipped
+    contamination flag anywhere in the chain breaks the match.
+
+    Replay notes: the Spark span stage keys windows with xxhash64 and the
+    replay groups by an md5 prefix — identical GROUPING (both are
+    collision-free at this scale w.h.p.; duplication is decided by window
+    content either way). The near-dup stage replays as an inverted-index
+    join (unnest shingles → equi-join → per-pair intersection count) —
+    set-identical to the quadratic self-join the sf0.01 oracle can afford,
+    feasible at 50k docs."""
+    import duckdb
+
+    from switchback_test_dag_spark.caching import release_all
+    from switchback_test_dag_spark.queries_documents import (
+        _DUCK_QUALITY,
+        _DUCK_TOKS,
+        _SEG_BOILER_DF,
+        _SEG_CHUNK,
+    )
+    from switchback_test_dag_spark.text.pipeline import clean_corpus
+
+    # span_len must exceed decon_n (production: Lee et al. cut ~50-token
+    # spans, decon checks 8-13-grams): with span_len == decon_n every 4-gram
+    # shared with an eval doc is itself a corpus-duplicated window and the
+    # span stage cuts it first, leaving the decon stage vacuously zero
+    # decon at 3-grams: at sf1 every cross-doc 4-gram overlap sits inside a
+    # duplicated span (>= 8 tokens) and is cut before decon sees it - 3-gram
+    # matching keeps the decontamination stage non-vacuous at scale
+    SPAN_L, DECON_N = 8, 3
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n_docs = docs.count()
+    # scale the boilerplate df threshold with the corpus (fixture chunks
+    # repeat proportionally to doc count): at the fixed df>=20 of the sf0.01
+    # oracle, a 100x corpus scrubs ALL repeated chunks as boilerplate and the
+    # span stage downstream has nothing left to cut - every stage must do
+    # real work for the composition evidence to mean anything
+    boiler_df = max(_SEG_BOILER_DF, n_docs // 25)
+    toks = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+    segs = (
+        f"CASE WHEN size({toks}) = 0 THEN CAST(array() AS ARRAY<STRING>) ELSE "
+        f"transform(sequence(1, size({toks}), {_SEG_CHUNK}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {_SEG_CHUNK}))) END"
+    )
+    eval_df = docs.filter(F.col("doc_id") % 13 == 0)
+    t0 = time.monotonic()
+    flagged = clean_corpus(
+        docs,
+        "doc_id",
+        "text",
+        segmenter=F.expr(segs),
+        quality_min=0.5,
+        boiler_min_df=boiler_df,
+        shingle_n=3,
+        jaccard_threshold=0.85,
+        eval_df=eval_df,
+        decon_n=DECON_N,
+        quality_col="qs",
+        segment_policy="boilerplate",
+        span_policy="remove",
+        span_len=SPAN_L,
+        span_min_count=2,
+    )
+    clean = ~F.col("contaminated")
+    th = F.conv(F.substring(F.md5(F.col("text")), 1, 10), 16, 10).cast("long")
+    ih = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    rows = (
+        flagged.groupBy("source")
+        .agg(
+            F.sum(F.when(clean, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(clean, 0).otherwise(1)).cast("long").alias("n_contam"),
+            F.round(F.avg(F.when(clean, F.col("qs"))), 4).alias("avg_quality"),
+            F.sum("spans_cut_tokens").cast("long").alias("span_cut_tokens"),
+            F.sum(F.when(clean, th)).cast("long").alias("kept_text_hash"),
+            F.sum(F.when(clean, ih)).cast("long").alias("kept_id_hash"),
+        )
+        .orderBy("source")
+        .collect()
+    )
+    wall = time.monotonic() - t0
+    release_all()
+    got = [tuple(r) for r in rows]
+
+    con = duckdb.connect()
+    p = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    duck_segs = (
+        "CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) ELSE "
+        f"[array_to_string(toks[i:i+{_SEG_CHUNK - 1}], ' ') "
+        f"for i in generate_series(1, len(toks), {_SEG_CHUNK})] END"
+    )
+    sql = f"""
+WITH q AS (
+  SELECT doc_id, source, text, {_DUCK_QUALITY} AS qs
+  FROM documents WHERE {_DUCK_QUALITY} >= 0.5
+), qt AS (
+  SELECT doc_id, source, qs, {_DUCK_TOKS} AS toks FROM q
+), qsg AS MATERIALIZED (
+  SELECT doc_id, source, qs, {duck_segs} AS segs FROM qt
+), qse AS MATERIALIZED (
+  SELECT doc_id, unnest(generate_series(1, len(segs))) AS pos, unnest(segs) AS seg
+  FROM qsg
+), qboiler AS (
+  SELECT seg FROM qse GROUP BY seg HAVING count(DISTINCT doc_id) >= {boiler_df}
+), qscrub AS MATERIALIZED (
+  SELECT qsg.doc_id, qsg.source, qsg.qs, s.stext AS text
+  FROM qsg JOIN (
+    SELECT doc_id, array_to_string(list(seg ORDER BY pos), ' ') AS stext
+    FROM qse ANTI JOIN qboiler USING (seg) GROUP BY doc_id
+  ) s USING (doc_id)
+  WHERE s.stext != ''
+), soc AS MATERIALIZED (
+  -- span stage input is the SCRUBBED text (already lowercase)
+  SELECT doc_id, unnest(
+    [struct_pack(pos := i - 1,
+                 wk := substr(md5(array_to_string(stoks[i:i+{SPAN_L - 1}], ' ')), 1, 16))
+     for i in generate_series(1, len(stoks) - {SPAN_L - 1})],
+    recursive := true)
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS stoks FROM qscrub)
+), sdup AS (
+  SELECT wk FROM soc GROUP BY wk HAVING count(*) >= 2
+), shit AS MATERIALIZED (
+  SELECT soc.doc_id, soc.pos FROM soc JOIN sdup USING (wk)
+), stok AS (
+  SELECT doc_id, unnest(
+    [struct_pack(pos := i - 1, tok := stoks[i])
+     for i in generate_series(1, len(stoks))],
+    recursive := true)
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS stoks FROM qscrub
+        WHERE doc_id IN (SELECT DISTINCT doc_id FROM shit))
+), smark AS (
+  SELECT st.doc_id, st.pos, st.tok,
+         max(sh.pos + {SPAN_L}) OVER (
+           PARTITION BY st.doc_id ORDER BY st.pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce
+  FROM stok st LEFT JOIN shit sh ON st.doc_id = sh.doc_id AND st.pos = sh.pos
+), srebuilt AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN ce IS NULL OR pos >= ce THEN tok END,
+                             ' ' ORDER BY pos), '') AS new_text,
+         count(CASE WHEN ce IS NOT NULL AND pos < ce THEN 1 END) AS cut_toks
+  FROM smark GROUP BY doc_id
+), cutd AS MATERIALIZED (
+  SELECT qs2.doc_id, qs2.source, qs2.qs,
+         coalesce(sr.new_text, qs2.text) AS text,
+         coalesce(sr.cut_toks, 0) AS cut_toks
+  FROM qscrub qs2 LEFT JOIN srebuilt sr USING (doc_id)
+  WHERE coalesce(sr.new_text, qs2.text) != ''
+), fp AS (
+  SELECT doc_id, source, qs, text, cut_toks,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM cutd
+), k1 AS MATERIALIZED (
+  SELECT * FROM fp WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)
+), shx AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, len(toks) - 2)]) AS sh
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM k1)
+  WHERE len(toks) >= 3
+), she AS (
+  SELECT doc_id, unnest(sh) AS s, len(sh) AS sz FROM shx
+), ii AS (
+  -- inverted-index near-dup: set-identical to the quadratic self-join,
+  -- feasible at 50k docs (pairs sharing zero shingles cannot reach 0.85)
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i,
+         any_value(a.sz) AS sza, any_value(b.sz) AS szb
+  FROM she a JOIN she b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), near AS (
+  SELECT DISTINCT db AS doc_id FROM ii
+  WHERE i * 1.0 / (sza + szb - i) >= 0.85
+), k2 AS MATERIALIZED (
+  SELECT * FROM k1 WHERE doc_id NOT IN (SELECT doc_id FROM near)
+), etk AS (
+  SELECT {_DUCK_TOKS} AS toks FROM documents WHERE doc_id % 13 = 0
+), ev AS MATERIALIZED (
+  SELECT DISTINCT unnest(
+    [array_to_string(toks[i:i+{DECON_N - 1}], ' ')
+     for i in generate_series(1, len(toks) - {DECON_N - 1})]
+  ) AS gram FROM etk
+), k2g AS (
+  SELECT doc_id, list_distinct(
+    [array_to_string(toks[i:i+{DECON_N - 1}], ' ')
+     for i in generate_series(1, len(toks) - {DECON_N - 1})]
+  ) AS g
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM k2)
+), contam AS (
+  SELECT DISTINCT k2g.doc_id
+  FROM k2g, unnest(k2g.g) AS u(gram) JOIN ev ON u.gram = ev.gram
+)
+SELECT k2.source,
+       CAST(count(*) FILTER (WHERE c.doc_id IS NULL) AS BIGINT) AS n_kept,
+       CAST(count(c.doc_id) AS BIGINT) AS n_contam,
+       round(avg(qs) FILTER (WHERE c.doc_id IS NULL), 4) AS avg_quality,
+       CAST(sum(cut_toks) AS BIGINT) AS span_cut_tokens,
+       CAST(sum(CASE WHEN c.doc_id IS NULL THEN
+             ('0x' || substring(md5(k2.text), 1, 10))::BIGINT END) AS BIGINT)
+         AS kept_text_hash,
+       CAST(sum(CASE WHEN c.doc_id IS NULL THEN
+             ('0x' || substring(md5(CAST(k2.doc_id AS VARCHAR)), 1, 10))::BIGINT END)
+            AS BIGINT) AS kept_id_hash
+FROM k2 LEFT JOIN contam c USING (doc_id)
+GROUP BY k2.source
+ORDER BY k2.source
+"""
+    t1 = time.monotonic()
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    duck_wall = time.monotonic() - t1
+    out = {
+        "measurement": "clean_corpus_full",
+        "sf_dir": sf_dir,
+        "sec": round(wall, 2),
+        "duck_sec": round(duck_wall, 2),
+        "n_docs": n_docs,
+        "n_sources": len(got),
+        "n_kept_total": int(sum(r[1] for r in got)),
+        "n_contam_total": int(sum(r[2] for r in got)),
+        "span_cut_tokens_total": int(sum(r[4] for r in got)),
+        "values_match": got == want,
+    }
+    assert got == want, (
+        "clean_corpus full-composition replay mismatch:\n"
+        f"spark={got[:3]}...\nduck ={want[:3]}..."
+    )
+    return out
+
+
 _MEASURES = {
     "components": measure_components,
     "emb_lsh": measure_emb_lsh,
@@ -534,6 +778,7 @@ _MEASURES = {
     "selection": measure_selection,
     "minhash_oph": measure_minhash_oph,
     "span_removal": measure_span_removal,
+    "clean_corpus_full": measure_clean_corpus_full,
 }
 
 
