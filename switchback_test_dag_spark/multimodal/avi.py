@@ -16,8 +16,11 @@ MJPEG-in-AVI (fourcc ``MJPG``) composes this container walker with the
 baseline-JPEG codec (``jpeg.py``): each ``00dc`` chunk is one complete JPEG
 image, so COMPRESSED video decode runs end to end on real bytes with parts
 already on the shelf — only the fourcc dispatch and per-frame JPEG slicing
-are new. Motion-compensated video (H.26x/VP9/AV1) still requires real codec
-libraries and remains the one documented stub.
+are new. Motion-JPEG-B (fourcc ``mjpb``, QuickTime's marker-less MJPEG
+layout — ``mjpegb.py``) rides the same shared compressed-stream writer and
+reader with a different per-frame byte format. Motion-compensated video
+(H.26x/VP9/AV1) still requires real codec libraries and remains the one
+documented stub.
 """
 
 from __future__ import annotations
@@ -32,6 +35,8 @@ _FOURCC_LIST = b"LIST"
 _INFO_HEADER = "<IiiHHIIiiII"
 # BITMAPINFOHEADER biCompression value for MJPEG ('MJPG' little-endian)
 _MJPG_INT = int.from_bytes(b"MJPG", "little")
+# QuickTime Motion-JPEG-B codec id
+_MJPB_INT = int.from_bytes(b"mjpb", "little")
 
 
 def _iter_chunks(buf: bytes, pos: int, end: int):
@@ -168,18 +173,36 @@ def encode_avi_mjpg(jpeg_frames: list, width: int, height: int, fps: int = 10) -
     with fccHandler/biCompression 'MJPG' and one ``00dc`` chunk per JPEG.
     Container size is NOT closed-form (entropy-coded frame sizes vary) —
     byte-accounting contracts stay with the DIB path."""
-    if not jpeg_frames:
-        raise ValueError("MJPEG AVI needs at least one frame")
-    frames = [bytes(f) for f in jpeg_frames]
+    return _encode_avi_compressed(jpeg_frames, width, height, fps, b"MJPG")
+
+
+def encode_avi_mjpb(mjpegb_frames: list, width: int, height: int, fps: int = 10) -> bytes:
+    """List of MJPEG-B frame payloads (``mjpegb.encode_mjpegb``; same
+    geometry each) → AVI bytes with fccHandler/biCompression 'mjpb' — the
+    QuickTime Motion-JPEG-B codec id — and one ``00dc`` chunk per frame.
+    Same container layout as the MJPG path; only the codec id and per-frame
+    byte format differ."""
+    return _encode_avi_compressed(mjpegb_frames, width, height, fps, b"mjpb")
+
+
+def _encode_avi_compressed(
+    enc_frames: list, width: int, height: int, fps: int, fourcc: bytes
+) -> bytes:
+    """Shared compressed-video AVI writer: one ``00dc`` chunk per
+    pre-encoded frame payload, stream headers declaring ``fourcc``."""
+    if not enc_frames:
+        raise ValueError("compressed AVI needs at least one frame")
+    frames = [bytes(f) for f in enc_frames]
     n = len(frames)
     max_size = max(len(f) for f in frames)
+    fourcc_int = int.from_bytes(fourcc, "little")
 
     strf = struct.pack(
-        _INFO_HEADER, 40, width, height, 1, 24, _MJPG_INT, max_size, 0, 0, 0, 0
+        _INFO_HEADER, 40, width, height, 1, 24, fourcc_int, max_size, 0, 0, 0, 0
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, max_size, 0, 0, 0, 0,
+        b"vids", fourcc, 0, 0, 0, 0, 1, fps, 0, n, max_size, 0, 0, 0, 0,
         width, height,
     )
     strl = (
@@ -221,6 +244,25 @@ def decode_avi_mjpg(payload: bytes) -> tuple[int, np.ndarray]:
     the stream header."""
     from switchback_test_dag_spark.multimodal.jpeg import decode_jpeg
 
+    return _decode_avi_compressed(payload, _MJPG_INT, "an MJPG", decode_jpeg)
+
+
+def decode_avi_mjpb(payload: bytes) -> tuple[int, np.ndarray]:
+    """Motion-JPEG-B AVI bytes → (fps, (n, h, w, 3) uint8 RGB frame stack):
+    the same chunk walk with biCompression 'mjpb', each ``00dc`` chunk one
+    marker-less MJPEG-B frame (offset-table header, UNSTUFFED scan) decoded
+    by ``mjpegb.decode_mjpegb`` — the same Huffman+IDCT machinery as the
+    MJPG path under the QuickTime byte layout."""
+    from switchback_test_dag_spark.multimodal.mjpegb import decode_mjpegb
+
+    return _decode_avi_compressed(payload, _MJPB_INT, "a mjpb", decode_mjpegb)
+
+
+def _decode_avi_compressed(
+    payload: bytes, fourcc_int: int, codec_name: str, frame_decoder
+) -> tuple[int, np.ndarray]:
+    """Shared compressed-video AVI reader: walk chunks, require the declared
+    codec id, decode every ``00dc``/``00db`` body with ``frame_decoder``."""
     _require_avi(payload)
 
     geom: dict = {}
@@ -236,16 +278,16 @@ def decode_avi_mjpg(payload: bytes) -> tuple[int, np.ndarray]:
             hsize, w, h, _planes, _bpp, compression = struct.unpack_from(
                 "<IiiHHI", payload, pos
             )
-            if hsize >= 40 and compression == _MJPG_INT:
+            if hsize >= 40 and compression == fourcc_int:
                 geom["w"], geom["h"] = w, abs(h)
             else:
                 raise ValueError(
-                    f"not an MJPG stream: compression={compression}"
+                    f"not {codec_name} stream: compression={compression}"
                 )
         elif name in (b"00db", b"00dc"):
             if "w" not in geom:
                 raise ValueError("frame chunk before stream format header")
-            frame = decode_jpeg(payload[pos : pos + size])
+            frame = frame_decoder(payload[pos : pos + size])
             if frame.shape[:2] != (geom["h"], geom["w"]):
                 raise ValueError(
                     f"frame geometry {frame.shape[:2]} disagrees with stream "

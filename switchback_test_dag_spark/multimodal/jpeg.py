@@ -227,10 +227,15 @@ def _assign_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, i
 
 
 class _BitWriter:
-    def __init__(self) -> None:
+    def __init__(self, stuff: bool = True) -> None:
+        # stuff=True: JFIF byte stuffing (0x00 after every 0xFF so entropy
+        # bytes never alias a marker). stuff=False: raw bits — the MJPEG-B
+        # layout, whose headerless offset-table frames carry UNSTUFFED scans
+        # (offsets locate sections, so no marker aliasing exists to avoid).
         self.out = bytearray()
         self.acc = 0
         self.nbits = 0
+        self.stuff = stuff
 
     def write(self, length: int, value: int) -> None:
         self.acc = (self.acc << length) | (value & ((1 << length) - 1))
@@ -239,7 +244,7 @@ class _BitWriter:
             byte = (self.acc >> (self.nbits - 8)) & 0xFF
             self.nbits -= 8
             self.out.append(byte)
-            if byte == 0xFF:
+            if byte == 0xFF and self.stuff:
                 self.out.append(0x00)
 
     def flush(self) -> bytes:
@@ -250,18 +255,21 @@ class _BitWriter:
 
 
 class _BitReader:
-    def __init__(self, data: bytes) -> None:
+    def __init__(self, data: bytes, stuffed: bool = True) -> None:
+        # stuffed mirrors _BitWriter.stuff: JFIF scans unstuff 0xFF00 pairs;
+        # MJPEG-B scans are raw bits (see _BitWriter)
         self.data = data
         self.pos = 0
         self.acc = 0
         self.nbits = 0
+        self.stuffed = stuffed
 
     def _fill(self) -> None:
         if self.pos >= len(self.data):
             raise ValueError("jpeg: entropy stream truncated")
         b = self.data[self.pos]
         self.pos += 1
-        if b == 0xFF:
+        if b == 0xFF and self.stuffed:
             if self.pos >= len(self.data):
                 raise ValueError("jpeg: dangling 0xFF in entropy stream")
             marker = self.data[self.pos]
@@ -333,24 +341,11 @@ def _block_symbols(blocks: np.ndarray) -> list[tuple[list, list]]:
     return out
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> tuple[bytes, dict]:
-    """(h, w, 3) uint8 RGB → (jpeg_bytes, exact_state). ``exact_state`` holds
-    the quantized coefficient blocks and quant tables, letting tests pin the
-    decoder coefficient-bit-exactly and replay the reference reconstruction."""
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim != 3 or px.shape[2] != 3:
-        raise ValueError("encode_jpeg expects (h, w, 3) RGB")
-    h, w = px.shape[:2]
-    qy, qc = scaled_quant_tables(quality)
-    ycc = _rgb_to_ycbcr(px)
-    comp_blocks = [
-        _forward_blocks(ycc[..., 0], qy),
-        _forward_blocks(ycc[..., 1], qc),
-        _forward_blocks(ycc[..., 2], qc),
-    ]
-    comp_syms = [_block_symbols(b) for b in comp_blocks]
-
-    # optimal Huffman tables from actual frequencies (luma = class 0, chroma = 1)
+def _entropy_tables(comp_syms):
+    """Optimal Huffman tables from component symbol frequencies (luma =
+    class 0, chroma = 1). Returns (dc_tabs, ac_tabs, dc_codes, ac_codes) —
+    tabs as (bits, huffval) for serialization, codes as symbol→(len, code)
+    for the scan writer. Shared by the JFIF and MJPEG-B encoders."""
     dc_freq: list[dict[int, int]] = [{}, {}]
     ac_freq: list[dict[int, int]] = [{}, {}]
     for ci, syms in enumerate(comp_syms):
@@ -364,13 +359,15 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> tuple[bytes, dict]:
     ac_tabs = [_build_huffman(f) for f in ac_freq]
     dc_codes = [_assign_codes(*t) for t in dc_tabs]
     ac_codes = [_assign_codes(*t) for t in ac_tabs]
+    return dc_tabs, ac_tabs, dc_codes, ac_codes
 
-    # entropy-coded scan: components are non-interleaved per MCU row? Baseline
-    # 4:4:4 single-scan interleaves one block per component per MCU.
-    writer = _BitWriter()
+
+def _write_scan(writer: _BitWriter, comp_blocks, dc_codes, ac_codes) -> bytes:
+    """Entropy-coded baseline 4:4:4 interleaved scan (one block per component
+    per MCU), per-component DC predictors — the MCU walk shared by the JFIF
+    and MJPEG-B encoders; the writer's ``stuff`` flag decides the byte
+    layout. Returns the flushed scan bytes."""
     nby, nbx = comp_blocks[0].shape[:2]
-    # re-walk blocks in MCU order, re-deriving symbols with per-component DC
-    # predictors (the _block_symbols pass above was only for frequencies)
     flats = [b.reshape(nby, nbx, 64)[..., _ZIGZAG] for b in comp_blocks]
     prev_dc = [0, 0, 0]
     for by in range(nby):
@@ -406,7 +403,29 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> tuple[bytes, dict]:
                 if last_nz < 63:
                     ln, code = ac_codes[t][0x00]
                     writer.write(ln, code)
-    scan = writer.flush()
+    return writer.flush()
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> tuple[bytes, dict]:
+    """(h, w, 3) uint8 RGB → (jpeg_bytes, exact_state). ``exact_state`` holds
+    the quantized coefficient blocks and quant tables, letting tests pin the
+    decoder coefficient-bit-exactly and replay the reference reconstruction."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_jpeg expects (h, w, 3) RGB")
+    h, w = px.shape[:2]
+    qy, qc = scaled_quant_tables(quality)
+    ycc = _rgb_to_ycbcr(px)
+    comp_blocks = [
+        _forward_blocks(ycc[..., 0], qy),
+        _forward_blocks(ycc[..., 1], qc),
+        _forward_blocks(ycc[..., 2], qc),
+    ]
+    comp_syms = [_block_symbols(b) for b in comp_blocks]
+    dc_tabs, ac_tabs, dc_codes, ac_codes = _entropy_tables(comp_syms)
+    # stuffed scan (the _block_symbols pass above was only for frequencies;
+    # _write_scan re-walks blocks in MCU order with real DC predictors)
+    scan = _write_scan(_BitWriter(stuff=True), comp_blocks, dc_codes, ac_codes)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -504,63 +523,62 @@ def decode_jpeg_blocks(data: bytes):
         raise ValueError(f"jpeg: corrupt stream ({exc})") from exc
 
 
-def _decode_jpeg_blocks(data: bytes):
-    qtabs: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
-    sof = None
-    comps = None
-    scan_comps = None
-    scan_data = None
-    for marker, body, scan in _parse_segments(data):
-        if marker == 0xFFDB:
-            p = 0
-            while p < len(body):
-                pq, tq = body[p] >> 4, body[p] & 0x0F
-                if pq != 0:
-                    raise ValueError("jpeg: 16-bit quant tables unsupported")
-                vals = np.frombuffer(body[p + 1 : p + 65], dtype=np.uint8)
-                tab = np.zeros(64, dtype=np.int64)
-                tab[_ZIGZAG] = vals
-                qtabs[tq] = tab.reshape(8, 8)
-                p += 65
-        elif marker == 0xFFC4:
-            p = 0
-            while p < len(body):
-                cls, tid = body[p] >> 4, body[p] & 0x0F
-                bits = list(body[p + 1 : p + 17])
-                n = sum(bits)
-                huffval = list(body[p + 17 : p + 17 + n])
-                huff[(cls, tid)] = _assign_codes(bits, huffval)
-                p += 17 + n
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
-                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
-            raise ValueError(f"jpeg: only baseline SOF0 supported, got {marker:04X}")
-        elif marker == 0xFFC0:
-            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or nc != 3:
-                raise ValueError("jpeg: only 8-bit 3-component baseline supported")
-            comps = []
-            for i in range(nc):
-                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise ValueError("jpeg: subsampling unsupported (4:4:4 only)")
-                comps.append((cid, tq))
-            sof = (h, w)
-        elif marker == 0xFFDA:
-            ns = body[0]
-            scan_comps = []
-            for i in range(ns):
-                cid, tt = body[1 + 2 * i : 3 + 2 * i]
-                scan_comps.append((cid, tt >> 4, tt & 0x0F))
-            scan_data = scan
-        elif marker == 0xFFDD:
-            raise ValueError("jpeg: restart intervals unsupported")
-    if sof is None or scan_data is None or comps is None or scan_comps is None:
-        raise ValueError("jpeg: missing SOF/SOS")
-    h, w = sof
-    nby, nbx = (h + 7) // 8, (w + 7) // 8
-    reader = _BitReader(scan_data)
+def _parse_dqt_body(body: bytes, qtabs: dict[int, np.ndarray]) -> None:
+    """DQT segment BODY (sans marker/length) → 8×8 tables into ``qtabs``.
+    Shared by the JFIF marker walk and the MJPEG-B offset-table parser."""
+    p = 0
+    while p < len(body):
+        pq, tq = body[p] >> 4, body[p] & 0x0F
+        if pq != 0:
+            raise ValueError("jpeg: 16-bit quant tables unsupported")
+        vals = np.frombuffer(body[p + 1 : p + 65], dtype=np.uint8)
+        tab = np.zeros(64, dtype=np.int64)
+        tab[_ZIGZAG] = vals
+        qtabs[tq] = tab.reshape(8, 8)
+        p += 65
 
+
+def _parse_dht_body(body: bytes, huff: dict) -> None:
+    """DHT segment BODY → code tables into ``huff[(cls, tid)]`` (shared)."""
+    p = 0
+    while p < len(body):
+        cls, tid = body[p] >> 4, body[p] & 0x0F
+        bits = list(body[p + 1 : p + 17])
+        n = sum(bits)
+        huffval = list(body[p + 17 : p + 17 + n])
+        huff[(cls, tid)] = _assign_codes(bits, huffval)
+        p += 17 + n
+
+
+def _parse_sof_body(body: bytes):
+    """SOF0 segment BODY → ([(component id, quant table id)], (h, w))."""
+    prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+    if prec != 8 or nc != 3:
+        raise ValueError("jpeg: only 8-bit 3-component baseline supported")
+    comps = []
+    for i in range(nc):
+        cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+        if samp != 0x11:
+            raise ValueError("jpeg: subsampling unsupported (4:4:4 only)")
+        comps.append((cid, tq))
+    return comps, (h, w)
+
+
+def _parse_sos_body(body: bytes):
+    """SOS segment BODY → [(component id, DC table id, AC table id)]."""
+    ns = body[0]
+    return [
+        (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+        for i in range(ns)
+    ]
+
+
+def _decode_scan(reader: _BitReader, huff, comps, scan_comps, h: int, w: int):
+    """Entropy-decode a baseline 4:4:4 interleaved scan — the MCU walk shared
+    by the JFIF and MJPEG-B decoders (the reader's ``stuffed`` flag decides
+    the byte layout). Returns per-component NATURAL-order coefficient blocks
+    and the component quant-table ids: ([(nby, nbx, 8, 8) int32], [tq])."""
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
     # invert code tables into (length, code) → symbol maps
     dec_tabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {
         k: {v: s for s, v in tab.items()} for k, tab in huff.items()
@@ -607,13 +625,42 @@ def _decode_jpeg_blocks(data: bytes):
                     k += 1
                 qblocks[ci][by, bx] = zz
     out_blocks = []
-    out_qtabs = []
-    for ci, (_, tq) in enumerate(comps):
+    for ci in range(3):
         blk = np.zeros((nby, nbx, 8, 8), dtype=np.int32)
         blk.reshape(nby, nbx, 64)[:] = qblocks[ci][..., _UNZIGZAG]
         out_blocks.append(blk)
-        out_qtabs.append(qtabs[tq])
-    return out_blocks, out_qtabs, (h, w)
+    return out_blocks, [tq for _, tq in comps]
+
+
+def _decode_jpeg_blocks(data: bytes):
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+    sof = None
+    comps = None
+    scan_comps = None
+    scan_data = None
+    for marker, body, scan in _parse_segments(data):
+        if marker == 0xFFDB:
+            _parse_dqt_body(body, qtabs)
+        elif marker == 0xFFC4:
+            _parse_dht_body(body, huff)
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise ValueError(f"jpeg: only baseline SOF0 supported, got {marker:04X}")
+        elif marker == 0xFFC0:
+            comps, sof = _parse_sof_body(body)
+        elif marker == 0xFFDA:
+            scan_comps = _parse_sos_body(body)
+            scan_data = scan
+        elif marker == 0xFFDD:
+            raise ValueError("jpeg: restart intervals unsupported")
+    if sof is None or scan_data is None or comps is None or scan_comps is None:
+        raise ValueError("jpeg: missing SOF/SOS")
+    h, w = sof
+    out_blocks, tqs = _decode_scan(
+        _BitReader(scan_data, stuffed=True), huff, comps, scan_comps, h, w
+    )
+    return out_blocks, [qtabs[tq] for tq in tqs], (h, w)
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:

@@ -421,20 +421,60 @@ def synthesize_mjpeg_avi_videos(df: DataFrame, id_col: str, quality: int = 90) -
     from switchback_test_dag_spark.multimodal.avi import encode_avi_mjpg
     from switchback_test_dag_spark.multimodal.jpeg import encode_jpeg
 
+    return _synthesize_compressed_avi(
+        df, id_col,
+        frame_encoder=lambda px: encode_jpeg(px, quality)[0],
+        avi_encoder=encode_avi_mjpg,
+        geom=lambda mid: (6 + mid % 7, 6 + mid % 5, 2 + mid % 3),
+        seed_mult=1009,
+        fps=12,
+    )
+
+
+def synthesize_mjpegb_avi_videos(df: DataFrame, id_col: str, quality: int = 90) -> DataFrame:
+    """MEDIA_SCHEMA video rows with REAL Motion-JPEG-B payloads in AVI
+    (fourcc ``mjpb``): QuickTime's marker-less MJPEG layout — offset-table
+    frame headers, UNSTUFFED entropy scans (``mjpegb.py``, composing
+    ``jpeg.py``'s DCT/Huffman machinery under the different byte layout).
+    Per id: ``1 + id % 4`` frames of geometry ``(7 + id % 6) × (5 + id % 4)``
+    (closed-form for the oracle, deliberately different formulas from the
+    MJPG path so a branch swap breaks the hash), frame ``j`` seeded by
+    ``id·2027 + j``, fps 10."""
+    from switchback_test_dag_spark.multimodal.avi import encode_avi_mjpb
+    from switchback_test_dag_spark.multimodal.mjpegb import encode_mjpegb
+
+    return _synthesize_compressed_avi(
+        df, id_col,
+        frame_encoder=lambda px: encode_mjpegb(px, quality)[0],
+        avi_encoder=encode_avi_mjpb,
+        geom=lambda mid: (7 + mid % 6, 5 + mid % 4, 1 + mid % 4),
+        seed_mult=2027,
+        fps=10,
+    )
+
+
+def _synthesize_compressed_avi(
+    df: DataFrame, id_col: str, frame_encoder, avi_encoder, geom, seed_mult: int,
+    fps: int,
+) -> DataFrame:
+    """Shared compressed-video synthesizer: per id, ``geom(mid) -> (w, h, n)``
+    frames of the BMP test pattern, each encoded by ``frame_encoder`` and
+    boxed into an AVI by ``avi_encoder``."""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, ws, hs, durs = [], [], [], []
             for mid in pdf["media_id"]:
                 mid = int(mid)
-                w, h, n = 6 + mid % 7, 6 + mid % 5, 2 + mid % 3
+                w, h, n = geom(mid)
                 blobs = [
-                    encode_jpeg(_bmp_pixels(mid * 1009 + j, w, h), quality)[0]
+                    frame_encoder(_bmp_pixels(mid * seed_mult + j, w, h))
                     for j in range(n)
                 ]
-                payloads.append(encode_avi_mjpg(blobs, width=w, height=h, fps=12))
+                payloads.append(avi_encoder(blobs, width=w, height=h, fps=fps))
                 ws.append(w)
                 hs.append(h)
-                durs.append(n * 1000 // 12)
+                durs.append(n * 1000 // fps)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -462,6 +502,20 @@ def decode_mjpeg_avi_features(media: DataFrame) -> DataFrame:
     as the still-JPEG path (``_media_jpeg_agg``)."""
     from switchback_test_dag_spark.multimodal.avi import decode_avi_mjpg
 
+    return _decode_compressed_avi_features(media, decode_avi_mjpg)
+
+
+def decode_mjpegb_avi_features(media: DataFrame) -> DataFrame:
+    """Parse REAL Motion-JPEG-B AVI bytes → the same video features through
+    the container walk + per-frame marker-less decode
+    (``avi.decode_avi_mjpb`` → ``mjpegb.decode_mjpegb``: offset-table
+    headers, unstuffed scans). Same oracle/pytest split as the MJPG path."""
+    from switchback_test_dag_spark.multimodal.avi import decode_avi_mjpb
+
+    return _decode_compressed_avi_features(media, decode_avi_mjpb)
+
+
+def _decode_compressed_avi_features(media: DataFrame, avi_decoder) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -469,7 +523,7 @@ def decode_mjpeg_avi_features(media: DataFrame) -> DataFrame:
             fpss, nfs, ws, hs, nbs, sums, w0 = [], [], [], [], [], [], []
             for payload in pdf["payload"]:
                 raw = bytes(payload)
-                fps, frames = decode_avi_mjpg(raw)
+                fps, frames = avi_decoder(raw)
                 n, h, w, _ = frames.shape
                 f0 = frames[0].astype(np.int64)
                 weights = np.arange(1, h * w * 3 + 1, dtype=np.int64).reshape(

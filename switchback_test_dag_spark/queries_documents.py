@@ -1127,6 +1127,44 @@ _DUCK_MJPG_AGG = """
                    AS BIGINT) AS total_px
        FROM documents GROUP BY source"""
 
+_DUCK_MJPB_AGG = """
+       SELECT source, CAST(count(*) AS BIGINT) AS n_media,
+              CAST(sum(1 + doc_id % 4) AS BIGINT) AS total_frames,
+              CAST(10 AS BIGINT) AS fps_max,
+              CAST(sum((7 + doc_id % 6) * (5 + doc_id % 4) * (1 + doc_id % 4))
+                   AS BIGINT) AS total_px
+       FROM documents GROUP BY source"""
+
+
+def _media_mjpb_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion-JPEG-B (QuickTime's MARKER-LESS MJPEG layout, fourcc 'mjpb')
+    in the driver-oracled suite: per-document AVI payloads whose every frame
+    is an offset-table-headed, UNSTUFFED-scan MJPEG-B field
+    (``multimodal/mjpegb.py`` composing jpeg.py's machinery), decoded by the
+    container walk + marker-less per-frame parse. Geometry/frame-count
+    formulas deliberately differ from the MJPG branch so a codec-dispatch
+    swap breaks the hash; pixel fidelity is pytest-gated like every lossy
+    path."""
+    from switchback_test_dag_spark.multimodal.media import (
+        decode_mjpegb_avi_features,
+        synthesize_mjpegb_avi_videos,
+    )
+
+    docs = _fanout_docs(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    )
+    media = synthesize_mjpegb_avi_videos(docs, "doc_id", quality=90)
+    feats = decode_mjpegb_avi_features(media)
+    joined = feats.join(docs, feats.media_id == docs.doc_id)
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_media"),
+        F.sum("n_frames").cast("long").alias("total_frames"),
+        F.max("fps").cast("long").alias("fps_max"),
+        F.sum(
+            F.col("width").cast("long") * F.col("height") * F.col("n_frames")
+        ).cast("long").alias("total_px"),
+    )
+
 
 def _media_mjpg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPRESSED video in the driver-oracled suite: per-document MJPEG AVI
@@ -1355,7 +1393,8 @@ _DUCK_MEDIA_SUITE = (
     )
     + f",\nbmp_agg AS ({_DUCK_BMP_AGG}),\nwav_agg AS ({_DUCK_WAV_AGG}),"
     + f"\npng_agg AS ({_DUCK_PNG_AGG}),\navi_agg AS ({_DUCK_AVI_AGG}),"
-    + f"\njpeg_agg AS ({_DUCK_JPEG_AGG}),\nmjpg_agg AS ({_DUCK_MJPG_AGG})\n"
+    + f"\njpeg_agg AS ({_DUCK_JPEG_AGG}),\nmjpg_agg AS ({_DUCK_MJPG_AGG}),"
+    + f"\nmjpb_agg AS ({_DUCK_MJPB_AGG})\n"
     + "\nUNION ALL\n".join(
         [
             _duck_unpivot(
@@ -1420,6 +1459,11 @@ _DUCK_MEDIA_SUITE = (
                 "mjpg",
                 ["n_media", "total_frames", "fps_max", "total_px"],
             ),
+            _duck_unpivot(
+                "mjpb_agg",
+                "mjpb",
+                ["n_media", "total_frames", "fps_max", "total_px"],
+            ),
             _DUCK_DISPATCH_TALL,
         ]
     )
@@ -1428,11 +1472,14 @@ _DUCK_MEDIA_SUITE = (
 
 @query("media_decode_suite", _DUCK_MEDIA_SUITE)
 def media_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL SIX real codec paths in one (fmt, source, metric) contract — BMP
+    """ALL SEVEN real codec paths in one (fmt, source, metric) contract — BMP
     (uncompressed DIB), WAV (RIFF PCM16), PNG (DEFLATE + all five scanline
     filters), AVI (RIFF container walk + per-frame DIB decode), baseline
-    JPEG (entropy decode + dequantize + IDCT), and MJPEG-in-AVI (the
-    container walk COMPOSED with the JPEG parser — real compressed video)
+    JPEG (entropy decode + dequantize + IDCT), MJPEG-in-AVI (the
+    container walk COMPOSED with the JPEG parser — real compressed video),
+    and Motion-JPEG-B in AVI (QuickTime's marker-less layout: offset-table
+    frame headers, UNSTUFFED scans — the same DCT/Huffman machinery under a
+    different byte discipline, fourcc 'mjpb')
     payloads decoded by the pure-Python parsers inside Arrow-batched
     ``mapInPandas``
     (multimodal/{bmp,wav,png,avi,jpeg}.py), features aggregated per source,
@@ -1481,6 +1528,7 @@ def media_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_unpivot_metrics(_media_avi_agg(spark, sf_dir), "avi"))
         .unionByName(_unpivot_metrics(_media_jpeg_agg(spark, sf_dir), "jpeg"))
         .unionByName(_unpivot_metrics(_media_mjpg_agg(spark, sf_dir), "mjpg"))
+        .unionByName(_unpivot_metrics(_media_mjpb_agg(spark, sf_dir), "mjpb"))
         .unionByName(disp_dims)
         .unionByName(disp_n)
     )

@@ -796,3 +796,103 @@ def test_mjpeg_avi_spark_pipeline_decodes_real_bytes(spark):
             src = _bmp_pixels(mid * 1009 + j, w, h).astype(np.int64)
             err = np.abs(frames[j].astype(np.int64) - src).mean()
             assert err < 20.0, (mid, j, err)
+
+
+def test_mjpegb_frame_codec_exact_and_layout():
+    """MJPEG-B frame codec: decode equals the encoder's reference
+    reconstruction EXACTLY (same coefficients as the JFIF encoder — only the
+    byte layout differs), the scan is genuinely unstuffed (raw 0xFF bytes
+    allowed), and corrupt frames raise ValueError."""
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal.jpeg import (
+        encode_jpeg,
+        reference_reconstruction,
+    )
+    from switchback_test_dag_spark.multimodal.mjpegb import (
+        decode_mjpegb,
+        encode_mjpegb,
+    )
+    from switchback_test_dag_spark.multimodal.media import _bmp_pixels
+
+    px = _bmp_pixels(97, 19, 11)
+    frame, st = encode_mjpegb(px, quality=85)
+    out = decode_mjpegb(frame)
+    assert np.array_equal(out, reference_reconstruction(st))
+    # layout identity with JFIF: identical quantized coefficients
+    _, jst = encode_jpeg(px, quality=85)
+    assert all(np.array_equal(a, b) for a, b in zip(st["blocks"], jst["blocks"]))
+    # header pins
+    assert frame[4:8] == b"mjpg"
+    with pytest.raises(ValueError, match="mjpg tag"):
+        decode_mjpegb(b"\x00" * 64)
+    with pytest.raises(ValueError, match="corrupt|truncated|size"):
+        decode_mjpegb(frame[: len(frame) - 9])
+
+
+def test_mjpegb_avi_roundtrip_and_codec_separation():
+    """Motion-JPEG-B AVI: frame count/geometry/fps exact, fidelity within
+    quantization error, and the MJPG/mjpb decoders refuse each other's
+    streams (the fourcc dispatch is load-bearing)."""
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal.avi import (
+        decode_avi_mjpb,
+        decode_avi_mjpg,
+        encode_avi_mjpb,
+        encode_avi_mjpg,
+    )
+    from switchback_test_dag_spark.multimodal.jpeg import encode_jpeg
+    from switchback_test_dag_spark.multimodal.media import _bmp_pixels
+    from switchback_test_dag_spark.multimodal.mjpegb import encode_mjpegb
+
+    w, h = 10, 6
+    srcs = [_bmp_pixels(71, w, h), _bmp_pixels(72, w, h), _bmp_pixels(73, w, h)]
+    blobs = [encode_mjpegb(s, quality=90)[0] for s in srcs]
+    payload = encode_avi_mjpb(blobs, width=w, height=h, fps=10)
+    fps, frames = decode_avi_mjpb(payload)
+    assert fps == 10 and frames.shape == (3, h, w, 3)
+    for got, src in zip(frames, srcs):
+        err = np.abs(got.astype(np.int64) - src.astype(np.int64)).mean()
+        assert err < 20.0, err
+    # codec separation both ways
+    with pytest.raises(ValueError, match="not an MJPG stream"):
+        decode_avi_mjpg(payload)
+    jblobs = [encode_jpeg(s, quality=90)[0] for s in srcs]
+    javi = encode_avi_mjpg(jblobs, width=w, height=h, fps=12)
+    with pytest.raises(ValueError, match="not a mjpb stream"):
+        decode_avi_mjpb(javi)
+
+
+def test_mjpegb_avi_spark_pipeline_decodes_real_bytes(spark):
+    """End-to-end cluster path for Motion-JPEG-B: synthesize mjpb AVI
+    payloads, decode via mapInPandas, check features against the closed-form
+    dims (deliberately different formulas from the MJPG branch) and a
+    driver-side replay."""
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal.avi import decode_avi_mjpb
+    from switchback_test_dag_spark.multimodal.media import (
+        _bmp_pixels,
+        decode_mjpegb_avi_features,
+        synthesize_mjpegb_avi_videos,
+    )
+
+    df = spark.range(20, 24).withColumnRenamed("id", "doc_id")
+    media = synthesize_mjpegb_avi_videos(df, "doc_id", quality=90)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    rows = {
+        r["media_id"]: r for r in decode_mjpegb_avi_features(media).collect()
+    }
+    assert set(rows) == {20, 21, 22, 23}
+    for mid in rows:
+        w, h, n = 7 + mid % 6, 5 + mid % 4, 1 + mid % 4
+        r = rows[mid]
+        assert (r["width"], r["height"], r["n_frames"], r["fps"]) == (w, h, n, 10)
+        fps, frames = decode_avi_mjpb(payloads[mid])
+        assert r["n_bytes"] == len(payloads[mid])
+        assert r["sum_px"] == int(frames.astype(np.int64).sum())
+        for j in range(n):
+            src = _bmp_pixels(mid * 2027 + j, w, h).astype(np.int64)
+            err = np.abs(frames[j].astype(np.int64) - src).mean()
+            assert err < 20.0, (mid, j, err)
