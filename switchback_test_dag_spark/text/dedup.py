@@ -1629,3 +1629,70 @@ def simhash_pairs_vs_index(
         )
         pairs = pairs.unionByName(cross)
     return pairs.distinct().filter(F.col("hamming") <= max_hamming)
+
+
+def winnow_pairs_vs_index(
+    new_fps: DataFrame,
+    index_fps: DataFrame | None,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Winnowing twin of :func:`minhash_pairs_vs_index` /
+    :func:`simhash_pairs_vs_index`, completing the incremental set: the
+    persistable index unit is the ``(doc, fingerprint)`` frame
+    :func:`winnow_fingerprints` already emits (~2/(window+1) of the rolling
+    hashes per doc; parquet-append per batch). Returns
+    ``(doc_a, doc_b, n_shared)`` pairs sharing ≥ ``min_shared`` fingerprints
+    — new×new via self-join plus new×index oriented (index doc first, the
+    first-arrival canon); index×index pairs are deliberately not
+    regenerated. Verification is EXACT by construction (shared-fingerprint
+    counts come straight off the stored postings — no estimate cliff), so
+    fold-of-batches == full-batch when ``max_df`` is None
+    (pytest-differential).
+
+    ``max_df`` (MOSS's boilerplate rule) counts document frequency over the
+    UNION of index and batch postings — a map-side-combinable groupBy over
+    the index's (doc, fingerprint) rows, O(index postings) but never a text
+    rescan. Under the cap, incremental results are time-of-arrival
+    dependent (an early pair judged before a fingerprint crossed the cap
+    stays reported — the same arrival-order semantics as the exact/minhash
+    twins' keep-first canon); batch equivalence holds only for
+    ``max_df=None``."""
+    fps = _persist(new_fps.select("doc", "fingerprint"))
+    if max_df is not None:
+        all_fps = (
+            fps if index_fps is None
+            else fps.unionByName(index_fps.select("doc", "fingerprint"))
+        )
+        rare = (
+            all_fps.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("fingerprint")
+        )
+        rare = _persist(rare)
+        fps = _persist(fps.join(rare, "fingerprint"))
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+    )
+    if index_fps is not None:
+        idx = index_fps.select("doc", "fingerprint")
+        if max_df is not None:
+            idx = idx.join(rare, "fingerprint")
+        n, i = fps.alias("n"), idx.alias("i")
+        cross = (
+            n.join(i, F.col("n.fingerprint") == F.col("i.fingerprint"))
+            .select(F.col("i.doc").alias("doc_a"), F.col("n.doc").alias("doc_b"))
+        )
+        pairs = pairs.unionByName(cross)
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -906,3 +906,48 @@ def test_minhash_vs_index_exact_verify_closes_estimate_band(spark):
         .collect()
     }
     assert est != set(ground)  # the estimate band misjudges boundary pairs
+
+
+def test_winnow_pairs_vs_index_matches_batch(spark):
+    """Winnowing incremental twin differential: folding batches through
+    winnow_fingerprints + winnow_pairs_vs_index reports exactly the pairs
+    winnow_shared_pairs reports on the full concatenation (unordered pairs,
+    identical shared-fingerprint counts; fingerprints are per-doc so batch
+    and index signatures are bit-identical). Cross pairs arrive oriented
+    (existing doc first); the max_df boilerplate cap composes with the
+    index (union-df semantics)."""
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "green turtles watch from a mossy log near the river bank")
+    rows_a = [
+        (1, base + " today in spring"),
+        (2, "unrelated prose about orbital mechanics and spacecraft "
+            "navigation systems for deep space missions beyond mars"),
+    ]
+    rows_b = [
+        (100, base + " tonight in autumn"),   # shares a long run with 1
+        (101, "fresh words on medieval bread baking and stone oven "
+              "construction methods in rural mountain villages"),
+    ]
+    A = spark.createDataFrame(rows_a, "doc_id long, text string")
+    B = spark.createDataFrame(rows_b, "doc_id long, text string")
+    full = A.unionByName(B)
+
+    batch = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in TD.winnow_shared_pairs(full, "doc_id", "text", min_shared=2)
+        .collect()
+    }
+    fa = TD.winnow_fingerprints(A, "doc_id", "text")
+    fb = TD.winnow_fingerprints(B, "doc_id", "text")
+    inc = {}
+    for r in (
+        TD.winnow_pairs_vs_index(fa, None, min_shared=2).collect()
+        + TD.winnow_pairs_vs_index(fb, fa, min_shared=2).collect()
+    ):
+        inc[(r["doc_a"], r["doc_b"])] = r["n_shared"]
+    assert inc == batch and batch  # same pairs AND counts, non-empty
+    assert (1, 100) in inc  # cross-batch pair oriented index-first
+
+    # the boilerplate cap: max_df=1 kills every shared fingerprint (each is
+    # held by >= 2 docs by definition of a shared pair)
+    assert TD.winnow_pairs_vs_index(fb, fa, min_shared=1, max_df=1).count() == 0
