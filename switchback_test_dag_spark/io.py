@@ -339,17 +339,21 @@ def read_committed(
 
 
 def vacuum_versions(path: str, keep: int = 1) -> list[str]:
-    """Delete superseded version dirs (committed-but-old and orphaned
-    staging), keeping the current version plus the ``keep``-1 newest others.
-    Returns the deleted dir names. Run it when no reader still holds a plan
-    over an old snapshot — same operational contract as Delta's VACUUM."""
+    """Delete superseded version dirs, keeping the current version plus the
+    ``keep``-1 newest PREVIOUS versions (versions older than current —
+    anything newer than the pointer is an orphaned staging dir from a failed
+    write and is always swept, never counted against ``keep``). Returns the
+    deleted dir names. Run it when no reader still holds a plan over an old
+    snapshot — same operational contract as Delta's VACUUM."""
     import shutil as _shutil
 
     cur = current_version(path)
     names = [_VERSION_FMT.format(v) for v in _version_dirs(path)]
-    survivors = set(names[-max(keep - 1, 0):] if keep > 1 else [])
+    survivors: set[str] = set()
     if cur is not None:
         survivors.add(cur)
+        older = [n for n in names if n < cur]
+        survivors.update(older[len(older) - max(keep - 1, 0):] if keep > 1 else [])
     deleted = []
     for name in names:
         if name not in survivors:

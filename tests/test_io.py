@@ -262,3 +262,26 @@ def test_run_script_materializes_stages_atomically(spark, sf_dir, tmp_path):
     run_script(spark, script, materialize_dir=str(tmp_path))
     assert current_version(str(tmp_path / "stage1")) == "v0000000002"
     assert read_committed(spark, str(tmp_path / "stage1")).count() == 5
+
+
+def test_vacuum_keep_counts_previous_committed_not_orphans(spark, tmp_path):
+    """vacuum_versions(keep=2) keeps the current version plus ONE previous
+    committed version; an orphaned staging dir NEWER than the pointer never
+    counts against keep and is always swept."""
+    import os
+
+    import switchback_test_dag_spark.io as sio
+
+    path = str(tmp_path / "tbl")
+    for v in (1, 2, 3):
+        sio.atomic_overwrite(
+            spark.createDataFrame([(v,)], "id long"), path
+        )
+    # roll the pointer back to v2 by hand-committing, then plant an orphan v4
+    sio._commit_pointer(path, "v0000000002")
+    os.makedirs(os.path.join(path, "v0000000004"))
+    deleted = set(sio.vacuum_versions(path, keep=2))
+    # keep: v2 (current) + v1 (one previous); sweep v3 (superseded-newer is
+    # not "previous") and v4 (orphan)
+    assert deleted == {"v0000000003", "v0000000004"}
+    assert {r.id for r in sio.read_committed(spark, path).collect()} == {2}
