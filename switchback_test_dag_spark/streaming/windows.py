@@ -293,3 +293,71 @@ def running_group_moments(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_corpus_dedup(
+    docs_stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+    query_name: str = "corpus_dedup",
+) -> None:
+    """FOREVER-exact streaming corpus dedup — the composition
+    :func:`stream_dedup`'s docstring points at: watermark-bounded operators
+    can only dedup within a time horizon, while a training-corpus ingest
+    must never re-admit a document seen LAST MONTH. ``foreachBatch`` closes
+    the gap by pairing each micro-batch with the persistent fingerprint
+    index (``text/dedup.exact_dedup_incremental``): per batch, keep the
+    min-id first occurrence within the batch whose fingerprint is absent
+    from every PRIOR batch's index rows, then append the survivors'
+    fingerprints — O(batch + index-lookup join) per trigger, state lives in
+    PARQUET (unbounded corpus, zero executor state), not in the streaming
+    state store.
+
+    Idempotent by layout, not by luck: ``foreachBatch`` replays a batch
+    after a failure, so both sinks write to a ``batch=<id>`` subdirectory
+    with per-batch OVERWRITE — a replay rewrites the same directory and the
+    union over the directory tree is unchanged (the same snapshot-pointer
+    reasoning as ``io.atomic_overwrite``, specialized to append-only batch
+    dirs). Readers take ``spark.read.parquet(out_path)`` /
+    ``(index_path)`` — Hive-partitioned by ``batch``.
+
+    Micro-batches run sequentially, so batch N's index read sees every
+    batch < N — the fold-of-batches == full-batch invariant the incremental
+    operator's differential pins carries over to the stream
+    (tests/test_streaming.py runs a multi-batch ``availableNow`` pass and
+    compares against batch ``exact_dedup`` of the whole landing dir)."""
+    from switchback_test_dag_spark.text.dedup import exact_dedup_incremental
+
+    spark = docs_stream.sparkSession
+
+    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        index = None
+        if os.path.isdir(index_path) and any(
+            name.startswith("batch=") for name in os.listdir(index_path)
+        ):
+            index = spark.read.parquet(index_path)
+        survivors, new_fps = exact_dedup_incremental(
+            batch_df, id_col, text_col, index
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}")
+        )
+        new_fps.write.mode("overwrite").parquet(
+            os.path.join(index_path, f"batch={batch_id}")
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(one_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream {query_name} did not finish in {timeout_sec}s")

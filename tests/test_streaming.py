@@ -319,3 +319,57 @@ def test_jsonl_stream_matches_parquet_batch(spark, sf_dir, tmp_path):
     expected = _sorted_rows(windowed_bucket_metrics(ev, window="1 hour"))
     assert len(got) > 0
     assert got == expected
+
+
+def test_stream_corpus_dedup_matches_batch(spark, tmp_path):
+    """Multi-batch availableNow run of stream_corpus_dedup == batch
+    exact_dedup of the whole landing dir: cross-batch duplicates are dropped
+    via the parquet fingerprint index (no watermark horizon), within-batch
+    duplicates via the incremental operator's min-id canon, and the index
+    accumulates exactly one fingerprint per survivor. Re-running a batch
+    directory write is idempotent (overwrite per batch=<id>)."""
+    import switchback_test_dag_spark.text.dedup as TD
+    from switchback_test_dag_spark.streaming.windows import stream_corpus_dedup
+
+    landing = tmp_path / "landing"
+    rows_by_file = [
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"),
+         (3, "ALPHA   beta GAMMA")],              # 3 dups 1 in-batch
+        [(10, "delta epsilon zeta"), (11, "eta theta iota")],  # 10 dups 2
+        [(20, "eta theta iota"), (21, "alpha beta gamma"),
+         (22, "kappa lambda mu")],                # 20 dups 11, 21 dups 1
+    ]
+    schema = "doc_id long, text string"
+    for i, rows in enumerate(rows_by_file):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(landing / f"f{i}"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing / "*"))
+    )
+    out = tmp_path / "clean"
+    idx = tmp_path / "index"
+    stream_corpus_dedup(
+        stream, "doc_id", "text",
+        index_path=str(idx), out_path=str(out),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    all_docs = spark.read.parquet(str(landing / "*"))
+    expect = {
+        r["doc_id"] for r in TD.exact_dedup(all_docs, "doc_id", "text").collect()
+    }
+    got = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == expect == {1, 2, 11, 22}
+    fps = spark.read.parquet(str(idx))
+    assert fps.count() == fps.select("fingerprint").distinct().count() == len(expect)
+    # the run really was multi-batch (1 file per trigger -> 3 batch dirs), so
+    # the cross-batch drops above went through the INDEX path, not the
+    # within-batch min-id canon
+    import os
+
+    batches = sorted(n for n in os.listdir(str(idx)) if n.startswith("batch="))
+    assert len(batches) == 3, batches
