@@ -1696,3 +1696,182 @@ def winnow_pairs_vs_index(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def embedding_index_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 8,
+    n_tables: int = 1,
+) -> DataFrame:
+    """Home-bucket rows ``(t, bucket, id, v)`` for a batch of embeddings —
+    the persistable unit of the embedding incremental twin (parquet-append
+    per batch, ideally partitioned by ``bucket``). The hyperplanes are
+    DETERMINISTIC functions of (dim, plane offset)
+    (``vectors.similarity.hyperplane_signature``), so bucket keys computed
+    by different batches are comparable as long as (n_planes, n_tables)
+    match, and nothing beyond the vectors themselves needs storing — the
+    bucket columns are a materialized convenience that saves re-signing the
+    whole index every run."""
+    from switchback_test_dag_spark.vectors.similarity import (
+        _vec_dim,
+        hyperplane_signature,
+    )
+
+    dim = _vec_dim(df, vec_col)
+    if dim is None:
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"t int, bucket bigint, id {id_type}, v {df.schema[vec_col].dataType.simpleString()}"
+        )
+    sig_cols = [
+        hyperplane_signature(vec_col, n_planes, dim, plane_offset=t * n_planes)
+        .alias(f"sig{t}")
+        for t in range(n_tables)
+    ]
+    b_arr = ", ".join(f"struct({t} AS t, sig{t} AS bucket)" for t in range(n_tables))
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *sig_cols)
+        .select(
+            "id", "v", F.explode(F.expr(f"array({b_arr})")).alias("tb")
+        )
+        .select(
+            F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"), "id", "v"
+        )
+    )
+
+
+def embedding_near_dup_pairs_vs_index(
+    new_df: DataFrame,
+    index_buckets: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    multiprobe: bool = True,
+    n_tables: int = 1,
+) -> DataFrame:
+    """Embedding incremental twin, completing the set (exact / MinHash /
+    SimHash / winnowing / embeddings): near-dup pairs of a NEW embedding
+    batch against itself AND a persisted home-bucket index
+    (:func:`embedding_index_buckets` frames; disjoint ids by caller
+    contract). Returns ``(id_a, id_b, cosine)`` with EXACT cosine ≥
+    threshold — the batch operator's verification kernel verbatim
+    (``_pair_cosine_arrow``), so there is no estimate cliff; cross pairs are
+    oriented (index id first, the first-arrival canon); index×index pairs
+    are deliberately not regenerated.
+
+    Candidate shape mirrors :func:`embedding_near_dup_pairs_lsh`: the new
+    batch PROBES (its own buckets plus Hamming-1 neighbors under
+    ``multiprobe``) while home rows come from the new batch and the index;
+    the per-(table, bucket) BLAS sieve never materializes the |bucket|² pair
+    expansion as rows. Per-run cost: O(|batch|·tables·(1+probes)·dim)
+    probe shuffle + one scan of the index bucket frame (no re-signing, no
+    index×index work) + the collision sieve — the same O(batch + collisions)
+    discipline as the other twins."""
+    import numpy as np
+    import pandas as pd
+
+    from switchback_test_dag_spark.vectors.similarity import (
+        _vec_dim,
+        hyperplane_signature,
+    )
+
+    dim = _vec_dim(new_df, vec_col)
+    id_type = new_df.schema[id_col].dataType.simpleString()
+    if dim is None:
+        return new_df.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, cosine double"
+        )
+    sig_cols = [
+        hyperplane_signature(vec_col, n_planes, dim, plane_offset=t * n_planes)
+        .alias(f"sig{t}")
+        for t in range(n_tables)
+    ]
+    base = _persist(
+        new_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *sig_cols)
+    )
+    if multiprobe:
+        probe_arrays = [
+            f"transform(array_union(array(sig{t}), "
+            f"transform(sequence(0, {n_planes - 1}), p -> sig{t} ^ shiftleft(1L, p))), "
+            f"b -> struct({t} AS t, b AS bucket))"
+            for t in range(n_tables)
+        ]
+    else:
+        probe_arrays = [
+            f"array(struct({t} AS t, sig{t} AS bucket))" for t in range(n_tables)
+        ]
+    probes = base.select(
+        "id",
+        "v",
+        F.explode(F.expr("concat(" + ", ".join(probe_arrays) + ")")).alias("tb"),
+    ).select(
+        F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"),
+        "id", "v",
+        F.lit(True).alias("probe"), F.lit(False).alias("is_index"),
+    )
+    b_arr = ", ".join(f"struct({t} AS t, sig{t} AS bucket)" for t in range(n_tables))
+    home_new = base.select(
+        "id", "v", F.explode(F.expr(f"array({b_arr})")).alias("tb")
+    ).select(
+        F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"),
+        "id", "v",
+        F.lit(False).alias("probe"), F.lit(False).alias("is_index"),
+    )
+    both = probes.unionByName(home_new)
+    if index_buckets is not None:
+        both = both.unionByName(
+            index_buckets.select(
+                "t", "bucket", "id", "v",
+                F.lit(False).alias("probe"), F.lit(True).alias("is_index"),
+            )
+        )
+    thr = float(threshold)
+
+    def sieve(pdf: pd.DataFrame) -> pd.DataFrame:
+        pa = pdf[pdf["probe"]]
+        pb = pdf[~pdf["probe"]]
+        if pa.empty or pb.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ma = np.stack(pa["v"].to_numpy()).astype(np.float64)
+        mb = np.stack(pb["v"].to_numpy()).astype(np.float64)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        na[na == 0] = np.inf
+        nb[nb == 0] = np.inf
+        sims = (ma / na[:, None]) @ (mb / nb[:, None]).T
+        ids_a = pa["id"].to_numpy()
+        ids_b = pb["id"].to_numpy()
+        idx_b = pb["is_index"].to_numpy()
+        near = sims >= thr - 1e-7  # same never-reject ulp margin as the batch op
+        # cross pairs (home is index): always emit, oriented (index, new);
+        # within-batch pairs: emit once via the id order
+        accept = near & (idx_b[None, :] | (ids_a[:, None] < ids_b[None, :]))
+        ia, ib = np.nonzero(accept)
+        cross = idx_b[ib]
+        return pd.DataFrame(
+            {
+                "id_a": np.where(cross, ids_b[ib], ids_a[ia]),
+                "id_b": np.where(cross, ids_a[ia], ids_b[ib]),
+            }
+        )
+
+    cand = (
+        both.groupBy("t", "bucket")
+        .applyInPandas(sieve, schema=f"id_a {id_type}, id_b {id_type}")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = base.select("id", "v")
+    if index_buckets is not None:
+        vecs = vecs.unionByName(
+            index_buckets.select("id", "v").dropDuplicates(["id"])
+        )
+    return (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("cosine", _pair_cosine_arrow()("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )

@@ -951,3 +951,62 @@ def test_winnow_pairs_vs_index_matches_batch(spark):
     # the boilerplate cap: max_df=1 kills every shared fingerprint (each is
     # held by >= 2 docs by definition of a shared pair)
     assert TD.winnow_pairs_vs_index(fb, fa, min_shared=1, max_df=1).count() == 0
+
+
+def test_embedding_pairs_vs_index_matches_batch(spark):
+    """Embedding incremental twin differential: folding batches through
+    embedding_index_buckets + embedding_near_dup_pairs_vs_index reports
+    exactly the pairs embedding_near_dup_pairs_lsh reports on the full
+    concatenation (unordered pairs, identical exact cosines) — candidate
+    coverage is symmetric (probe(a) hits home(b) iff hamming(sig_a, sig_b)
+    <= 1 iff probe(b) hits home(a)), and verification is the same exact
+    kernel, so nothing is lost by never probing from the index side. Cross
+    pairs arrive oriented (index id first)."""
+    import math
+    import random
+
+    rng = random.Random(11)
+
+    def unit(d=8):
+        v = [rng.gauss(0, 1) for _ in range(d)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def jitter(v, eps):
+        w = [x + rng.gauss(0, eps) for x in v]
+        n = math.sqrt(sum(x * x for x in w))
+        return [x / n for x in w]
+
+    bases = [unit() for _ in range(6)]
+    rows_a = [(i, bases[i]) for i in range(6)]
+    rows_b = (
+        [(100 + i, jitter(bases[i], 0.02)) for i in range(3)]  # near-dups of A
+        + [(200 + i, unit()) for i in range(4)]                # fresh
+        + [(210, jitter(bases[0], 0.02))]                      # also near base0
+    )
+    A = spark.createDataFrame(rows_a, "vec_id long, embedding array<double>")
+    B = spark.createDataFrame(rows_b, "vec_id long, embedding array<double>")
+    full = A.unionByName(B)
+    kw = dict(threshold=0.95, n_planes=4, multiprobe=True, n_tables=2)
+
+    batch = {
+        frozenset((r["id_a"], r["id_b"])): r["cosine"]
+        for r in TD.embedding_near_dup_pairs_lsh(
+            full, "vec_id", "embedding", **kw
+        ).collect()
+    }
+    idx = TD.embedding_index_buckets(A, "vec_id", "embedding", n_planes=4, n_tables=2)
+    inc, oriented = {}, {}
+    for r in (
+        TD.embedding_near_dup_pairs_vs_index(
+            A, None, "vec_id", "embedding", **kw
+        ).collect()
+        + TD.embedding_near_dup_pairs_vs_index(
+            B, idx, "vec_id", "embedding", **kw
+        ).collect()
+    ):
+        inc[frozenset((r["id_a"], r["id_b"]))] = r["cosine"]
+        oriented[(r["id_a"], r["id_b"])] = r["cosine"]
+    assert inc == batch and batch  # same pairs AND exact cosines, non-empty
+    cross = [p for p in oriented if p[0] < 100 <= p[1]]
+    assert cross, oriented  # index id first on cross-batch pairs
