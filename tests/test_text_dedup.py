@@ -1010,3 +1010,51 @@ def test_embedding_pairs_vs_index_matches_batch(spark):
     assert inc == batch and batch  # same pairs AND exact cosines, non-empty
     cross = [p for p in oriented if p[0] < 100 <= p[1]]
     assert cross, oriented  # index id first on cross-batch pairs
+
+
+def test_incremental_twins_plan_sanity(spark):
+    """Every incremental twin's candidate generation stays a keyed equi-join:
+    no CartesianProduct and no BroadcastNestedLoopJoin anywhere in the four
+    signature-twin plans (the embedding twin's sieve is a grouped
+    applyInPandas — also keyed). The 100 TB contract these operators sell is
+    precisely that batch-vs-index work is hash-partitioned on uniform keys."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} common tail tokens here") for i in range(8)],
+        "doc_id long, text string",
+    )
+    A, B = docs.filter("doc_id < 4"), docs.filter("doc_id >= 4")
+
+    plans = []
+    _, fp_idx = TD.exact_dedup_incremental(A, "doc_id", "text")
+    surv, _ = TD.exact_dedup_incremental(B, "doc_id", "text", fp_idx)
+    plans.append(surv)
+    plans.append(
+        TD.minhash_pairs_vs_index(
+            TD.minhash_signatures(B, "doc_id", "text"),
+            TD.minhash_signatures(A, "doc_id", "text"),
+        )
+    )
+    plans.append(
+        TD.minhash_pairs_vs_index(
+            TD.minhash_signatures(B, "doc_id", "text"),
+            TD.minhash_signatures(A, "doc_id", "text"),
+            texts=docs, id_col="doc_id",
+        )
+    )
+    plans.append(
+        TD.simhash_pairs_vs_index(
+            TD.simhash_signatures(B, "doc_id", "text"),
+            TD.simhash_signatures(A, "doc_id", "text"),
+        )
+    )
+    plans.append(
+        TD.winnow_pairs_vs_index(
+            TD.winnow_fingerprints(B, "doc_id", "text"),
+            TD.winnow_fingerprints(A, "doc_id", "text"),
+            max_df=10,
+        )
+    )
+    for df in plans:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
