@@ -1345,7 +1345,13 @@ def exact_dedup_incremental(
 
     Scale shape: one fingerprint shuffle over the BATCH, one anti-join
     against the index keyed on the fingerprint (uniform hash — no skew), no
-    touch of historical text."""
+    touch of historical text. At index sizes where the daily anti-join's
+    index-side shuffle dominates, maintain the index as a BUCKETED catalog
+    table on ``fingerprint`` (``plans/bucketing.write_bucketed`` + bucketed
+    appends) and pass ``spark.table(...)`` here: the bucketed scan reports
+    its partitioning, so the join plans with NO index-side Exchange — each
+    daily append shuffles only the batch into its buckets
+    (tests/test_text_dedup.py::test_bucketed_fingerprint_index_joins_without_exchange)."""
     fp = new_docs.select(
         F.col(id_col), content_fingerprint(text_col).alias("fingerprint")
     )

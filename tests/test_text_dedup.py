@@ -1058,3 +1058,48 @@ def test_incremental_twins_plan_sanity(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_fingerprint_index_joins_without_exchange(spark):
+    """The daily-ops layout upgrade the incremental docstring names: a
+    fingerprint index maintained as a BUCKETED catalog table joins into
+    exact_dedup_incremental with one fewer Exchange than the same index read
+    as plain parquet (the index-side shuffle is amortized into the bucketed
+    writes), and both forms keep identical survivors. Broadcast is disabled
+    for the comparison so AQE cannot hide the exchange on the tiny fixture."""
+    import os
+    import tempfile
+
+    from switchback_test_dag_spark.plans.bucketing import (
+        exchange_count,
+        write_bucketed,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i % 6}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    A, B = docs.filter("doc_id < 15"), docs.filter("doc_id >= 15")
+    _, fps = TD.exact_dedup_incremental(A, "doc_id", "text")
+
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.sql("DROP TABLE IF EXISTS fp_index_test")
+        write_bucketed(fps, "fp_index_test", ["fingerprint"], 4)
+        surv_b, _ = TD.exact_dedup_incremental(
+            B, "doc_id", "text", spark.table("fp_index_test")
+        )
+        with tempfile.TemporaryDirectory() as d:
+            fps.write.parquet(os.path.join(d, "idx"))
+            surv_p, _ = TD.exact_dedup_incremental(
+                B, "doc_id", "text", spark.read.parquet(os.path.join(d, "idx"))
+            )
+            nb, np_ = exchange_count(surv_b), exchange_count(surv_p)
+            assert nb < np_, (nb, np_)
+            got_b = {r["doc_id"] for r in surv_b.collect()}
+            got_p = {r["doc_id"] for r in surv_p.collect()}
+        assert got_b == got_p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS fp_index_test")
