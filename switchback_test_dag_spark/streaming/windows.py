@@ -361,3 +361,93 @@ def stream_corpus_dedup(
     if q.isActive:
         q.stop()
         raise TimeoutError(f"stream {query_name} did not finish in {timeout_sec}s")
+
+
+def stream_corpus_near_dedup(
+    docs_stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    sig_index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    shingle_n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.85,
+    exact_verify: bool = False,
+    timeout_sec: int = 300,
+    query_name: str = "corpus_near_dedup",
+) -> None:
+    """Streaming NEAR-duplicate corpus dedup — :func:`stream_corpus_dedup`'s
+    sibling for the MinHash family: per micro-batch, sign the batch
+    (``text/dedup.minhash_signatures``), generate candidates against itself
+    and the persistent signature index
+    (``text/dedup.minhash_pairs_vs_index``), drop every batch doc that pairs
+    with an earlier-kept doc or a smaller-id batch doc (the C4 greedy canon,
+    first-arrival across batches), and append ONLY the survivors'
+    signatures — losers never pollute the index. Same parquet-state,
+    batch=<id>-overwrite idempotent layout as the exact twin.
+
+    ``exact_verify=True`` upgrades cross- and within-batch verification
+    from the k-component signature estimate to exact n-gram Jaccard using
+    the operator's ``texts=`` option; the text lookup is the batch UNION the
+    PRIOR SURVIVORS already sitting in ``out_path`` — the output table
+    doubles as the text side of its own index, so no extra storage and the
+    text touch stays O(candidate ids). Near-duplicate similarity is not
+    transitive, so fold-of-batches equals the batch operator only on
+    clusters whose members are pairwise similar (the differential test
+    constructs exactly that); in general the streaming canon is
+    first-arrival — the semantics a production ingest wants."""
+    from switchback_test_dag_spark.text.dedup import (
+        minhash_pairs_vs_index,
+        minhash_signatures,
+    )
+
+    spark = docs_stream.sparkSession
+
+    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()  # consumed by sign + anti-join
+        sigs = minhash_signatures(
+            batch_df, id_col, text_col, shingle_n=shingle_n, k=k
+        ).withColumnRenamed("doc", "doc").localCheckpoint()
+        index = None
+        if os.path.isdir(sig_index_path) and any(
+            n.startswith("batch=") for n in os.listdir(sig_index_path)
+        ):
+            index = spark.read.parquet(sig_index_path)
+        texts = None
+        if exact_verify:
+            texts = batch_df.select(id_col, text_col)
+            if os.path.isdir(out_path) and any(
+                n.startswith("batch=") for n in os.listdir(out_path)
+            ):
+                texts = texts.unionByName(
+                    spark.read.parquet(out_path).select(id_col, text_col)
+                )
+        pairs = minhash_pairs_vs_index(
+            sigs, index, k=k, bands=bands, threshold=threshold,
+            texts=texts, id_col=id_col, text_col=text_col,
+            shingle_n=shingle_n,
+        )
+        losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        survivors = batch_df.join(losers, on=id_col, how="left_anti")
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}")
+        )
+        sigs.join(
+            survivors.select(F.col(id_col).alias("doc")), on="doc", how="left_semi"
+        ).write.mode("overwrite").parquet(
+            os.path.join(sig_index_path, f"batch={batch_id}")
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(one_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream {query_name} did not finish in {timeout_sec}s")

@@ -373,3 +373,68 @@ def test_stream_corpus_dedup_matches_batch(spark, tmp_path):
 
     batches = sorted(n for n in os.listdir(str(idx)) if n.startswith("batch="))
     assert len(batches) == 3, batches
+
+
+def test_stream_corpus_near_dedup_matches_batch_on_tight_clusters(spark, tmp_path):
+    """Multi-batch availableNow run of stream_corpus_near_dedup (exact_verify
+    on) == batch minhash_dedup of the whole landing dir, on clusters whose
+    members are PAIRWISE similar (near-dup similarity is not transitive, so
+    batch equivalence is only defined there — the docstring's contract).
+    The signature index accumulates survivors only; cross-batch near-dups
+    are dropped through the index path (batch-dir count pinned)."""
+    import os
+
+    import switchback_test_dag_spark.text.dedup as TD
+    from switchback_test_dag_spark.streaming.windows import (
+        stream_corpus_near_dedup,
+    )
+
+    base1 = ("the quick brown fox jumps over the lazy dog while seventeen "
+             "green turtles watch from a mossy log near the river bank today "
+             "as morning light settles across the quiet valley floor")
+    base2 = ("completely different prose about orbital mechanics spacecraft "
+             "navigation and deep space missions beyond the asteroid belt "
+             "with gravity assists plotted around the outer gas giants")
+    rows_by_file = [
+        [(1, base1), (2, base2)],
+        [(10, base1.replace("today", "tonight")),   # near-dup of 1
+         (11, "fresh unique content on medieval bread baking and stone "
+              "oven construction methods in rural mountain villages with "
+              "long fermentation schedules and wood fired heat curves")],
+        [(20, base2.replace("plotted", "charted")), # near-dup of 2
+         (21, base1.replace("morning", "evening"))],# near-dup of 1 and 10
+    ]
+    schema = "doc_id long, text string"
+    landing = tmp_path / "landing"
+    for i, rows in enumerate(rows_by_file):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(landing / f"f{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing / "*"))
+    )
+    out, idx = tmp_path / "clean", tmp_path / "sigidx"
+    stream_corpus_near_dedup(
+        stream, "doc_id", "text",
+        sig_index_path=str(idx), out_path=str(out),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.7, exact_verify=True,
+    )
+
+    all_docs = spark.read.parquet(str(landing / "*"))
+    expect = {
+        r["doc_id"]
+        for r in TD.minhash_dedup(
+            all_docs, "doc_id", "text", threshold=0.7
+        ).collect()
+    }
+    got = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == expect == {1, 2, 11}
+    # index holds exactly the survivors' signatures, one row each
+    sig_docs = [r["doc"] for r in spark.read.parquet(str(idx)).collect()]
+    assert sorted(sig_docs) == sorted(expect)
+    batches = [n for n in os.listdir(str(idx)) if n.startswith("batch=")]
+    assert len(batches) == 3, batches
