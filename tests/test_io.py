@@ -285,3 +285,23 @@ def test_vacuum_keep_counts_previous_committed_not_orphans(spark, tmp_path):
     # not "previous") and v4 (orphan)
     assert deleted == {"v0000000003", "v0000000004"}
     assert {r.id for r in sio.read_committed(spark, path).collect()} == {2}
+
+
+def test_atomic_overwrite_refuses_version_collision(spark, tmp_path, monkeypatch):
+    """Two writers computing the SAME next-version number (simulated with a
+    stale directory listing): the second staging write fails loudly at
+    errorifexists on the immutable version dir — it never corrupts the other
+    writer's staging or flips the pointer. A raced dir that is VISIBLE at
+    numbering time is instead skipped (max+1), covered by the crash tests."""
+    import switchback_test_dag_spark.io as sio
+
+    path = str(tmp_path / "tbl")
+    sio.atomic_overwrite(spark.createDataFrame([(1,)], "id long"), path)
+    sio.atomic_overwrite(spark.createDataFrame([(2,)], "id long"), path)
+    # stale listing: this writer believes only v1 exists, so it targets the
+    # v2 directory the other writer already committed
+    monkeypatch.setattr(sio, "_version_dirs", lambda p: [1])
+    with pytest.raises(Exception, match="(?i)already exists"):
+        sio.atomic_overwrite(spark.createDataFrame([(9,)], "id long"), path)
+    assert sio.current_version(path) == "v0000000002"
+    assert {r.id for r in sio.read_committed(spark, path).collect()} == {2}

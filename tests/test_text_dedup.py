@@ -1103,3 +1103,46 @@ def test_bucketed_fingerprint_index_joins_without_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.sql("DROP TABLE IF EXISTS fp_index_test")
+
+
+def test_exact_dedup_incremental_fold_invariant_property(spark):
+    """Hypothesis property: for ANY corpus of short docs and ANY id-ordered
+    split into batches, folding through exact_dedup_incremental keeps exactly
+    the docs exact_dedup keeps on the concatenation. Randomized duplicate
+    structure and batch boundaries — the differential the example-based test
+    pins, generalized."""
+    from hypothesis import given, settings, strategies as st
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        texts=st.lists(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=4),
+            min_size=1, max_size=12,
+        ),
+        n_batches=st.integers(min_value=1, max_value=4),
+    )
+    def prop(texts, n_batches):
+        rows = [(i, " ".join(t)) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        full = {
+            r["doc_id"] for r in TD.exact_dedup(docs, "doc_id", "text").collect()
+        }
+        index = None
+        kept: set[int] = set()
+        for b in range(n_batches):
+            batch = docs.filter(
+                F.col("doc_id").between(
+                    b * len(rows) // n_batches,
+                    (b + 1) * len(rows) // n_batches - 1,
+                )
+            )
+            surv, new_rows = TD.exact_dedup_incremental(
+                batch, "doc_id", "text", index
+            )
+            kept |= {r["doc_id"] for r in surv.collect()}
+            index = new_rows if index is None else index.unionByName(new_rows)
+        assert kept == full
+
+    prop()
