@@ -406,39 +406,52 @@ def stream_corpus_near_dedup(
     spark = docs_stream.sparkSession
 
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint()  # consumed by sign + anti-join
+        from switchback_test_dag_spark.caching import mark, release_since
+
+        # persist (not localCheckpoint) + explicit release: a long-lived
+        # streaming job must leave NOTHING persisted between triggers, and
+        # the scoped release also drops the pair operator's internal pins
+        # without touching pins the enclosing application holds
+        cache_mark = mark()
+        batch_df = batch_df.persist()  # consumed by sign + anti-join
         sigs = minhash_signatures(
             batch_df, id_col, text_col, shingle_n=shingle_n, k=k
-        ).withColumnRenamed("doc", "doc").localCheckpoint()
-        index = None
-        if os.path.isdir(sig_index_path) and any(
-            n.startswith("batch=") for n in os.listdir(sig_index_path)
-        ):
-            index = spark.read.parquet(sig_index_path)
-        texts = None
-        if exact_verify:
-            texts = batch_df.select(id_col, text_col)
-            if os.path.isdir(out_path) and any(
-                n.startswith("batch=") for n in os.listdir(out_path)
+        ).persist()
+        try:
+            index = None
+            if os.path.isdir(sig_index_path) and any(
+                n.startswith("batch=") for n in os.listdir(sig_index_path)
             ):
-                texts = texts.unionByName(
-                    spark.read.parquet(out_path).select(id_col, text_col)
-                )
-        pairs = minhash_pairs_vs_index(
-            sigs, index, k=k, bands=bands, threshold=threshold,
-            texts=texts, id_col=id_col, text_col=text_col,
-            shingle_n=shingle_n,
-        )
-        losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-        survivors = batch_df.join(losers, on=id_col, how="left_anti")
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"batch={batch_id}")
-        )
-        sigs.join(
-            survivors.select(F.col(id_col).alias("doc")), on="doc", how="left_semi"
-        ).write.mode("overwrite").parquet(
-            os.path.join(sig_index_path, f"batch={batch_id}")
-        )
+                index = spark.read.parquet(sig_index_path)
+            texts = None
+            if exact_verify:
+                texts = batch_df.select(id_col, text_col)
+                if os.path.isdir(out_path) and any(
+                    n.startswith("batch=") for n in os.listdir(out_path)
+                ):
+                    texts = texts.unionByName(
+                        spark.read.parquet(out_path).select(id_col, text_col)
+                    )
+            pairs = minhash_pairs_vs_index(
+                sigs, index, k=k, bands=bands, threshold=threshold,
+                texts=texts, id_col=id_col, text_col=text_col,
+                shingle_n=shingle_n,
+            )
+            losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+            survivors = batch_df.join(losers, on=id_col, how="left_anti")
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch={batch_id}")
+            )
+            sigs.join(
+                survivors.select(F.col(id_col).alias("doc")),
+                on="doc", how="left_semi",
+            ).write.mode("overwrite").parquet(
+                os.path.join(sig_index_path, f"batch={batch_id}")
+            )
+        finally:
+            release_since(cache_mark)
+            sigs.unpersist()
+            batch_df.unpersist()
 
     q = (
         docs_stream.writeStream.foreachBatch(one_batch)

@@ -1146,3 +1146,21 @@ def test_exact_dedup_incremental_fold_invariant_property(spark):
         assert kept == full
 
     prop()
+
+
+def test_estimated_jaccard_fn_table_is_accurate():
+    """The k-sizing table in estimated_jaccard's docstring (false-negative
+    rate of `estimate >= 0.85` under matches ~ Binomial(k, J)) — pinned so
+    the documented numbers cannot drift from the math index-mode users size
+    k with."""
+    from math import ceil, comb
+
+    def fn_rate(k, J, t=0.85):
+        need = ceil(t * k - 1e-9)
+        return sum(comb(k, i) * J**i * (1 - J) ** (k - i) for i in range(need))
+
+    assert abs(fn_rate(64, 0.90) - 0.103) < 0.002   # "10.3%"
+    assert abs(fn_rate(64, 0.88) - 0.23) < 0.01     # "23%"
+    assert abs(fn_rate(128, 0.90) - 0.030) < 0.002  # "3.0%"
+    assert abs(fn_rate(256, 0.90) - 0.0054) < 0.0005  # "0.54%"
+    assert fn_rate(64, 0.95) < 0.002                # "0.12%"
