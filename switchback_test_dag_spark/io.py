@@ -320,17 +320,36 @@ def atomic_overwrite(df: DataFrame, path: str, fmt: str = "parquet") -> str:
 
 
 def read_committed(
-    spark: SparkSession, path: str, fmt: str = "parquet", schema=None
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None,
+    version: str | None = None,
 ) -> DataFrame:
     """Read the COMMITTED version of an :func:`atomic_overwrite` table —
     resolves ``_CURRENT`` once at plan time, so the returned frame keeps
     reading its snapshot even if a writer commits a newer version mid-job
-    (snapshot isolation, the reader half of the protocol)."""
-    ver = current_version(path)
-    if ver is None:
+    (snapshot isolation, the reader half of the protocol).
+
+    ``version`` pins a specific past snapshot instead (time travel — the
+    same capability the Delta/Iceberg pointer protocol provides, bounded
+    here by what :func:`vacuum_versions` has not yet deleted). Only
+    versions at or before the committed pointer are readable: anything
+    newer is an uncommitted staging dir from an in-flight or failed write
+    and reading it would break the atomicity contract."""
+    cur = current_version(path)
+    if cur is None:
         raise FileNotFoundError(
             f"read_committed: no committed version at {path} (no "
             f"{_CURRENT_PTR} pointer — never written, or only failed writes)"
+        )
+    ver = version or cur
+    if ver > cur:
+        raise ValueError(
+            f"read_committed: {ver} is newer than the committed pointer "
+            f"{cur} — an uncommitted staging dir, not a snapshot"
+        )
+    if not os.path.isdir(os.path.join(path, ver)):
+        raise FileNotFoundError(
+            f"read_committed: version {ver} not found at {path} "
+            "(vacuumed, or never committed)"
         )
     reader = spark.read.format(fmt)
     if schema is not None:

@@ -297,3 +297,31 @@ def _decode_avi_compressed(
     if "w" not in geom or not frames:
         raise ValueError("missing stream header or frames")
     return geom.get("fps", 0), np.stack(frames)
+
+
+def decode_avi_any(payload: bytes) -> tuple[str, int, np.ndarray]:
+    """AVI bytes of ANY supported codec → (codec, fps, frame stack): peeks
+    the stream-format BITMAPINFOHEADER's biCompression and routes to the
+    matching decoder — ``dib`` (BI_RGB uncompressed), ``mjpg`` (baseline
+    JPEG per frame) or ``mjpb`` (marker-less Motion-JPEG-B per frame). The
+    container-level twin of ``media.detect_media_format``: magic bytes pick
+    the CONTAINER, this picks the codec inside it. Unknown compression
+    values raise ``ValueError`` (a per-payload data-quality signal)."""
+    _require_avi(payload)
+    for name, pos, _size in _iter_chunks(payload, 12, len(payload)):
+        if name == b"strf":
+            hsize, _w, _h, _planes, bpp, compression = struct.unpack_from(
+                "<IiiHHI", payload, pos
+            )
+            if hsize < 40:
+                continue
+            if compression == 0 and bpp == 24:
+                return ("dib", *decode_avi_dib(payload))
+            if compression == _MJPG_INT:
+                return ("mjpg", *decode_avi_mjpg(payload))
+            if compression == _MJPB_INT:
+                return ("mjpb", *decode_avi_mjpb(payload))
+            raise ValueError(
+                f"unsupported AVI codec: compression={compression:#x} bpp={bpp}"
+            )
+    raise ValueError("no stream format header found in AVI")

@@ -305,3 +305,26 @@ def test_atomic_overwrite_refuses_version_collision(spark, tmp_path, monkeypatch
         sio.atomic_overwrite(spark.createDataFrame([(9,)], "id long"), path)
     assert sio.current_version(path) == "v0000000002"
     assert {r.id for r in sio.read_committed(spark, path).collect()} == {2}
+
+
+def test_read_committed_time_travel(spark, tmp_path):
+    """version= pins a past snapshot (time travel within un-vacuumed
+    versions); versions newer than the pointer are refused as uncommitted
+    staging, vacuumed versions raise FileNotFoundError."""
+    import os
+
+    import switchback_test_dag_spark.io as sio
+
+    path = str(tmp_path / "tbl")
+    for v in (1, 2):
+        sio.atomic_overwrite(spark.createDataFrame([(v,)], "id long"), path)
+    assert {r.id for r in sio.read_committed(spark, path).collect()} == {2}
+    old = sio.read_committed(spark, path, version="v0000000001")
+    assert {r.id for r in old.collect()} == {1}
+    # staging dir newer than the pointer is not a snapshot
+    os.makedirs(os.path.join(path, "v0000000003"))
+    with pytest.raises(ValueError, match="uncommitted staging"):
+        sio.read_committed(spark, path, version="v0000000003")
+    sio.vacuum_versions(path)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        sio.read_committed(spark, path, version="v0000000001")

@@ -896,3 +896,44 @@ def test_mjpegb_avi_spark_pipeline_decodes_real_bytes(spark):
             src = _bmp_pixels(mid * 2027 + j, w, h).astype(np.int64)
             err = np.abs(frames[j].astype(np.int64) - src).mean()
             assert err < 20.0, (mid, j, err)
+
+
+def test_decode_avi_any_routes_all_three_codecs():
+    """The codec dispatcher: one reader accepts DIB, MJPG and mjpb AVIs,
+    reports which codec it found, returns identical frames to the dedicated
+    decoders, and raises on an unknown compression value."""
+    import struct
+
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal.avi import (
+        decode_avi_any,
+        encode_avi_dib,
+        encode_avi_mjpb,
+        encode_avi_mjpg,
+    )
+    from switchback_test_dag_spark.multimodal.jpeg import encode_jpeg
+    from switchback_test_dag_spark.multimodal.media import _bmp_pixels
+    from switchback_test_dag_spark.multimodal.mjpegb import encode_mjpegb
+
+    w, h = 8, 6
+    srcs = [_bmp_pixels(5, w, h), _bmp_pixels(6, w, h)]
+    payloads = {
+        "dib": encode_avi_dib(np.stack(srcs), fps=9),
+        "mjpg": encode_avi_mjpg(
+            [encode_jpeg(s, 90)[0] for s in srcs], width=w, height=h, fps=12
+        ),
+        "mjpb": encode_avi_mjpb(
+            [encode_mjpegb(s, 90)[0] for s in srcs], width=w, height=h, fps=10
+        ),
+    }
+    for want, payload in payloads.items():
+        codec, fps, frames = decode_avi_any(payload)
+        assert codec == want and frames.shape == (2, h, w, 3)
+        assert fps == {"dib": 9, "mjpg": 12, "mjpb": 10}[want]
+    # unknown codec id raises, not crashes
+    bad = bytearray(payloads["mjpg"])
+    i = bad.find(b"strf") + 8  # strf body start
+    struct.pack_into("<I", bad, i + 16, 0x30385056)  # 'VP80'
+    with pytest.raises(ValueError, match="unsupported AVI codec"):
+        decode_avi_any(bytes(bad))
