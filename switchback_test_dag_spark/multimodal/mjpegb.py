@@ -60,6 +60,7 @@ from switchback_test_dag_spark.multimodal.jpeg import (
     _parse_sof_body,
     _parse_sos_body,
     _rgb_to_ycbcr,
+    _write_scan,
     _ycbcr_to_rgb,
     scaled_quant_tables,
 )
@@ -92,7 +93,7 @@ def encode_mjpegb(pixels: np.ndarray, quality: int = 90) -> tuple[bytes, dict]:
     comp_syms = [_block_symbols(b) for b in comp_blocks]
     dc_tabs, ac_tabs, dc_codes, ac_codes = _entropy_tables(comp_syms)
     # RAW scan — the MJPEG-B property: no byte stuffing
-    scan = _write_scan(comp_blocks, dc_codes, ac_codes)
+    scan = _write_scan(_BitWriter(stuff=False), comp_blocks, dc_codes, ac_codes)
 
     dqt = b"".join(
         bytes([tid]) + bytes(tab.reshape(-1)[_ZIGZAG].astype(np.uint8))
@@ -130,12 +131,6 @@ def encode_mjpegb(pixels: np.ndarray, quality: int = 90) -> tuple[bytes, dict]:
     out = head + b"".join(sections) + scan
     state = {"blocks": comp_blocks, "qtabs": (qy, qc, qc), "shape": (h, w)}
     return out, state
-
-
-def _write_scan(comp_blocks, dc_codes, ac_codes) -> bytes:
-    from switchback_test_dag_spark.multimodal.jpeg import _write_scan as ws
-
-    return ws(_BitWriter(stuff=False), comp_blocks, dc_codes, ac_codes)
 
 
 def decode_mjpegb_blocks(data: bytes):
