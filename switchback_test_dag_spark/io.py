@@ -291,10 +291,21 @@ def current_version(path: str) -> str | None:
         return fh.read().strip() or None
 
 
-def atomic_overwrite(df: DataFrame, path: str, fmt: str = "parquet") -> str:
+def atomic_overwrite(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    extra_files: dict[str, str] | None = None,
+) -> str:
     """CREATE-OR-REPLACE ``path`` with ``df``, atomically: stage a fresh
     immutable version directory, verify Spark's ``_SUCCESS`` marker, flip
     the ``_CURRENT`` pointer. Returns the committed version directory.
+
+    ``extra_files`` maps sidecar names (must start with ``_`` so Spark's
+    hidden-file filter skips them at read time) to text contents, written
+    and fsynced into the staging dir BEFORE the pointer flip — so metadata
+    like :func:`compact_batches`'s watermark commits atomically with the
+    data it describes.
 
     Failure contract: a crash/kill at any point — mid-file, between files,
     even between _SUCCESS and the pointer flip — leaves the previously
@@ -315,6 +326,16 @@ def atomic_overwrite(df: DataFrame, path: str, fmt: str = "parquet") -> str:
             f"atomic_overwrite: staging write at {vdir} carries no _SUCCESS "
             "commit marker; refusing to flip the table pointer"
         )
+    for name, content in (extra_files or {}).items():
+        if not name.startswith("_"):
+            raise ValueError(
+                f"atomic_overwrite: extra file {name!r} must start with '_' "
+                "(Spark's hidden-file filter) so data readers never scan it"
+            )
+        with open(os.path.join(vdir, name), "w") as fh:
+            fh.write(content)
+            fh.flush()
+            os.fsync(fh.fileno())
     _commit_pointer(path, ver)
     return vdir
 
@@ -334,11 +355,21 @@ def read_committed(
     versions at or before the committed pointer are readable: anything
     newer is an uncommitted staging dir from an in-flight or failed write
     and reading it would break the atomicity contract."""
+    import re as _re
+
     cur = current_version(path)
     if cur is None:
         raise FileNotFoundError(
             f"read_committed: no committed version at {path} (no "
             f"{_CURRENT_PTR} pointer — never written, or only failed writes)"
+        )
+    if version is not None and not _re.fullmatch(r"v\d{10}", version):
+        # the 'newer than committed' guard below compares names
+        # LEXICOGRAPHICALLY; a non-canonical name like 'v1' would fall
+        # through it and surface as a misleading error — reject it up front
+        raise ValueError(
+            f"read_committed: malformed version name {version!r}; expected "
+            f"the canonical zero-padded form {_VERSION_FMT.format(1)!r}"
         )
     ver = version or cur
     if ver > cur:
@@ -355,6 +386,164 @@ def read_committed(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(os.path.join(path, ver))
+
+
+# --------------------------------------------------------------------------- #
+# batch-dir state: the append log behind the incremental/streaming dedup
+# indexes, plus its compaction
+# --------------------------------------------------------------------------- #
+#
+# The incremental dedup twins (text/dedup.*_vs_index) and the foreachBatch
+# streams (streaming/windows.stream_corpus_dedup / _near_dedup) persist their
+# state as one Hive-partitioned ``batch=<id>`` parquet directory per
+# micro-batch — idempotent under foreachBatch replay (per-batch overwrite),
+# but unbounded: a year of 15-minute triggers is ~35k directories and
+# millions of tiny files, the classic streaming-sink listing/small-file
+# failure mode. Compaction folds the log into ONE snapshot committed through
+# the atomic pointer protocol above, under ``<path>/_compacted`` — a name
+# Spark's hidden-file filter ignores, so the snapshot never leaks into a
+# naive ``spark.read.parquet(path)`` of the log itself.
+#
+# Reader contract (read_batch_state): committed snapshot ∪ batch dirs NEWER
+# than the snapshot's watermark. The snapshot PRESERVES the ``batch``
+# partition column, so (a) leftover already-folded dirs are harmless — the
+# watermark filter excludes them — which makes the post-commit sweep pure
+# garbage collection, and (b) the streams' replay-safety filter
+# (``batch < current_batch_id``) keeps working across a compaction.
+#
+# Operational contract: compact while no writer is mid-batch (stream stopped
+# after a clean drain, or between availableNow passes). Folding a batch dir
+# whose streaming commit never landed is safe for READERS (the replay
+# rewrites the dir and the watermark filter hides the folded copy from the
+# replayed batch itself), but the folded copy of the failed attempt would
+# remain in the snapshot's history — compact quiescent state.
+
+_COMPACTED_DIR = "_compacted"
+_WATERMARK_FILE = "_watermark"
+
+
+def _batch_ids(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        if name.startswith("batch=") and os.path.isdir(os.path.join(path, name)):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def compacted_watermark(path: str) -> int | None:
+    """The highest batch id folded into ``path``'s committed compacted
+    snapshot (None = never compacted). Reads the ``_watermark`` sidecar the
+    compaction committed atomically with the data."""
+    croot = os.path.join(path, _COMPACTED_DIR)
+    cur = current_version(croot)
+    if cur is None:
+        return None
+    with open(os.path.join(croot, cur, _WATERMARK_FILE)) as fh:
+        return int(fh.read().strip())
+
+
+def read_batch_state(
+    spark: SparkSession,
+    path: str,
+    before_batch: int | None = None,
+    fmt: str = "parquet",
+) -> DataFrame | None:
+    """Current state of a ``batch=<id>`` log at ``path``: the committed
+    compacted snapshot (if any) unioned with batch dirs NEWER than its
+    watermark. Returns None when nothing has been written — callers treat
+    that as "no index yet".
+
+    ``before_batch`` restricts the view to batches STRICTLY EARLIER — the
+    replay-safety filter for foreachBatch writers: a replayed batch N must
+    never see its own failed attempt's ``batch=N`` rows (which would make
+    every replayed doc look like a duplicate of itself and silently drop
+    the batch). The filter applies to the snapshot too (the ``batch``
+    column is preserved through compaction), so replay stays safe even if
+    a compaction folded the failed attempt.
+
+    Scale shape: listing is O(dirs newer than the watermark) + one pointer
+    read — after compaction a year of triggers reads one snapshot and a
+    handful of fresh dirs, not 35k directories."""
+    wm = compacted_watermark(path)
+    ids = [
+        i
+        for i in _batch_ids(path)
+        if (wm is None or i > wm) and (before_batch is None or i < before_batch)
+    ]
+    parts = []
+    if wm is not None:
+        snap = read_committed(spark, os.path.join(path, _COMPACTED_DIR), fmt=fmt)
+        if before_batch is not None:
+            from pyspark.sql import functions as F
+
+            snap = snap.filter(F.col("batch") < F.lit(before_batch))
+        parts.append(snap)
+    if ids:
+        reader = spark.read.format(fmt).option("basePath", path)
+        df = reader.load([os.path.join(path, f"batch={i}") for i in ids])
+        # basePath keeps the batch partition column, matching snapshot schema;
+        # normalize column ORDER (partition cols land last on a Hive read,
+        # but the snapshot stores batch wherever the fold put it)
+        parts.append(df)
+    if not parts:
+        return None
+    if len(parts) == 1:
+        return parts[0]
+    return parts[0].unionByName(parts[1])
+
+
+def compact_batches(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    sweep: bool = True,
+    vacuum_keep: int = 2,
+    target_partitions: int | None = None,
+) -> int | None:
+    """Fold every ``batch=<id>`` dir (plus any previous compacted snapshot)
+    at ``path`` into ONE atomic snapshot, so readers stop paying the
+    per-trigger directory/small-file tax. Returns the new watermark (the
+    highest batch id folded), or the existing one when there is nothing new
+    to fold (no-op — no new version is committed).
+
+    The fold itself goes through :func:`atomic_overwrite`: a crash at any
+    point leaves the previous snapshot + untouched batch dirs live, and
+    :func:`read_batch_state` keeps returning the exact same rows before,
+    during, and after the commit. ``sweep`` then deletes the folded batch
+    dirs (pure GC — the watermark filter already hides them) and vacuums
+    snapshot versions older than the ``vacuum_keep`` newest.
+
+    ``target_partitions`` coalesces the snapshot write (small-file control:
+    a year of tiny per-trigger files becomes N healthy parquet files);
+    default leaves Spark's partitioning alone."""
+    state = read_batch_state(spark, path, fmt=fmt)
+    ids = _batch_ids(path)
+    wm = compacted_watermark(path)
+    new_ids = [i for i in ids if wm is None or i > wm]
+    if not new_ids:
+        return wm
+    new_wm = max(new_ids)
+    if target_partitions is not None:
+        state = state.coalesce(target_partitions)
+    atomic_overwrite(
+        state,
+        os.path.join(path, _COMPACTED_DIR),
+        fmt=fmt,
+        extra_files={_WATERMARK_FILE: str(new_wm)},
+    )
+    if sweep:
+        import shutil as _shutil
+
+        for i in ids:
+            if i <= new_wm:
+                _shutil.rmtree(os.path.join(path, f"batch={i}"), ignore_errors=True)
+        vacuum_versions(os.path.join(path, _COMPACTED_DIR), keep=vacuum_keep)
+    return new_wm
 
 
 def vacuum_versions(path: str, keep: int = 1) -> list[str]:

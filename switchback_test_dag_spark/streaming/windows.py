@@ -295,6 +295,44 @@ def running_group_moments(
     )
 
 
+def _corpus_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    out_path: str,
+) -> None:
+    """One :func:`stream_corpus_dedup` micro-batch — module-level so the
+    replay-safety contract (a failed batch N replayed from the checkpoint
+    must reproduce, not lose, its output) is directly testable by calling
+    it twice with the same ``batch_id``."""
+    from switchback_test_dag_spark.caching import mark, release_since
+    from switchback_test_dag_spark.io import read_batch_state
+    from switchback_test_dag_spark.text.dedup import exact_dedup_incremental
+
+    # scoped-release symmetry with the near-dedup sibling: the incremental
+    # operator pins nothing today, but a future pin inside it must not leak
+    # persisted frames across a long-lived stream's triggers
+    cache_mark = mark()
+    try:
+        index = read_batch_state(spark, index_path, before_batch=batch_id)
+        if index is not None:
+            index = index.select("fingerprint")
+        survivors, new_fps = exact_dedup_incremental(
+            batch_df, id_col, text_col, index
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}")
+        )
+        new_fps.write.mode("overwrite").parquet(
+            os.path.join(index_path, f"batch={batch_id}")
+        )
+    finally:
+        release_since(cache_mark)
+
+
 def stream_corpus_dedup(
     docs_stream: DataFrame,
     id_col: str,
@@ -322,32 +360,27 @@ def stream_corpus_dedup(
     with per-batch OVERWRITE — a replay rewrites the same directory and the
     union over the directory tree is unchanged (the same snapshot-pointer
     reasoning as ``io.atomic_overwrite``, specialized to append-only batch
-    dirs). Readers take ``spark.read.parquet(out_path)`` /
-    ``(index_path)`` — Hive-partitioned by ``batch``.
+    dirs). Crucially, state reads are filtered to STRICTLY EARLIER batches
+    (``io.read_batch_state(before_batch=batch_id)``): a replayed batch N
+    must not see its own failed attempt's ``batch=N`` index rows, or every
+    doc would anti-join against its own fingerprint and the replay would
+    silently drop the whole batch. Readers take
+    ``io.read_batch_state(spark, out_path)`` / ``(index_path)`` — or plain
+    ``spark.read.parquet`` while the log is uncompacted; run
+    ``io.compact_batches`` periodically so a year of triggers doesn't mean
+    a 35k-directory listing (the stream transparently reads
+    snapshot ∪ newer batches afterwards).
 
     Micro-batches run sequentially, so batch N's index read sees every
     batch < N — the fold-of-batches == full-batch invariant the incremental
     operator's differential pins carries over to the stream
     (tests/test_streaming.py runs a multi-batch ``availableNow`` pass and
     compares against batch ``exact_dedup`` of the whole landing dir)."""
-    from switchback_test_dag_spark.text.dedup import exact_dedup_incremental
-
     spark = docs_stream.sparkSession
 
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
-        index = None
-        if os.path.isdir(index_path) and any(
-            name.startswith("batch=") for name in os.listdir(index_path)
-        ):
-            index = spark.read.parquet(index_path)
-        survivors, new_fps = exact_dedup_incremental(
-            batch_df, id_col, text_col, index
-        )
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"batch={batch_id}")
-        )
-        new_fps.write.mode("overwrite").parquet(
-            os.path.join(index_path, f"batch={batch_id}")
+        _corpus_dedup_batch(
+            spark, batch_df, batch_id, id_col, text_col, index_path, out_path
         )
 
     q = (
@@ -361,6 +394,77 @@ def stream_corpus_dedup(
     if q.isActive:
         q.stop()
         raise TimeoutError(f"stream {query_name} did not finish in {timeout_sec}s")
+
+
+def _corpus_near_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str,
+    text_col: str,
+    sig_index_path: str,
+    out_path: str,
+    shingle_n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.85,
+    exact_verify: bool = False,
+) -> None:
+    """One :func:`stream_corpus_near_dedup` micro-batch — module-level for
+    the same replay-testability reason as :func:`_corpus_dedup_batch`.
+
+    State reads go through ``io.read_batch_state(before_batch=batch_id)``
+    and are PROJECTED to the state schema: the replay filter keeps a
+    replayed batch from pairing against its own failed attempt, and the
+    projection drops the Hive ``batch`` partition column — an un-projected
+    index frame would make the estimate path's signature union raise
+    NUM_COLUMNS_MISMATCH on every batch after the first."""
+    from switchback_test_dag_spark.caching import mark, release_since
+    from switchback_test_dag_spark.io import read_batch_state
+    from switchback_test_dag_spark.text.dedup import (
+        minhash_pairs_vs_index,
+        minhash_signatures,
+    )
+
+    # persist (not localCheckpoint) + explicit release: a long-lived
+    # streaming job must leave NOTHING persisted between triggers, and
+    # the scoped release also drops the pair operator's internal pins
+    # without touching pins the enclosing application holds
+    cache_mark = mark()
+    batch_df = batch_df.persist()  # consumed by sign + anti-join
+    sigs = minhash_signatures(
+        batch_df, id_col, text_col, shingle_n=shingle_n, k=k
+    ).persist()
+    try:
+        index = read_batch_state(spark, sig_index_path, before_batch=batch_id)
+        if index is not None:
+            index = index.select("doc", "sig")
+        texts = None
+        if exact_verify:
+            texts = batch_df.select(id_col, text_col)
+            prior = read_batch_state(spark, out_path, before_batch=batch_id)
+            if prior is not None:
+                texts = texts.unionByName(prior.select(id_col, text_col))
+        pairs = minhash_pairs_vs_index(
+            sigs, index, k=k, bands=bands, threshold=threshold,
+            texts=texts, id_col=id_col, text_col=text_col,
+            shingle_n=shingle_n,
+        )
+        losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        survivors = batch_df.join(losers, on=id_col, how="left_anti")
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}")
+        )
+        sigs.join(
+            survivors.select(F.col(id_col).alias("doc")),
+            on="doc", how="left_semi",
+        ).write.mode("overwrite").parquet(
+            os.path.join(sig_index_path, f"batch={batch_id}")
+        )
+    finally:
+        release_since(cache_mark)
+        sigs.unpersist()
+        batch_df.unpersist()
 
 
 def stream_corpus_near_dedup(
@@ -406,52 +510,12 @@ def stream_corpus_near_dedup(
     spark = docs_stream.sparkSession
 
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from switchback_test_dag_spark.caching import mark, release_since
-
-        # persist (not localCheckpoint) + explicit release: a long-lived
-        # streaming job must leave NOTHING persisted between triggers, and
-        # the scoped release also drops the pair operator's internal pins
-        # without touching pins the enclosing application holds
-        cache_mark = mark()
-        batch_df = batch_df.persist()  # consumed by sign + anti-join
-        sigs = minhash_signatures(
-            batch_df, id_col, text_col, shingle_n=shingle_n, k=k
-        ).persist()
-        try:
-            index = None
-            if os.path.isdir(sig_index_path) and any(
-                n.startswith("batch=") for n in os.listdir(sig_index_path)
-            ):
-                index = spark.read.parquet(sig_index_path)
-            texts = None
-            if exact_verify:
-                texts = batch_df.select(id_col, text_col)
-                if os.path.isdir(out_path) and any(
-                    n.startswith("batch=") for n in os.listdir(out_path)
-                ):
-                    texts = texts.unionByName(
-                        spark.read.parquet(out_path).select(id_col, text_col)
-                    )
-            pairs = minhash_pairs_vs_index(
-                sigs, index, k=k, bands=bands, threshold=threshold,
-                texts=texts, id_col=id_col, text_col=text_col,
-                shingle_n=shingle_n,
-            )
-            losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-            survivors = batch_df.join(losers, on=id_col, how="left_anti")
-            survivors.write.mode("overwrite").parquet(
-                os.path.join(out_path, f"batch={batch_id}")
-            )
-            sigs.join(
-                survivors.select(F.col(id_col).alias("doc")),
-                on="doc", how="left_semi",
-            ).write.mode("overwrite").parquet(
-                os.path.join(sig_index_path, f"batch={batch_id}")
-            )
-        finally:
-            release_since(cache_mark)
-            sigs.unpersist()
-            batch_df.unpersist()
+        _corpus_near_dedup_batch(
+            spark, batch_df, batch_id, id_col, text_col,
+            sig_index_path, out_path,
+            shingle_n=shingle_n, k=k, bands=bands, threshold=threshold,
+            exact_verify=exact_verify,
+        )
 
     q = (
         docs_stream.writeStream.foreachBatch(one_batch)

@@ -328,3 +328,146 @@ def test_read_committed_time_travel(spark, tmp_path):
     sio.vacuum_versions(path)
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         sio.read_committed(spark, path, version="v0000000001")
+
+
+def test_read_committed_rejects_malformed_version_name(spark, tmp_path):
+    """A non-canonical version name ('v1' instead of zero-padded) must fail
+    loudly as malformed — the lexicographic newer-than-pointer guard would
+    otherwise classify it as an uncommitted staging dir, a misleading
+    error for what is really a caller typo."""
+    import switchback_test_dag_spark.io as sio
+
+    path = str(tmp_path / "tbl")
+    sio.atomic_overwrite(spark.createDataFrame([(1,)], "id long"), path)
+    with pytest.raises(ValueError, match="malformed version name"):
+        sio.read_committed(spark, path, version="v1")
+
+
+def test_compact_batches_roundtrip_sweep_and_noop(spark, tmp_path):
+    """compact_batches folds a batch=<id> log into one atomic snapshot:
+    read_batch_state returns identical rows before and after, the folded
+    dirs are swept, later batch dirs layer on top of the snapshot, a second
+    compaction folds them too, and compacting with nothing new is a no-op
+    (same watermark, no new version committed)."""
+    import os
+
+    import switchback_test_dag_spark.io as sio
+
+    path = str(tmp_path / "log")
+    for i in range(3):
+        spark.createDataFrame([(i * 10, f"d{i}")], "id long, s string").write.parquet(
+            os.path.join(path, f"batch={i}")
+        )
+    before = {
+        (r.id, r.s, r.batch) for r in sio.read_batch_state(spark, path).collect()
+    }
+    assert before == {(0, "d0", 0), (10, "d1", 1), (20, "d2", 2)}
+
+    wm = sio.compact_batches(spark, path)
+    assert wm == 2
+    assert sio.compacted_watermark(path) == 2
+    assert not [n for n in os.listdir(path) if n.startswith("batch=")]  # swept
+    after = {
+        (r.id, r.s, r.batch) for r in sio.read_batch_state(spark, path).collect()
+    }
+    assert after == before
+
+    # fresh batches layer on top of the snapshot
+    spark.createDataFrame([(30, "d3")], "id long, s string").write.parquet(
+        os.path.join(path, "batch=3")
+    )
+    layered = {
+        (r.id, r.s, r.batch) for r in sio.read_batch_state(spark, path).collect()
+    }
+    assert layered == before | {(30, "d3", 3)}
+
+    # second compaction folds the new batch; no-op compaction afterwards
+    assert sio.compact_batches(spark, path) == 3
+    croot = os.path.join(path, "_compacted")
+    versions_before_noop = sorted(os.listdir(croot))
+    assert sio.compact_batches(spark, path) == 3  # nothing new: same wm
+    assert sorted(os.listdir(croot)) == versions_before_noop  # no new version
+    final = {
+        (r.id, r.s, r.batch) for r in sio.read_batch_state(spark, path).collect()
+    }
+    assert final == layered
+
+
+def test_read_batch_state_before_batch_spans_compaction(spark, tmp_path):
+    """before_batch (the foreachBatch replay-safety filter) excludes the
+    batch's own rows whether they live in un-folded dirs OR inside the
+    compacted snapshot — the batch column is preserved through compaction
+    exactly so a replay stays safe after a compaction folded the failed
+    attempt."""
+    import os
+
+    import switchback_test_dag_spark.io as sio
+
+    path = str(tmp_path / "log")
+    for i in range(3):
+        spark.createDataFrame([(i,)], "id long").write.parquet(
+            os.path.join(path, f"batch={i}")
+        )
+    # un-compacted: dirs >= before_batch are not even listed
+    view = sio.read_batch_state(spark, path, before_batch=2)
+    assert {r.id for r in view.collect()} == {0, 1}
+    assert sio.read_batch_state(spark, path, before_batch=0) is None
+
+    sio.compact_batches(spark, path)
+    # compacted: the snapshot row with batch=2 is filtered out
+    view = sio.read_batch_state(spark, path, before_batch=2)
+    assert {r.id for r in view.collect()} == {0, 1}
+    # and a replayed LAST batch sees everything strictly earlier
+    spark.createDataFrame([(3,)], "id long").write.parquet(
+        os.path.join(path, "batch=3")
+    )
+    view = sio.read_batch_state(spark, path, before_batch=3)
+    assert {r.id for r in view.collect()} == {0, 1, 2}
+
+
+def test_compact_batches_crash_leaves_log_readable(spark, tmp_path, monkeypatch):
+    """A compaction killed before the pointer flip leaves the previous state
+    — prior snapshot and every batch dir — exactly readable, and a retry
+    commits cleanly (the fold is just atomic_overwrite underneath)."""
+    import os
+
+    import switchback_test_dag_spark.io as sio
+
+    path = str(tmp_path / "log")
+    for i in range(2):
+        spark.createDataFrame([(i,)], "id long").write.parquet(
+            os.path.join(path, f"batch={i}")
+        )
+
+    def dying_commit(p, v):
+        raise RuntimeError("killed before pointer flip")
+
+    real = sio._commit_pointer
+    monkeypatch.setattr(sio, "_commit_pointer", dying_commit)
+    with pytest.raises(RuntimeError):
+        sio.compact_batches(spark, path)
+    assert sio.compacted_watermark(path) is None  # nothing committed
+    assert len([n for n in os.listdir(path) if n.startswith("batch=")]) == 2
+    assert {r.id for r in sio.read_batch_state(spark, path).collect()} == {0, 1}
+
+    monkeypatch.setattr(sio, "_commit_pointer", real)
+    assert sio.compact_batches(spark, path) == 1
+    assert {r.id for r in sio.read_batch_state(spark, path).collect()} == {0, 1}
+
+
+def test_atomic_overwrite_extra_files_commit_with_data(spark, tmp_path):
+    """extra_files sidecars land inside the committed version dir (atomic
+    with the data), must be underscore-hidden so Spark's reader skips them,
+    and a non-hidden name is rejected up front."""
+    import os
+
+    import switchback_test_dag_spark.io as sio
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1,)], "id long")
+    vdir = sio.atomic_overwrite(df, path, extra_files={"_meta": "42"})
+    with open(os.path.join(vdir, "_meta")) as fh:
+        assert fh.read() == "42"
+    assert {r.id for r in sio.read_committed(spark, path).collect()} == {1}
+    with pytest.raises(ValueError, match="must start with '_'"):
+        sio.atomic_overwrite(df, path, extra_files={"meta": "42"})

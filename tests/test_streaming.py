@@ -438,3 +438,166 @@ def test_stream_corpus_near_dedup_matches_batch_on_tight_clusters(spark, tmp_pat
     assert sorted(sig_docs) == sorted(expect)
     batches = [n for n in os.listdir(str(idx)) if n.startswith("batch=")]
     assert len(batches) == 3, batches
+
+
+def test_corpus_dedup_batch_replay_preserves_data(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch whose writes landed but whose
+    streaming commit did not is REPLAYED with the same batch_id. The replay
+    must reproduce the batch's output, not lose it — before the
+    before_batch filter, the replayed batch read its own failed attempt's
+    index rows, anti-joined every doc against its own fingerprint, and
+    silently replaced the batch with empty output AND an empty index
+    partition."""
+    from switchback_test_dag_spark.streaming.windows import _corpus_dedup_batch
+
+    schema = "doc_id long, text string"
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    b0 = spark.createDataFrame([(1, "alpha beta"), (2, "gamma delta")], schema)
+    b1 = spark.createDataFrame([(10, "alpha beta"), (11, "unique text")], schema)
+    _corpus_dedup_batch(spark, b0, 0, "doc_id", "text", idx, out)
+    _corpus_dedup_batch(spark, b1, 1, "doc_id", "text", idx, out)
+    survivors = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert survivors == {1, 2, 11}
+
+    # the replay: identical call, same batch_id, state dirs already carry
+    # the first attempt's batch=1 output
+    _corpus_dedup_batch(spark, b1, 1, "doc_id", "text", idx, out)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 11}
+    fps = spark.read.parquet(idx)
+    assert fps.count() == 3  # one fingerprint per survivor, no empty batch=1
+
+
+def test_corpus_near_dedup_batch_replay_and_estimate_mode(spark, tmp_path):
+    """Two regressions pinned at once, on the DEFAULT estimate path
+    (exact_verify=False): (a) batch 2+ used to crash outright — the raw
+    index read carried the Hive 'batch' partition column into the
+    signature union (NUM_COLUMNS_MISMATCH); (b) a replayed batch must not
+    pair against its own failed attempt's signatures and drop itself."""
+    from switchback_test_dag_spark.streaming.windows import (
+        _corpus_near_dedup_batch,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "green turtles watch from a mossy log near the river bank today "
+            "as morning light settles across the quiet valley floor")
+    other = ("completely different prose about orbital mechanics spacecraft "
+             "navigation and deep space missions beyond the asteroid belt "
+             "with gravity assists plotted around the outer gas giants")
+    schema = "doc_id long, text string"
+    idx, out = str(tmp_path / "sigidx"), str(tmp_path / "out")
+    b0 = spark.createDataFrame([(1, base), (2, other)], schema)
+    b1 = spark.createDataFrame(
+        [(10, base.replace("today", "tonight"))], schema  # near-dup of 1
+    )
+    kw = dict(threshold=0.7, exact_verify=False)
+    _corpus_near_dedup_batch(spark, b0, 0, "doc_id", "text", idx, out, **kw)
+    _corpus_near_dedup_batch(spark, b1, 1, "doc_id", "text", idx, out, **kw)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+    # replay of batch 1 (failed streaming commit, writes already on disk)
+    _corpus_near_dedup_batch(spark, b1, 1, "doc_id", "text", idx, out, **kw)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+    # batch 2 against the 2-batch index: the estimate-path union regression.
+    # doc 20 repeats doc 2 verbatim (est_jaccard = 1.0) — a one-word edit
+    # would sit in the estimate's coin-flip band at k=64/t=0.7, and this
+    # test pins the union/replay plumbing, not estimate accuracy
+    b2 = spark.createDataFrame(
+        [(20, other),
+         (21, "fresh unique content on medieval bread baking and stone "
+              "oven construction methods in rural mountain villages")],
+        schema,
+    )
+    _corpus_near_dedup_batch(spark, b2, 2, "doc_id", "text", idx, out, **kw)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 21}
+    sig_docs = sorted(r.doc for r in spark.read.parquet(idx).collect())
+    assert sig_docs == [1, 2, 21]
+
+
+def test_stream_corpus_dedup_survives_midstream_compaction(spark, tmp_path):
+    """A compaction landing between two availableNow passes is invisible to
+    the stream's semantics: the second pass reads snapshot ∪ newer batches
+    through read_batch_state and the fold still equals batch exact_dedup of
+    the full landing dir. Pins the reader/writer contract the daily-ops
+    recipe composes (ingest → compact → ingest)."""
+    import time as _time
+
+    import switchback_test_dag_spark.io as sio
+    import switchback_test_dag_spark.text.dedup as TD
+    from switchback_test_dag_spark.streaming.windows import stream_corpus_dedup
+
+    landing = tmp_path / "landing"
+    schema = "doc_id long, text string"
+    rows_by_file = [
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        [(10, "delta epsilon zeta"), (11, "eta theta iota")],
+        [(20, "eta theta iota"), (21, "alpha beta gamma"),
+         (22, "kappa lambda mu")],
+    ]
+    for i, rows in enumerate(rows_by_file[:2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(landing / f"f{i}")
+        )
+    out, idx, ckpt = tmp_path / "clean", tmp_path / "index", tmp_path / "ckpt"
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing / "*"))
+        )
+        stream_corpus_dedup(
+            stream, "doc_id", "text",
+            index_path=str(idx), out_path=str(out), checkpoint_dir=str(ckpt),
+        )
+
+    run()  # batches 0, 1
+    assert sio.compact_batches(spark, str(idx)) == 1
+    assert sio.compact_batches(spark, str(out)) == 1
+
+    _time.sleep(1.1)  # distinct mtime for the new landing file
+    spark.createDataFrame(rows_by_file[2], schema).coalesce(1).write.parquet(
+        str(landing / "f2")
+    )
+    run()  # batch 2, reading the compacted index
+
+    all_docs = spark.read.parquet(str(landing / "*"))
+    expect = {
+        r["doc_id"] for r in TD.exact_dedup(all_docs, "doc_id", "text").collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in sio.read_batch_state(spark, str(out)).collect()
+    }
+    assert got == expect == {1, 2, 11, 22}
+    fps = sio.read_batch_state(spark, str(idx))
+    assert fps.count() == fps.select("fingerprint").distinct().count() == 4
+
+
+def test_corpus_near_dedup_exact_verify_spans_compaction(spark, tmp_path):
+    """exact_verify=True reads prior survivors' TEXT from out_path; after a
+    compaction that text lives in the snapshot, and verification must keep
+    producing the exact-Jaccard drops across the boundary."""
+    import switchback_test_dag_spark.io as sio
+    from switchback_test_dag_spark.streaming.windows import (
+        _corpus_near_dedup_batch,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "green turtles watch from a mossy log near the river bank today "
+            "as morning light settles across the quiet valley floor")
+    schema = "doc_id long, text string"
+    idx, out = str(tmp_path / "sigidx"), str(tmp_path / "out")
+    kw = dict(threshold=0.7, exact_verify=True)
+    b0 = spark.createDataFrame([(1, base)], schema)
+    _corpus_near_dedup_batch(spark, b0, 0, "doc_id", "text", idx, out, **kw)
+    sio.compact_batches(spark, idx)
+    sio.compact_batches(spark, out)
+    b1 = spark.createDataFrame(
+        [(10, base.replace("today", "tonight")),  # near-dup of compacted 1
+         (11, "fresh unique content on medieval bread baking and stone "
+              "oven construction methods in rural mountain villages")],
+        schema,
+    )
+    _corpus_near_dedup_batch(spark, b1, 1, "doc_id", "text", idx, out, **kw)
+    got = {r.doc_id for r in sio.read_batch_state(spark, out).collect()}
+    assert got == {1, 11}
