@@ -819,6 +819,24 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VS.recall_gate(approx, exact, k=10, bound=_IVF_RECALL_BOUND)
 
 
+@query("emb_ivf_pq_topk", _ann_gate_oracle(_IVF_RECALL_BOUND))
+def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-10 — the MEMORY-dial variant of
+    :func:`emb_ivf_topk`: the probe scan reads 8-byte PQ codes instead of
+    dim·4 float bytes (32× at dim=64), ADC-shortlists k·refine candidates
+    per query, then re-ranks them with exact cosine from full vectors, so
+    quantization can lower recall but never distort a reported score. Same
+    hash-checked recall@10 ≥ 0.7 contract as the unquantized index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    approx = VS.ivf_pq_topk(
+        emb, queries_df, "vec_id", "embedding",
+        k=10, n_cells=8, n_probe=6, m=16, refine=8,
+    )
+    exact = VS.cosine_topk_bruteforce(emb, queries_df, "vec_id", "embedding", k=10)
+    return VS.recall_gate(approx, exact, k=10, bound=_IVF_RECALL_BOUND)
+
+
 # --------------------------------------------------------------------------- #
 # multimodal plumbing
 # --------------------------------------------------------------------------- #

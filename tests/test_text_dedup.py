@@ -214,6 +214,52 @@ def test_ivf_topk_recall_vs_bruteforce(emb):
     assert full_set == exact_set, "probing all cells must equal brute force"
 
 
+def test_ivf_pq_topk_recall_rerank_exactness_and_code_size(emb):
+    """The IVF-PQ memory dial: (a) recall@10 holds the registry's 0.7 bound,
+    (b) every REPORTED cosine is exact — identical to the brute-force score
+    for the same pair, because quantization only shortlists and the re-rank
+    reads full vectors, (c) the stored code really is m bytes per vector
+    (32× under dim=64 float32), and (d) with every cell probed and the
+    refine window covering the whole corpus the result IS the brute force —
+    the quantization endpoints, mirroring the plain-IVF endpoint test."""
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = VS.cosine_topk_bruteforce(emb, queries_df, "vec_id", "embedding", k=10)
+    exact_rows = exact.collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact_rows
+    }
+
+    approx = VS.ivf_pq_topk(
+        emb, queries_df, "vec_id", "embedding",
+        k=10, n_cells=8, n_probe=5, m=8, refine=4,
+    )
+    rows = approx.collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(exact_set & got) / len(exact_set)
+    assert recall >= 0.7, f"IVF-PQ recall {recall:.2f} below the registry bound"
+    for r in rows:  # re-rank exactness: no quantized score ever surfaces
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert r["cosine"] == exact_scores[key]
+
+    books = VS.train_pq_codebooks(emb, "vec_id", "embedding", m=8)
+    assert books.shape == (8, 256, 8)  # dim=64 → 8 subspaces of 8
+    code_len = (
+        emb.select(VS._pq_encoder(books)(F.col("embedding")).alias("c"))
+        .select(F.length("c").alias("n")).distinct().collect()
+    )
+    assert [r["n"] for r in code_len] == [8]  # 8 bytes vs 256 float32 bytes
+
+    n = emb.count()
+    full = VS.ivf_pq_topk(
+        emb, queries_df, "vec_id", "embedding",
+        k=10, n_cells=8, n_probe=8, m=8, refine=(n // 10) + 1,
+    )
+    full_set = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert full_set == exact_set, "all cells + full refine must equal brute force"
+
+
 def test_recall_gate_pins_bound_and_surfaces_regressions(emb):
     """The hash-checked ANN contract: a perfect index emits exactly the bound;
     a degraded one (here: the approximate result with its best hits removed)
