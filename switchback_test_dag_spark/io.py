@@ -236,14 +236,27 @@ def read_jsonl_table(spark: SparkSession, path: str, schema) -> DataFrame:
 # live and intact (crash-sim pytest: tests/test_io.py). Old versions remain
 # readable for in-flight jobs until `vacuum_versions`.
 #
-# Boundary statement: pointer files + os.replace are the LOCAL-filesystem
-# realization; at warehouse scale the same protocol is what Delta's
-# _delta_log / Iceberg's metadata-pointer swap provide on object stores —
-# swap this module for a real table format there (S3 renames are not
-# atomic). Single-writer-per-table is assumed (the reference pipeline is a
-# daily Airflow task); concurrent writers are last-commit-wins.
+# Two commit protocols, chosen per write:
+#
+# - ``replace`` (default): the _CURRENT pointer flip above — one atomic
+#   POSIX rename. The LOCAL-filesystem fast path.
+# - ``marker``: S3-style object stores don't provide atomic rename, but
+#   they DO provide atomic single-object create and listing; the commit is
+#   the creation of ``<path>/_commits/<version>`` and the committed version
+#   is the MAX listed marker — no rename anywhere in the protocol (the
+#   same list-and-max scheme as Delta's numbered _delta_log entries). A
+#   crash before the marker create leaves nothing committed; a crash after
+#   is a completed commit.
+#
+# ``current_version`` resolves max(_CURRENT, markers), so the two protocols
+# compose on one table (a local table migrated to marker commits keeps its
+# history readable). Single-writer-per-table is assumed (the reference
+# pipeline is a daily Airflow task); concurrent writers are
+# last-commit-wins, and a staging-dir numbering race fails loudly on the
+# errorifexists write.
 
 _CURRENT_PTR = "_CURRENT"
+_COMMITS_DIR = "_commits"
 _VERSION_FMT = "v{:010d}"
 
 
@@ -282,13 +295,41 @@ def _commit_pointer(path: str, version: str) -> None:
         pass  # directory fsync is a durability nicety, not correctness
 
 
+def _commit_marker(path: str, version: str) -> None:
+    """Object-store-safe commit: create ``<path>/_commits/<version>``. The
+    single-object create IS the commit — no rename required, so the same
+    protocol works where os.replace has no atomic equivalent. 'x' mode
+    makes a marker collision (two writers claiming one version) loud."""
+    cdir = os.path.join(path, _COMMITS_DIR)
+    os.makedirs(cdir, exist_ok=True)
+    with open(os.path.join(cdir, version), "x") as fh:
+        fh.write(version)
+        fh.flush()
+        os.fsync(fh.fileno())
+
+
+def _marker_versions(path: str) -> list[str]:
+    import re as _re
+
+    cdir = os.path.join(path, _COMMITS_DIR)
+    if not os.path.isdir(cdir):
+        return []
+    return sorted(n for n in os.listdir(cdir) if _re.fullmatch(r"v\d{10}", n))
+
+
 def current_version(path: str) -> str | None:
-    """The committed version name at ``path`` (None = nothing committed)."""
+    """The committed version name at ``path`` (None = nothing committed):
+    the max over the ``_CURRENT`` pointer and the ``_commits`` markers, so
+    tables written under either protocol — or migrated between them —
+    resolve to their newest commit."""
+    candidates = _marker_versions(path)
     ptr = os.path.join(path, _CURRENT_PTR)
-    if not os.path.exists(ptr):
-        return None
-    with open(ptr) as fh:
-        return fh.read().strip() or None
+    if os.path.exists(ptr):
+        with open(ptr) as fh:
+            v = fh.read().strip()
+        if v:
+            candidates = candidates + [v]
+    return max(candidates) if candidates else None
 
 
 def atomic_overwrite(
@@ -296,10 +337,16 @@ def atomic_overwrite(
     path: str,
     fmt: str = "parquet",
     extra_files: dict[str, str] | None = None,
+    protocol: str = "replace",
 ) -> str:
     """CREATE-OR-REPLACE ``path`` with ``df``, atomically: stage a fresh
-    immutable version directory, verify Spark's ``_SUCCESS`` marker, flip
-    the ``_CURRENT`` pointer. Returns the committed version directory.
+    immutable version directory, verify Spark's ``_SUCCESS`` marker, then
+    commit — ``protocol="replace"`` flips the ``_CURRENT`` pointer (atomic
+    POSIX rename, the local-FS fast path); ``protocol="marker"`` creates a
+    numbered ``_commits/<version>`` file instead (atomic single-object
+    create + list-and-max on read — the object-store-safe protocol, since
+    S3-style stores have no atomic rename). Returns the committed version
+    directory.
 
     ``extra_files`` maps sidecar names (must start with ``_`` so Spark's
     hidden-file filter skips them at read time) to text contents, written
@@ -313,6 +360,11 @@ def atomic_overwrite(
     swept by the next writer's numbering (max+1) and by
     :func:`vacuum_versions`. Readers via :func:`read_committed` never see a
     partial table."""
+    if protocol not in ("replace", "marker"):
+        raise ValueError(
+            f"atomic_overwrite: unknown protocol {protocol!r}; "
+            "expected 'replace' or 'marker'"
+        )
     os.makedirs(path, exist_ok=True)
     versions = _version_dirs(path)
     ver = _VERSION_FMT.format((versions[-1] + 1) if versions else 1)
@@ -336,7 +388,10 @@ def atomic_overwrite(
             fh.write(content)
             fh.flush()
             os.fsync(fh.fileno())
-    _commit_pointer(path, ver)
+    if protocol == "marker":
+        _commit_marker(path, ver)
+    else:
+        _commit_pointer(path, ver)
     return vdir
 
 
@@ -567,4 +622,10 @@ def vacuum_versions(path: str, keep: int = 1) -> list[str]:
         if name not in survivors:
             _shutil.rmtree(os.path.join(path, name))
             deleted.append(name)
+            # drop the version's commit marker too (marker protocol): a
+            # stale marker would otherwise advertise a vacuumed snapshot
+            try:
+                os.unlink(os.path.join(path, _COMMITS_DIR, name))
+            except FileNotFoundError:
+                pass
     return deleted

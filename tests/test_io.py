@@ -471,3 +471,95 @@ def test_atomic_overwrite_extra_files_commit_with_data(spark, tmp_path):
     assert {r.id for r in sio.read_committed(spark, path).collect()} == {1}
     with pytest.raises(ValueError, match="must start with '_'"):
         sio.atomic_overwrite(df, path, extra_files={"meta": "42"})
+
+
+def test_marker_protocol_commit_crash_and_mixed(spark, tmp_path, monkeypatch):
+    """The object-store-safe commit path: protocol='marker' commits by
+    CREATING _commits/<version> (atomic single-object create, no rename
+    anywhere) and readers resolve max(markers, _CURRENT). Crash between
+    staging and the marker create leaves the previous commit live; the two
+    protocols compose on one table; vacuum drops stale markers with their
+    version dirs."""
+    import os
+
+    import switchback_test_dag_spark.io as sio
+
+    path = str(tmp_path / "tbl")
+    # v1 under the local 'replace' protocol, v2 under 'marker' — a migrated
+    # table keeps resolving to its newest commit
+    sio.atomic_overwrite(spark.createDataFrame([(1,)], "id long"), path)
+    sio.atomic_overwrite(
+        spark.createDataFrame([(2,)], "id long"), path, protocol="marker"
+    )
+    assert sio.current_version(path) == "v0000000002"
+    assert os.path.exists(os.path.join(path, "_commits", "v0000000002"))
+    assert {r.id for r in sio.read_committed(spark, path).collect()} == {2}
+    # time travel across the protocol boundary
+    old = sio.read_committed(spark, path, version="v0000000001")
+    assert {r.id for r in old.collect()} == {1}
+
+    # crash killed between the staging write and the marker create: nothing
+    # committed, previous version exactly readable, retry lands cleanly
+    real = sio._commit_marker
+
+    def dying_marker(p, v):
+        raise RuntimeError("killed before marker create")
+
+    monkeypatch.setattr(sio, "_commit_marker", dying_marker)
+    with pytest.raises(RuntimeError):
+        sio.atomic_overwrite(
+            spark.createDataFrame([(9,)], "id long"), path, protocol="marker"
+        )
+    assert sio.current_version(path) == "v0000000002"
+    assert {r.id for r in sio.read_committed(spark, path).collect()} == {2}
+    monkeypatch.setattr(sio, "_commit_marker", real)
+    sio.atomic_overwrite(
+        spark.createDataFrame([(9,)], "id long"), path, protocol="marker"
+    )
+    assert {r.id for r in sio.read_committed(spark, path).collect()} == {9}
+
+    # vacuum: superseded dirs AND their markers go; the live marker stays
+    deleted = sio.vacuum_versions(path)
+    assert "v0000000002" in deleted
+    assert not os.path.exists(os.path.join(path, "_commits", "v0000000002"))
+    assert sio.current_version(path) is not None
+    assert {r.id for r in sio.read_committed(spark, path).collect()} == {9}
+
+    with pytest.raises(ValueError, match="unknown protocol"):
+        sio.atomic_overwrite(
+            spark.createDataFrame([(1,)], "id long"), path, protocol="s3"
+        )
+
+
+def test_marker_protocol_concurrent_writer_race_fails_loudly(
+    spark, tmp_path, monkeypatch
+):
+    """Two marker-protocol writers racing on one version number: the loser
+    fails on the immutable staging dir (errorifexists) or on the marker
+    create ('x' mode) — never a silent overwrite of a committed snapshot."""
+    import os
+
+    import switchback_test_dag_spark.io as sio
+
+    path = str(tmp_path / "tbl")
+    sio.atomic_overwrite(
+        spark.createDataFrame([(1,)], "id long"), path, protocol="marker"
+    )
+    sio.atomic_overwrite(
+        spark.createDataFrame([(2,)], "id long"), path, protocol="marker"
+    )
+    # stale listing: this writer believes only v1 exists and targets v2
+    monkeypatch.setattr(sio, "_version_dirs", lambda p: [1])
+    with pytest.raises(Exception, match="(?i)already exists"):
+        sio.atomic_overwrite(
+            spark.createDataFrame([(9,)], "id long"), path, protocol="marker"
+        )
+    assert sio.current_version(path) == "v0000000002"
+    assert {r.id for r in sio.read_committed(spark, path).collect()} == {2}
+    # marker-level collision (staging somehow succeeded twice): 'x' create
+    with pytest.raises(FileExistsError):
+        sio._commit_marker(path, "v0000000002")
+    # the directory-fsync nicety of the replace path isn't part of this
+    # protocol; make sure markers survive a plain re-listing
+    assert sio._marker_versions(path) == ["v0000000001", "v0000000002"]
+    assert os.path.isdir(os.path.join(path, "_commits"))
