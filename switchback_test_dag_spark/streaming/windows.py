@@ -452,7 +452,10 @@ def _corpus_near_dedup_batch(
         )
         losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
         survivors = batch_df.join(losers, on=id_col, how="left_anti")
-        survivors.write.mode("overwrite").parquet(
+        # id-sorted row groups: the exact-verify path of LATER batches
+        # filters this table by candidate id (parquet IN pushdown), and
+        # sorted min/max stats make that prune sharp
+        survivors.sortWithinPartitions(id_col).write.mode("overwrite").parquet(
             os.path.join(out_path, f"batch={batch_id}")
         )
         sigs.join(

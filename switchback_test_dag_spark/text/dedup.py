@@ -1440,6 +1440,7 @@ def minhash_pairs_vs_index(
     id_col: str = "doc",
     text_col: str = "text",
     shingle_n: int = 3,
+    texts_pushdown_cap: int = 10_000,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against itself AND a persisted
     signature index (``minhash_signatures`` frames; disjoint doc ids by
@@ -1462,7 +1463,14 @@ def minhash_pairs_vs_index(
       + :func:`exact_jaccard`), so flipping from batch to incremental loses
       no accuracy. Returns ``(doc_a, doc_b, jaccard)``. Text touch is
       O(candidate ids), not O(corpus): only docs colliding in some band are
-      shingled. ``shingle_n`` must match the value used for the signatures.
+      shingled, AND — when the candidate-id count is at most
+      ``texts_pushdown_cap`` — the id set is collected and pushed into the
+      ``texts`` SCAN as a literal IN filter, so a parquet-backed survivors
+      table is row-group-pruned at the source instead of fully scanned
+      into the semi-join (the year-scale streaming-verify path; plan-pinned
+      in tests). Above the cap the semi-join alone carries the pruning
+      (still correct, one full text scan). ``shingle_n`` must match the
+      value used for the signatures.
 
     Scale shape: band keys derived from signatures (narrow maps), candidate
     joins keyed on uniform band hashes — new×new via self-join, new×index
@@ -1504,12 +1512,21 @@ def minhash_pairs_vs_index(
         # collided in some band (semi-join prunes the text scan), then the
         # batch operator's verification verbatim
         cand = _persist(cand)  # consumed by the id set and the final join
-        ids = (
+        ids = _persist(
             cand.select(F.col("doc_a").alias("doc"))
             .unionByName(cand.select(F.col("doc_b").alias("doc")))
             .distinct()
         )
         par = texts.sparkSession.sparkContext.defaultParallelism
+        id_rows = ids.limit(texts_pushdown_cap + 1).collect()
+        if len(id_rows) <= texts_pushdown_cap:
+            # candidate set is small (the normal case — collisions only):
+            # a literal IN filter reaches the parquet scan and prunes row
+            # groups at the source; no text row outside the candidate set
+            # is read at all
+            texts = texts.filter(
+                F.col(id_col).isin([r["doc"] for r in id_rows])
+            )
         cand_texts = texts.join(
             ids.withColumnRenamed("doc", id_col), on=id_col, how="left_semi"
         )

@@ -954,6 +954,48 @@ def test_minhash_vs_index_exact_verify_closes_estimate_band(spark):
     assert est != set(ground)  # the estimate band misjudges boundary pairs
 
 
+def test_exact_verify_pushes_candidate_ids_into_text_scan(spark, tmp_path):
+    """The year-scale streaming-verify contract: when texts= is a
+    parquet-backed survivors table, the candidate-id set (bounded, collected
+    under texts_pushdown_cap) is pushed into the SCAN as a literal IN filter
+    — PushedFilters shows In(doc_id, ...) — so the text touch is
+    O(candidates) row groups, never a full survivors scan per trigger.
+    Above the cap the semi-join fallback still returns identical pairs."""
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "green turtles watch from a mossy log near the river bank today "
+            "as morning light settles across the quiet valley floor")
+    rows = [(1, base), (2, "completely different prose about orbital "
+                           "mechanics spacecraft navigation and deep space "
+                           "missions beyond the asteroid belt today")]
+    index_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new_docs = spark.createDataFrame(
+        [(10, base.replace("today", "tonight"))], "doc_id long, text string"
+    )
+    tpath = str(tmp_path / "texts")
+    index_docs.unionByName(new_docs).sortWithinPartitions("doc_id").write.parquet(
+        tpath
+    )
+    texts = spark.read.parquet(tpath)
+    sig_i = TD.minhash_signatures(index_docs, "doc_id", "text")
+    sig_n = TD.minhash_signatures(new_docs, "doc_id", "text")
+    pairs = TD.minhash_pairs_vs_index(
+        sig_n, sig_i, threshold=0.7, texts=texts, id_col="doc_id"
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(1, 10)}
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id" in plan, "candidate-id IN filter not pushed to the scan"
+
+    # cap exceeded -> semi-join fallback, same result, no IN pushdown
+    fallback = TD.minhash_pairs_vs_index(
+        sig_n, sig_i, threshold=0.7, texts=texts, id_col="doc_id",
+        texts_pushdown_cap=1,
+    )
+    assert {(r["doc_a"], r["doc_b"]) for r in fallback.collect()} == {(1, 10)}
+    fplan = fallback._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id" not in fplan
+
+
 def test_winnow_pairs_vs_index_matches_batch(spark):
     """Winnowing incremental twin differential: folding batches through
     winnow_fingerprints + winnow_pairs_vs_index reports exactly the pairs
