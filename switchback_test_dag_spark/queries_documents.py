@@ -776,13 +776,13 @@ _LSH_RECALL_BOUND = 0.5
 _IVF_RECALL_BOUND = 0.7
 
 
-def _ann_gate_oracle(bound: float) -> str:
+def _ann_gate_oracle(bound: float, extra_cols: str = "") -> str:
     """The recall-gate contract a SQL oracle can predict without replaying the
     index: one row per query with the recall floor pinned at ``bound``. Any
     query whose true recall@10 drops below the bound surfaces Spark-side as a
     lower value and fails the hash check."""
     return f"""SELECT vec_id AS query_id, 10 AS k,
-              CAST({bound} AS DOUBLE) AS recall_floor
+              CAST({bound} AS DOUBLE) AS recall_floor{extra_cols}
        FROM embeddings WHERE vec_id < 5"""
 
 
@@ -804,37 +804,46 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VS.recall_gate(approx, exact, k=10, bound=_LSH_RECALL_BOUND)
 
 
-@query("emb_ivf_topk", _ann_gate_oracle(_IVF_RECALL_BOUND))
+@query(
+    "emb_ivf_topk",
+    _ann_gate_oracle(
+        _IVF_RECALL_BOUND,
+        extra_cols=f",\n              CAST({_IVF_RECALL_BOUND} AS DOUBLE)"
+        " AS pq_recall_floor",
+    ),
+)
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 (spherical-k-means coarse quantizer trained on a
     deterministic sample; cell-keyed candidate join; n_probe=5 of 8 cells),
     hash-checked as a recall@10 ≥ 0.7 quality contract exactly like
-    :func:`emb_lsh_topk`."""
+    :func:`emb_lsh_topk` — PLUS the IVF-PQ memory dial's contract as a second
+    column: ``pq_recall_floor`` runs :func:`VS.ivf_pq_topk` (the probe scan
+    reads m-byte PQ codes instead of dim·4 float bytes — 16 bytes vs 256 at
+    the query's m=16/dim=64 — ADC-shortlists k·refine candidates per query,
+    then re-ranks with EXACT cosine from full vectors, so quantization can
+    lower recall but never distort a reported score) under the SAME 0.7
+    recall@10 floor. Folded into one query to stay inside the driver's
+    50-query correctness window — the same-grain-suite pattern."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     approx = VS.ivf_topk(
         emb, queries_df, "vec_id", "embedding", k=10, n_cells=8, n_probe=5
     )
-    exact = VS.cosine_topk_bruteforce(emb, queries_df, "vec_id", "embedding", k=10)
-    return VS.recall_gate(approx, exact, k=10, bound=_IVF_RECALL_BOUND)
-
-
-@query("emb_ivf_pq_topk", _ann_gate_oracle(_IVF_RECALL_BOUND))
-def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ approximate top-10 — the MEMORY-dial variant of
-    :func:`emb_ivf_topk`: the probe scan reads 8-byte PQ codes instead of
-    dim·4 float bytes (32× at dim=64), ADC-shortlists k·refine candidates
-    per query, then re-ranks them with exact cosine from full vectors, so
-    quantization can lower recall but never distort a reported score. Same
-    hash-checked recall@10 ≥ 0.7 contract as the unquantized index."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5)
-    approx = VS.ivf_pq_topk(
+    pq = VS.ivf_pq_topk(
         emb, queries_df, "vec_id", "embedding",
         k=10, n_cells=8, n_probe=6, m=16, refine=8,
     )
     exact = VS.cosine_topk_bruteforce(emb, queries_df, "vec_id", "embedding", k=10)
-    return VS.recall_gate(approx, exact, k=10, bound=_IVF_RECALL_BOUND)
+    from switchback_test_dag_spark.caching import pin as _pin
+
+    exact = _pin(exact)  # threshold side of BOTH gates — one brute-force pass
+    ivf_gate = VS.recall_gate(approx, exact, k=10, bound=_IVF_RECALL_BOUND)
+    pq_gate = VS.recall_gate(pq, exact, k=10, bound=_IVF_RECALL_BOUND).select(
+        "query_id", F.col("recall_floor").alias("pq_recall_floor")
+    )
+    return ivf_gate.join(pq_gate, "query_id").select(
+        "query_id", "k", "recall_floor", "pq_recall_floor"
+    )
 
 
 # --------------------------------------------------------------------------- #
