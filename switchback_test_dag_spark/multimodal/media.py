@@ -15,9 +15,11 @@ roundtrip plus byte-exact reference reconstruction, pytest-gated), and VIDEO
 via ``avi.py`` (RIFF uncompressed-DIB AVI: real container walking, real
 per-frame decode, real frame sampling — ``decode_avi_features`` /
 ``sample_avi_frames``). The GENERIC feature path (``decode_features`` /
-``sample_frames``) dispatches on magic bytes to those five real parsers —
-no fake flags anywhere. Only H.26x-class motion-compensated video remains
-STUBBED: that genuinely needs codec libraries this container lacks, so
+``sample_frames``) dispatches on magic bytes to those real parsers — plus
+``mpeg1.py`` (intra-only MPEG-1: elementary streams AND program streams
+via a minimal PES demux) — no fake flags anywhere. Only motion-compensated
+INTER prediction remains STUBBED (MPEG P/B pictures raise inside the
+decoder; H.26x genuinely needs codec libraries this container lacks), so
 ISO-BMFF/``ftyp`` containers and Annex-B elementary streams raise a loud
 ``NotImplementedError`` from the format detector; payloads with no known
 magic raise ``ValueError`` (a data-quality signal, not a crash).
@@ -119,6 +121,11 @@ def detect_media_format(raw: bytes) -> str:
             "ISO-BMFF (MP4/MOV) containers hold H.26x-class motion-compensated "
             "video; decoding requires codec libraries unavailable here"
         )
+    if raw[:4] in (b"\x00\x00\x01\xb3", b"\x00\x00\x01\xba"):
+        # MPEG-1 video ES / program stream: REAL decode path for intra-only
+        # streams (multimodal/mpeg1.py); P/B pictures raise inside the
+        # decoder — motion compensation is the remaining stub
+        return "mpeg1"
     if raw[:4] == b"\x00\x00\x00\x01" or raw[:3] == b"\x00\x00\x01":
         raise NotImplementedError(
             "Annex-B elementary stream (H.26x-class); decoding requires codec "
@@ -156,13 +163,14 @@ def _pooled(values, dim: int) -> list[float]:
 
 def decode_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """Generic decode: payload → fixed-dim feature vector via ``mapInPandas``,
-    dispatching on magic bytes to the five REAL pure-Python codecs
+    dispatching on magic bytes to the REAL pure-Python codecs
     (:func:`detect_media_format`). Images (BMP/PNG/JPEG) pool normalized
-    pixels, audio (WAV) pools normalized PCM16 samples, video (AVI) pools
-    normalized pixels across all frames — each via :func:`_pooled`, so one
-    schema serves every modality. Unknown payloads raise ``ValueError`` per
-    row (callers pre-filter or let the task fail loudly); H.26x-class video
-    raises the documented ``NotImplementedError``."""
+    pixels, audio (WAV) pools normalized PCM16 samples, video (AVI and
+    intra-only MPEG-1) pools normalized pixels across all frames — each via
+    :func:`_pooled`, so one schema serves every modality. Unknown payloads
+    raise ``ValueError`` per row (callers pre-filter or let the task fail
+    loudly); H.26x-class video raises the documented
+    ``NotImplementedError``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -180,6 +188,13 @@ def decode_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 elif fmt == "wav":
                     _rate, _ch, s = decode_wav_pcm16(raw)
                     vals = (s.astype(np.float64) + 32768.0) / 65535.0
+                elif fmt == "mpeg1":
+                    from switchback_test_dag_spark.multimodal.mpeg1 import (
+                        decode_mpeg1,
+                    )
+
+                    frames, _meta = decode_mpeg1(raw)
+                    vals = frames.astype(np.float64).ravel() / 255.0
                 else:  # avi
                     _fps, frames = decode_avi_dib(raw)
                     vals = frames.astype(np.float64).ravel() / 255.0
@@ -206,8 +221,15 @@ def sample_frames(media: DataFrame, every_n: int = 2, max_frames: int = 8) -> Da
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
                 fmt = detect_media_format(raw)
-                if fmt == "avi":
-                    _fps, frames = decode_avi_dib(raw)
+                if fmt in ("avi", "mpeg1"):
+                    if fmt == "avi":
+                        _fps, frames = decode_avi_dib(raw)
+                    else:
+                        from switchback_test_dag_spark.multimodal.mpeg1 import (
+                            decode_mpeg1,
+                        )
+
+                        frames, _meta = decode_mpeg1(raw)
                     taken = 0
                     for j in range(0, len(frames), every_n):
                         if taken >= max_frames:
@@ -489,6 +511,101 @@ def _synthesize_compressed_avi(
 
     return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
         run, schema=MEDIA_SCHEMA
+    )
+
+
+def synthesize_mpeg1_videos(df: DataFrame, id_col: str, qscale: int = 2) -> DataFrame:
+    """MEDIA_SCHEMA video rows with REAL intra-only MPEG-1 payloads
+    (``multimodal/mpeg1.py``: sequence/GOP/picture/slice headers, 4:2:0
+    intra macroblocks, MPEG quantization + VLC/escape entropy coding over
+    the shared DCT core). Per id: ``1 + id % 3`` frames of geometry
+    ``2·(5 + id % 5) × 2·(4 + id % 3)`` (even dims — clean 4:2:0; formulas
+    deliberately differ from the MJPG/MJPB paths so a dispatch swap breaks
+    the hash), frame ``j`` the BMP test pattern seeded by ``id·3011 + j``,
+    25 fps (picture_rate_code 3). EVEN ids additionally wrap the elementary
+    stream in a minimal MPEG-1 PROGRAM STREAM (``mux_mpeg_ps``) so both the
+    ES and the PS demux branches ride the suite hash."""
+    from switchback_test_dag_spark.multimodal.mpeg1 import encode_m1v, mux_mpeg_ps
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads, ws, hs, durs = [], [], [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w = 2 * (5 + mid % 5)
+                h = 2 * (4 + mid % 3)
+                n = 1 + mid % 3
+                frames = np.stack(
+                    [_bmp_pixels(mid * 3011 + j, w, h) for j in range(n)]
+                )
+                es = encode_m1v(frames, qscale=qscale)
+                payloads.append(mux_mpeg_ps(es) if mid % 2 == 0 else es)
+                ws.append(w)
+                hs.append(h)
+                durs.append(n * 1000 // 25)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "video",
+                    "payload": payloads,
+                    "mime": "video/mpeg",
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "duration_ms": durs,
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_mpeg1_features(media: DataFrame) -> DataFrame:
+    """Parse REAL MPEG-1 bytes (video ES or program stream — the decoder
+    dispatches on the start code, demuxing PES packets for PS) → the same
+    video features as the AVI paths. Frame count, fps, and decoder-reported
+    geometry are closed-form per id (oracle-replayable); byte size and
+    reconstructed pixels are quantization-dependent and pytest-gated — the
+    MJPG/MJPB policy."""
+    from switchback_test_dag_spark.multimodal.mpeg1 import decode_mpeg1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            fpss, nfs, ws, hs, nbs, sums, w0 = [], [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                frames, meta = decode_mpeg1(raw)
+                n, h, w, _ = frames.shape
+                f0 = frames[0].astype(np.int64)
+                weights = np.arange(1, h * w * 3 + 1, dtype=np.int64).reshape(
+                    h, w, 3
+                )
+                fpss.append(int(meta["fps"]))
+                nfs.append(n)
+                ws.append(w)
+                hs.append(h)
+                nbs.append(len(raw))
+                sums.append(int(frames.astype(np.int64).sum()))
+                w0.append(int((f0 * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fps": fpss,
+                    "n_frames": nfs,
+                    "width": ws,
+                    "height": hs,
+                    "n_bytes": nbs,
+                    "sum_px": sums,
+                    "frame0_wsum": w0,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=VIDEO_FEATURE_SCHEMA
     )
 
 

@@ -1162,6 +1162,44 @@ _DUCK_MJPB_AGG = """
                    AS BIGINT) AS total_px
        FROM documents GROUP BY source"""
 
+_DUCK_M1V_AGG = """
+       SELECT source, CAST(count(*) AS BIGINT) AS n_media,
+              CAST(sum(1 + doc_id % 3) AS BIGINT) AS total_frames,
+              CAST(25 AS BIGINT) AS fps_max,
+              CAST(sum(2 * (5 + doc_id % 5) * 2 * (4 + doc_id % 3)
+                       * (1 + doc_id % 3)) AS BIGINT) AS total_px
+       FROM documents GROUP BY source"""
+
+
+def _media_m1v_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-only MPEG-1 (round 13, ``multimodal/mpeg1.py``) in the
+    driver-oracled suite: per-document payloads — raw video elementary
+    streams on odd ids, minimal MPEG-1 PROGRAM STREAMS on even ids, so the
+    PES demux rides the hash too — decoded through the real sequence/GOP/
+    picture/slice/macroblock parse with MPEG quantization and VLC/escape
+    entropy coding. Geometry/frame-count formulas deliberately differ from
+    every other video branch; pixel fidelity is pytest-gated (lossy-path
+    policy)."""
+    from switchback_test_dag_spark.multimodal.media import (
+        decode_mpeg1_features,
+        synthesize_mpeg1_videos,
+    )
+
+    docs = _fanout_docs(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    )
+    media = synthesize_mpeg1_videos(docs, "doc_id", qscale=2)
+    feats = decode_mpeg1_features(media)
+    joined = feats.join(docs, feats.media_id == docs.doc_id)
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_media"),
+        F.sum("n_frames").cast("long").alias("total_frames"),
+        F.max("fps").cast("long").alias("fps_max"),
+        F.sum(
+            F.col("width").cast("long") * F.col("height") * F.col("n_frames")
+        ).cast("long").alias("total_px"),
+    )
+
 
 def _media_mjpb_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Motion-JPEG-B (QuickTime's MARKER-LESS MJPEG layout, fourcc 'mjpb')
@@ -1421,7 +1459,7 @@ _DUCK_MEDIA_SUITE = (
     + f",\nbmp_agg AS ({_DUCK_BMP_AGG}),\nwav_agg AS ({_DUCK_WAV_AGG}),"
     + f"\npng_agg AS ({_DUCK_PNG_AGG}),\navi_agg AS ({_DUCK_AVI_AGG}),"
     + f"\njpeg_agg AS ({_DUCK_JPEG_AGG}),\nmjpg_agg AS ({_DUCK_MJPG_AGG}),"
-    + f"\nmjpb_agg AS ({_DUCK_MJPB_AGG})\n"
+    + f"\nmjpb_agg AS ({_DUCK_MJPB_AGG}),\nm1v_agg AS ({_DUCK_M1V_AGG})\n"
     + "\nUNION ALL\n".join(
         [
             _duck_unpivot(
@@ -1491,6 +1529,11 @@ _DUCK_MEDIA_SUITE = (
                 "mjpb",
                 ["n_media", "total_frames", "fps_max", "total_px"],
             ),
+            _duck_unpivot(
+                "m1v_agg",
+                "m1v",
+                ["n_media", "total_frames", "fps_max", "total_px"],
+            ),
             _DUCK_DISPATCH_TALL,
         ]
     )
@@ -1499,14 +1542,16 @@ _DUCK_MEDIA_SUITE = (
 
 @query("media_decode_suite", _DUCK_MEDIA_SUITE)
 def media_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL SEVEN real codec paths in one (fmt, source, metric) contract — BMP
+    """ALL EIGHT real codec paths in one (fmt, source, metric) contract — BMP
     (uncompressed DIB), WAV (RIFF PCM16), PNG (DEFLATE + all five scanline
     filters), AVI (RIFF container walk + per-frame DIB decode), baseline
     JPEG (entropy decode + dequantize + IDCT), MJPEG-in-AVI (the
     container walk COMPOSED with the JPEG parser — real compressed video),
-    and Motion-JPEG-B in AVI (QuickTime's marker-less layout: offset-table
+    Motion-JPEG-B in AVI (QuickTime's marker-less layout: offset-table
     frame headers, UNSTUFFED scans — the same DCT/Huffman machinery under a
-    different byte discipline, fourcc 'mjpb')
+    different byte discipline, fourcc 'mjpb'), and intra-only MPEG-1
+    (round 13, fmt='m1v': sequence/GOP/picture/slice/macroblock parse, MPEG
+    quantization + VLC/escape coding, PES demux for program-stream ids)
     payloads decoded by the pure-Python parsers inside Arrow-batched
     ``mapInPandas``
     (multimodal/{bmp,wav,png,avi,jpeg}.py), features aggregated per source,
@@ -1556,6 +1601,7 @@ def media_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_unpivot_metrics(_media_jpeg_agg(spark, sf_dir), "jpeg"))
         .unionByName(_unpivot_metrics(_media_mjpg_agg(spark, sf_dir), "mjpg"))
         .unionByName(_unpivot_metrics(_media_mjpb_agg(spark, sf_dir), "mjpb"))
+        .unionByName(_unpivot_metrics(_media_m1v_agg(spark, sf_dir), "m1v"))
         .unionByName(disp_dims)
         .unionByName(disp_n)
     )
