@@ -559,6 +559,7 @@ def compact_batches(
     sweep: bool = True,
     vacuum_keep: int = 2,
     target_partitions: int | None = None,
+    protocol: str = "replace",
 ) -> int | None:
     """Fold every ``batch=<id>`` dir (plus any previous compacted snapshot)
     at ``path`` into ONE atomic snapshot, so readers stop paying the
@@ -575,7 +576,9 @@ def compact_batches(
 
     ``target_partitions`` coalesces the snapshot write (small-file control:
     a year of tiny per-trigger files becomes N healthy parquet files);
-    default leaves Spark's partitioning alone."""
+    default leaves Spark's partitioning alone. ``protocol`` passes through
+    to :func:`atomic_overwrite` — ``"marker"`` commits the snapshot via the
+    rename-free numbered-marker protocol for object-store state dirs."""
     state = read_batch_state(spark, path, fmt=fmt)
     ids = _batch_ids(path)
     wm = compacted_watermark(path)
@@ -590,6 +593,7 @@ def compact_batches(
         os.path.join(path, _COMPACTED_DIR),
         fmt=fmt,
         extra_files={_WATERMARK_FILE: str(new_wm)},
+        protocol=protocol,
     )
     if sweep:
         import shutil as _shutil

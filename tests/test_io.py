@@ -563,3 +563,23 @@ def test_marker_protocol_concurrent_writer_race_fails_loudly(
     # protocol; make sure markers survive a plain re-listing
     assert sio._marker_versions(path) == ["v0000000001", "v0000000002"]
     assert os.path.isdir(os.path.join(path, "_commits"))
+
+
+def test_compact_batches_marker_protocol(spark, tmp_path):
+    """compact_batches(protocol='marker') commits the snapshot via the
+    rename-free marker protocol — the object-store state-dir path — and
+    read_batch_state resolves it identically."""
+    import os
+
+    import switchback_test_dag_spark.io as sio
+
+    path = str(tmp_path / "log")
+    for i in range(2):
+        spark.createDataFrame([(i,)], "id long").write.parquet(
+            os.path.join(path, f"batch={i}")
+        )
+    assert sio.compact_batches(spark, path, protocol="marker") == 1
+    croot = os.path.join(path, "_compacted")
+    assert os.path.isdir(os.path.join(croot, "_commits"))
+    assert not os.path.exists(os.path.join(croot, "_CURRENT"))
+    assert {r.id for r in sio.read_batch_state(spark, path).collect()} == {0, 1}
