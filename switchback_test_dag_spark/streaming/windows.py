@@ -333,6 +333,28 @@ def _corpus_dedup_batch(
         release_since(cache_mark)
 
 
+def _maybe_compact(
+    spark: SparkSession, batch_id: int, compact_every: int | None, *paths: str
+) -> None:
+    """Auto-compaction hook for the foreachBatch streams: fold each state
+    log every ``compact_every`` batches, FROM INSIDE the sequential
+    ``foreachBatch`` callback — the one point in a streaming job guaranteed
+    to have no concurrent writer, which is exactly the quiescence
+    ``io.compact_batches`` asks for. Replay-safe by the same watermark
+    argument as the reader: if the checkpoint commit fails AFTER a
+    compaction folded batch N, the replayed batch N rewrites its
+    ``batch=N`` dirs (now hidden behind the watermark) and re-reads state
+    with ``before_batch=N`` — which excludes the folded copy of its own
+    rows via the preserved ``batch`` column — and, the source offsets being
+    checkpointed, reproduces the identical output the snapshot already
+    holds."""
+    if compact_every and (batch_id + 1) % compact_every == 0:
+        from switchback_test_dag_spark.io import compact_batches
+
+        for p in paths:
+            compact_batches(spark, p)
+
+
 def stream_corpus_dedup(
     docs_stream: DataFrame,
     id_col: str,
@@ -342,6 +364,7 @@ def stream_corpus_dedup(
     checkpoint_dir: str,
     timeout_sec: int = 300,
     query_name: str = "corpus_dedup",
+    compact_every: int | None = None,
 ) -> None:
     """FOREVER-exact streaming corpus dedup — the composition
     :func:`stream_dedup`'s docstring points at: watermark-bounded operators
@@ -369,7 +392,10 @@ def stream_corpus_dedup(
     ``spark.read.parquet`` while the log is uncompacted; run
     ``io.compact_batches`` periodically so a year of triggers doesn't mean
     a 35k-directory listing (the stream transparently reads
-    snapshot ∪ newer batches afterwards).
+    snapshot ∪ newer batches afterwards), or pass ``compact_every=N`` and
+    the stream folds its own logs every N batches from inside the
+    sequential callback — the guaranteed-quiescent point
+    (:func:`_maybe_compact` documents replay safety across the fold).
 
     Micro-batches run sequentially, so batch N's index read sees every
     batch < N — the fold-of-batches == full-batch invariant the incremental
@@ -382,6 +408,7 @@ def stream_corpus_dedup(
         _corpus_dedup_batch(
             spark, batch_df, batch_id, id_col, text_col, index_path, out_path
         )
+        _maybe_compact(spark, batch_id, compact_every, index_path, out_path)
 
     q = (
         docs_stream.writeStream.foreachBatch(one_batch)
@@ -484,6 +511,7 @@ def stream_corpus_near_dedup(
     exact_verify: bool = False,
     timeout_sec: int = 300,
     query_name: str = "corpus_near_dedup",
+    compact_every: int | None = None,
 ) -> None:
     """Streaming NEAR-duplicate corpus dedup — :func:`stream_corpus_dedup`'s
     sibling for the MinHash family: per micro-batch, sign the batch
@@ -519,6 +547,7 @@ def stream_corpus_near_dedup(
             shingle_n=shingle_n, k=k, bands=bands, threshold=threshold,
             exact_verify=exact_verify,
         )
+        _maybe_compact(spark, batch_id, compact_every, sig_index_path, out_path)
 
     q = (
         docs_stream.writeStream.foreachBatch(one_batch)

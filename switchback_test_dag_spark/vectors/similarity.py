@@ -572,6 +572,132 @@ def ivf_persist_layout(
     )
 
 
+def ivf_pq_persist_layout(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    centroids,
+    codebooks,
+) -> None:
+    """Write the corpus PARTITIONED BY its IVF cell with BOTH the PQ code
+    and the full vector per row — the 100 TB layout for the quantized
+    index: probing partition-prunes to the n_probe cell directories
+    (:func:`ivf_persist_layout`'s property), the ADC scan COLUMN-prunes to
+    the m-byte ``code`` (parquet columnar reads skip ``cv`` entirely — the
+    16-32× byte cut happens at the scan), and only the shortlist's rows
+    read the vector column back for the exact re-rank."""
+    assign1 = _cell_assigner(centroids, 1)
+    encode = _pq_encoder(codebooks)
+    (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            encode(F.col(vec_col)).alias("code"),
+            assign1(F.col(vec_col))[0].alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_pq_topk_from_layout(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vec_col: str,
+    centroids,
+    codebooks,
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 4,
+    query_id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k over a cell-partitioned PQ layout written by
+    :func:`ivf_pq_persist_layout`: the probe-cell filter prunes partitions
+    at file listing, the ADC stage reads ONLY (neighbor_id, code) — m bytes
+    of payload per vector — and the exact re-rank re-reads ``cv`` for just
+    the shortlist ids. Same output contract and re-rank exactness as
+    :func:`ivf_pq_topk`."""
+    qpdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).toPandas()  # query side is small by definition
+    x = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (x / norms[:, None]) @ centroids.T
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+    probe_cells = sorted({int(c) for row in order for c in row})
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _cell_assigner(centroids, n_probe)(F.col(vec_col)).alias("cells"),
+    ).withColumn("cell", F.explode("cells")).drop("cells")
+    layout = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    cand = (
+        layout.select("neighbor_id", "code", "cell")  # cv pruned from scan 1
+        .join(broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    books = codebooks
+    mm, _ncent, dsub = books.shape
+    id_field = [f for f in spark.read.parquet(path).schema if f.name == "neighbor_id"]
+    id_type = id_field[0].dataType.simpleString() if id_field else "bigint"
+    adc_schema = f"query_id {id_type}, neighbor_id {id_type}, adc double"
+
+    def adc_score(pdf: pd.DataFrame) -> pd.DataFrame:
+        qv = np.asarray(pdf["qv"].iloc[0], dtype=np.float64)
+        n = np.linalg.norm(qv)
+        qv = qv / n if n > 0 else qv
+        lut = np.einsum("sd,scd->sc", qv.reshape(mm, dsub), books)
+        codes = np.frombuffer(
+            b"".join(pdf["code"].to_numpy()), dtype=np.uint8
+        ).reshape(len(pdf), mm)
+        scores = lut[np.arange(mm)[None, :], codes].sum(axis=1)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy(),
+                "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                "adc": scores,
+            }
+        )
+
+    scored = cand.select("query_id", "qv", "neighbor_id", "code").groupBy(
+        "query_id"
+    ).applyInPandas(adc_score, schema=adc_schema)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .select("neighbor_id", "cv")  # scan 2: cv for the shortlist only
+        .join(broadcast(shortlist.select("neighbor_id").distinct()), "neighbor_id")
+    )
+    qv_side = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    rescored = (
+        broadcast(shortlist)
+        .join(vecs, "neighbor_id")
+        .join(broadcast(qv_side), "query_id")
+        .withColumn("cosine", F.round(cosine_sim("qv", "cv"), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rescored.select("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_topk_from_layout(
     spark,
     path: str,

@@ -601,3 +601,50 @@ def test_corpus_near_dedup_exact_verify_spans_compaction(spark, tmp_path):
     _corpus_near_dedup_batch(spark, b1, 1, "doc_id", "text", idx, out, **kw)
     got = {r.doc_id for r in sio.read_batch_state(spark, out).collect()}
     assert got == {1, 11}
+
+
+def test_stream_corpus_dedup_auto_compaction(spark, tmp_path):
+    """compact_every=N folds the stream's own state logs every N batches
+    from inside the sequential foreachBatch callback (the guaranteed-
+    quiescent point): after a 3-batch availableNow pass with
+    compact_every=2, batches 0-1 live in the compacted snapshot (watermark
+    1), batch 2 is a fresh dir on top, and the fold changes nothing
+    semantically — the result still equals batch exact_dedup."""
+    import os
+
+    import switchback_test_dag_spark.io as sio
+    import switchback_test_dag_spark.text.dedup as TD
+    from switchback_test_dag_spark.streaming.windows import stream_corpus_dedup
+
+    landing = tmp_path / "landing"
+    schema = "doc_id long, text string"
+    rows_by_file = [
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        [(10, "delta epsilon zeta"), (11, "eta theta iota")],
+        [(20, "eta theta iota"), (21, "kappa lambda mu")],
+    ]
+    for i, rows in enumerate(rows_by_file):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(landing / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing / "*"))
+    )
+    out, idx = tmp_path / "clean", tmp_path / "index"
+    stream_corpus_dedup(
+        stream, "doc_id", "text",
+        index_path=str(idx), out_path=str(out),
+        checkpoint_dir=str(tmp_path / "ckpt"), compact_every=2,
+    )
+    assert sio.compacted_watermark(str(idx)) == 1
+    assert sio.compacted_watermark(str(out)) == 1
+    remaining = [n for n in os.listdir(str(idx)) if n.startswith("batch=")]
+    assert remaining == ["batch=2"]
+    all_docs = spark.read.parquet(str(landing / "*"))
+    expect = {
+        r["doc_id"] for r in TD.exact_dedup(all_docs, "doc_id", "text").collect()
+    }
+    got = {r["doc_id"] for r in sio.read_batch_state(spark, str(out)).collect()}
+    assert got == expect == {1, 2, 11, 21}

@@ -452,6 +452,48 @@ def test_ivf_layout_prunes_partitions_and_matches_inline(spark, tmp_path):
     assert got == want
 
 
+def test_ivf_pq_layout_prunes_partitions_columns_and_matches_inline(
+    spark, tmp_path
+):
+    """The persisted PQ layout: (a) partition-prunes to the probed cells,
+    (b) COLUMN-prunes the ADC scan to (neighbor_id, code) — the float
+    vector column never enters the candidate read (ReadSchema pin), and
+    (c) returns exactly what the inline ivf_pq_topk returns for the same
+    centroids/codebooks/probes."""
+    from switchback_test_dag_spark.io import load_table
+    from switchback_test_dag_spark.vectors import similarity as VS
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = VS.train_ivf_centroids(emb, "vec_id", "embedding", n_cells=8)
+    books = VS.train_pq_codebooks(emb, "vec_id", "embedding", m=8)
+    path = str(tmp_path / "ivf_pq_layout")
+    VS.ivf_pq_persist_layout(emb, "vec_id", "embedding", path, cents, books)
+
+    queries = emb.orderBy("vec_id").limit(1)
+    out = VS.ivf_pq_topk_from_layout(
+        spark, path, queries, "embedding", cents, books,
+        k=5, n_probe=4, refine=8, query_id_col="vec_id",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+    # column pruning: the candidate (ADC) scan's ReadSchema carries code but
+    # not cv — find the scan that reads `code` and pin cv's absence there
+    adc_scans = [
+        seg[:200] for seg in plan.split("ReadSchema: ")[1:] if "code" in seg[:200]
+    ]
+    assert adc_scans and all("cv" not in seg for seg in adc_scans)
+
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    inline = VS.ivf_pq_topk(
+        emb, queries, "vec_id", "embedding",
+        k=5, n_cells=8, n_probe=4, m=8, refine=8,
+    )
+    want = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in inline.collect()}
+    assert got == want
+
+
 # --------------------------------------------------------------------------- #
 # PII detection / redaction
 # --------------------------------------------------------------------------- #

@@ -770,6 +770,137 @@ ORDER BY k2.source
     return out
 
 
+def measure_compaction(spark, sf_dir: str) -> dict:
+    """The round-13 batch-log compaction, measured instead of asserted: a
+    200-batch fingerprint log (the shape a foreachBatch dedup stream leaves
+    after 200 triggers) is read through ``io.read_batch_state`` before and
+    after ``io.compact_batches(target_partitions=8)``. Records directory/
+    file counts, wall time of a full state read at both points, and the
+    row-count + id-hash checksum equality that proves the fold is purely
+    physical. The listing/small-file cost is the quantity that grows
+    without bound in an uncompacted log — at 15-minute triggers, 200
+    batches is under 3 days of ingest."""
+    import glob as _glob
+    import time as _time
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from switchback_test_dag_spark.io import (
+        compact_batches,
+        load_table,
+        read_batch_state,
+    )
+    from switchback_test_dag_spark.text.dedup import content_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    log = os.path.join(tempfile.mkdtemp(prefix="compact_ev_"), "fp_log")
+    (
+        docs.select(
+            "doc_id",
+            content_fingerprint("text").alias("fingerprint"),
+            (F.col("doc_id") % 200).cast("int").alias("batch"),
+        )
+        .write.partitionBy("batch")
+        .parquet(log)
+    )
+
+    def _state_stats():
+        t0 = _time.monotonic()
+        row = (
+            read_batch_state(spark, log)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("doc_id", "fingerprint")).alias("chk"),
+            )
+            .collect()[0]
+        )
+        return row["n"], int(row["chk"]), round(_time.monotonic() - t0, 3)
+
+    n_dirs_before = len(_glob.glob(os.path.join(log, "batch=*")))
+    n_files_before = len(_glob.glob(os.path.join(log, "batch=*", "*.parquet")))
+    n_before, chk_before, t_before = _state_stats()
+    wm = compact_batches(spark, log, target_partitions=8)
+    n_dirs_after = len(_glob.glob(os.path.join(log, "batch=*")))
+    n_files_after = len(
+        _glob.glob(os.path.join(log, "_compacted", "v*", "*.parquet"))
+    )
+    n_after, chk_after, t_after = _state_stats()
+    return {
+        "what": "batch-log compaction: listing/small-file cost + physical-only fold",
+        "n_batches": 200,
+        "watermark": wm,
+        "dirs_before": n_dirs_before,
+        "dirs_after": n_dirs_after,
+        "data_files_before": n_files_before,
+        "data_files_after": n_files_after,
+        "read_wall_s_before": t_before,
+        "read_wall_s_after": t_after,
+        "rows_match": n_before == n_after,
+        "checksum_match": chk_before == chk_after,
+        "n_rows": n_before,
+    }
+
+
+def measure_ivf_pq(spark, sf_dir: str) -> dict:
+    """The round-13 IVF-PQ memory dial, measured on disk: the corpus
+    embeddings are written twice — float vectors only, PQ codes only — and
+    the parquet byte totals give the real stored-bytes-per-vector cut
+    (compression included, which quoted '32×' figures usually ignore). The
+    layout probe path's recall@10 vs brute force rides along so the cut is
+    never quoted without its accuracy price."""
+    import glob as _glob
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from switchback_test_dag_spark.io import load_table
+    from switchback_test_dag_spark.vectors import similarity as VS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cents = VS.train_ivf_centroids(emb, "vec_id", "embedding", n_cells=16)
+    books = VS.train_pq_codebooks(emb, "vec_id", "embedding", m=16)
+    root = tempfile.mkdtemp(prefix="pq_ev_")
+
+    def _bytes(df, name):
+        p = os.path.join(root, name)
+        df.write.parquet(p)
+        return sum(
+            os.path.getsize(f) for f in _glob.glob(os.path.join(p, "*.parquet"))
+        )
+
+    enc = VS._pq_encoder(books)
+    float_bytes = _bytes(emb.select("vec_id", "embedding"), "float_vecs")
+    code_bytes = _bytes(
+        emb.select("vec_id", enc(F.col("embedding")).alias("code")), "pq_codes"
+    )
+
+    layout = os.path.join(root, "layout")
+    VS.ivf_pq_persist_layout(emb, "vec_id", "embedding", layout, cents, books)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = VS.cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=10)
+    approx = VS.ivf_pq_topk_from_layout(
+        spark, layout, queries, "embedding", cents, books,
+        k=10, n_probe=8, refine=8, query_id_col="vec_id",
+    )
+    es = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    gs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    return {
+        "what": "IVF-PQ stored-bytes cut (parquet-real) + layout-path recall",
+        "n_vectors": n,
+        "float_bytes_per_vector": round(float_bytes / n, 1),
+        "pq_bytes_per_vector": round(code_bytes / n, 1),
+        "stored_bytes_ratio": round(float_bytes / max(code_bytes, 1), 2),
+        "recall_at_10": round(len(es & gs) / max(len(es), 1), 4),
+        "m": 16,
+        "n_cells": 16,
+        "n_probe": 8,
+    }
+
+
 _MEASURES = {
     "components": measure_components,
     "emb_lsh": measure_emb_lsh,
@@ -779,6 +910,8 @@ _MEASURES = {
     "minhash_oph": measure_minhash_oph,
     "span_removal": measure_span_removal,
     "clean_corpus_full": measure_clean_corpus_full,
+    "compaction": measure_compaction,
+    "ivf_pq": measure_ivf_pq,
 }
 
 
