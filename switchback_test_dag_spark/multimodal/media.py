@@ -122,9 +122,10 @@ def detect_media_format(raw: bytes) -> str:
             "video; decoding requires codec libraries unavailable here"
         )
     if raw[:4] in (b"\x00\x00\x01\xb3", b"\x00\x00\x01\xba"):
-        # MPEG-1 video ES / program stream: REAL decode path for intra-only
-        # streams (multimodal/mpeg1.py); P/B pictures raise inside the
-        # decoder — motion compensation is the remaining stub
+        # MPEG-1 video ES / program stream: REAL decode path for I-pictures
+        # and zero-motion P-pictures (multimodal/mpeg1.py); residual-coded
+        # inter blocks, nonzero motion vectors and B pictures raise inside
+        # the decoder — the remaining stub
         return "mpeg1"
     if raw[:4] == b"\x00\x00\x00\x01" or raw[:3] == b"\x00\x00\x01":
         raise NotImplementedError(

@@ -1,11 +1,14 @@
-"""MPEG-1 video, intra-only — the third real compressed-video path, closing
-the I-frame half of the motion-compensated-video stub (P/B inter prediction
-stays the documented loud ``NotImplementedError``).
+"""MPEG-1 video — the third real compressed-video path: intra (I) pictures
+in full within the stated VLC subset, plus ZERO-MOTION P-pictures
+(conditional replenishment: skipped and MC-not-coded macroblocks copy the
+reference frame; changed regions are intra-refreshed). Residual-coded
+inter blocks (CBP + non-intra dequant), nonzero motion vectors, and B/D
+pictures stay the documented loud ``NotImplementedError``.
 
 Scope (public spec: ISO/IEC 11172-2):
 
 - **Elementary stream** (``00 00 01 B3`` sequence header): sequence → GOP →
-  picture(type=I) → one slice per macroblock row → 4:2:0 intra macroblocks.
+  picture(type=I/P) → one slice per macroblock row → 4:2:0 macroblocks.
   Block coefficients ride the same orthonormal 8×8 DCT core as every other
   codec here (``jpeg._C``), with MPEG's OWN quantization: the default intra
   quantizer matrix, per-slice ``quantizer_scale``, the ``(2·QF·qs·W)/16``
@@ -147,10 +150,27 @@ def _encode_block(
 
 
 def encode_m1v(
-    frames: np.ndarray, qscale: int = 4, picture_rate_code: int = 3
+    frames: np.ndarray,
+    qscale: int = 4,
+    picture_rate_code: int = 3,
+    p_frames: bool = False,
 ) -> bytes:
-    """(n, h, w, 3) uint8 RGB frames → intra-only MPEG-1 video elementary
-    stream (every picture an I-frame, one slice per macroblock row, 4:2:0)."""
+    """(n, h, w, 3) uint8 RGB frames → MPEG-1 video elementary stream, one
+    slice per macroblock row, 4:2:0.
+
+    ``p_frames=False`` (default): every picture an I-frame.
+    ``p_frames=True``: first picture I, the rest P-pictures under the
+    ZERO-MOTION subset (conditional replenishment — the classic
+    frame-difference coding mode): a macroblock whose source pixels are
+    UNCHANGED from the previous frame is coded ``001`` (MC, not coded —
+    prediction only, zero motion vectors, no residual), a changed
+    macroblock is coded intra (``00011``, an intra refresh). Decoded
+    static regions are bit-identical copies of the previous decoded
+    frame, so prediction error never accumulates; no reconstruction loop
+    is needed encoder-side because the keep/refresh decision compares
+    SOURCE frames. Residual-coded inter blocks (CBP + non-intra
+    dequant) and nonzero motion vectors are NOT emitted — and the decoder
+    raises loudly on them (module docstring)."""
     frames = np.asarray(frames)
     if frames.ndim != 4 or frames.shape[-1] != 3:
         raise ValueError("encode_m1v expects (n, h, w, 3) uint8 RGB frames")
@@ -174,6 +194,7 @@ def encode_m1v(
     out.write(25, 0)  # time code
     out.write(1, 1)  # closed gop
     out.write(1, 0)  # broken link
+    prev_pad = None
     for t, frame in enumerate(frames):
         pad = np.pad(
             frame, ((0, mbh * 16 - h), (0, mbw * 16 - w0), (0, 0)), mode="edge"
@@ -183,19 +204,35 @@ def encode_m1v(
         cb = ycc[::2, ::2, 1:3].copy()
         cb += ycc[1::2, ::2, 1:3] + ycc[::2, 1::2, 1:3] + ycc[1::2, 1::2, 1:3]
         cb /= 4.0  # 4:2:0 chroma: 2x2 mean
+        is_p = p_frames and t > 0
         _write_start(out, 0x00)  # picture header
         out.write(10, t % 1024)  # temporal reference
-        out.write(3, 1)  # picture_coding_type = I
+        out.write(3, 2 if is_p else 1)  # picture_coding_type
         out.write(16, 0xFFFF)  # vbv_delay: variable
+        if is_p:
+            out.write(1, 0)  # full_pel_forward_vector
+            out.write(3, 1)  # forward_f_code = 1
         for row in range(mbh):
             _write_start(out, 0x01 + row)  # slice (one per MB row)
             out.write(5, qscale)
             out.write(1, 0)  # no extra slice info
             preds = [128, 128, 128]  # DC predictors reset per slice
             for col in range(mbw):
-                out.write(1, 1)  # address increment: +1
-                out.write(1, 1)  # macroblock_type: intra
                 by, bx = row * 16, col * 16
+                out.write(1, 1)  # address increment: +1
+                if is_p and np.array_equal(
+                    pad[by:by + 16, bx:bx + 16], prev_pad[by:by + 16, bx:bx + 16]
+                ):
+                    # unchanged macroblock: MC-not-coded, zero motion
+                    out.write(3, 0b001)  # macroblock_type: MC, not coded
+                    out.write(1, 1)  # motion_horizontal_code = 0
+                    out.write(1, 1)  # motion_vertical_code = 0
+                    preds = [128, 128, 128]  # non-intra MB resets DC preds
+                    continue
+                if is_p:
+                    out.write(5, 0b00011)  # macroblock_type: intra (refresh)
+                else:
+                    out.write(1, 1)  # macroblock_type: intra
                 for sub in range(4):  # 4 luma blocks
                     sy, sx = by + (sub // 2) * 8, bx + (sub % 2) * 8
                     preds[0] = _encode_block(
@@ -207,6 +244,7 @@ def encode_m1v(
                     preds[1 + c] = _encode_block(
                         out, _dct_block(blk), qscale, preds[1 + c], luma=False
                     )
+        prev_pad = pad
     _write_start(out, 0xB7)  # sequence end
     return out.flush()
 
@@ -286,9 +324,14 @@ def _decode_block(
 
 
 def decode_m1v(data: bytes) -> tuple[np.ndarray, dict]:
-    """Intra-only MPEG-1 video ES → ((n, h, w, 3) uint8 RGB frames, meta).
-    P/B pictures raise ``NotImplementedError`` (motion compensation is the
-    documented remaining stub)."""
+    """MPEG-1 video ES → ((n, h, w, 3) uint8 RGB frames, meta). I-pictures
+    decode in full (within the stated VLC subset); P-pictures decode under
+    the ZERO-MOTION subset — skipped and MC-not-coded macroblocks copy the
+    reference planes (real temporal prediction), intra-refresh macroblocks
+    decode in place, DC predictors reset after every non-intra macroblock
+    per the spec. Residual-coded inter blocks, nonzero motion vectors and
+    B/D pictures raise ``NotImplementedError`` (the documented remaining
+    stub)."""
     r = _BitReader(data, stuffed=False)
     if r.read(32) != 0x000001B3:
         raise ValueError("mpeg1: missing sequence header start code")
@@ -318,6 +361,7 @@ def decode_m1v(data: bytes) -> tuple[np.ndarray, dict]:
             r.read(8)  # non-intra matrix: irrelevant to I-frames
     mbw, mbh = (w0 + 15) // 16, (h + 15) // 16
     frames: list[np.ndarray] = []
+    ref_y = ref_cbcr = None  # previous picture's planes (P prediction)
 
     def next_code() -> int:
         if r.nbits % 8:
@@ -338,14 +382,23 @@ def decode_m1v(data: bytes) -> tuple[np.ndarray, dict]:
             raise ValueError(f"mpeg1: unexpected start code 0x{code:02X}")
         r.read(10)  # temporal reference
         ptype = r.read(3)
-        if ptype != 1:
+        if ptype not in (1, 2):
             raise NotImplementedError(
-                f"mpeg1: picture_coding_type={ptype} needs motion "
-                "compensation (P/B frames are the documented stub)"
+                f"mpeg1: picture_coding_type={ptype} (B/D pictures) needs "
+                "bidirectional prediction — the documented stub"
             )
+        is_p = ptype == 2
         r.read(16)  # vbv_delay
-        y = np.zeros((mbh * 16, mbw * 16))
-        cbcr = np.zeros((mbh * 8, mbw * 8, 2))
+        if is_p:
+            if ref_y is None:
+                raise ValueError("mpeg1: P-picture with no reference frame")
+            r.read(1)  # full_pel_forward_vector
+            r.read(3)  # forward_f_code
+            y = ref_y.copy()  # skipped/pred MBs keep the reference pixels
+            cbcr = ref_cbcr.copy()
+        else:
+            y = np.zeros((mbh * 16, mbw * 16))
+            cbcr = np.zeros((mbh * 8, mbw * 8, 2))
         code = next_code()
         while 0x01 <= code <= 0xAF:  # slices
             row = code - 0x01
@@ -353,7 +406,8 @@ def decode_m1v(data: bytes) -> tuple[np.ndarray, dict]:
             while r.read(1):  # extra_information_slice
                 r.read(8)
             preds = [128, 128, 128]
-            for col in range(mbw):
+            col = 0
+            while col < mbw:
                 # address increment (Table B.1): '1'=+1, '011'=+2, '010'=+3,
                 # '00000001111'=stuffing (repeatable); longer prefixes are
                 # the unimplemented tail — loud, per the module contract
@@ -374,16 +428,53 @@ def decode_m1v(data: bytes) -> tuple[np.ndarray, dict]:
                         f"00{got:09b}"
                     )
                 if inc != 1:
-                    raise ValueError(
-                        "mpeg1: skipped macroblocks are illegal in I-pictures"
-                    )
-                if r.read(1) != 1:
+                    if not is_p:
+                        raise ValueError(
+                            "mpeg1: skipped macroblocks are illegal in I-pictures"
+                        )
+                    # skipped MBs in P: reference pixels stay (already copied
+                    # in); DC predictors reset; advance past them
+                    col += inc - 1
+                    if col >= mbw:
+                        raise ValueError("mpeg1: skipped past slice end")
+                    preds = [128, 128, 128]
+                by, bx = row * 16, col * 16
+                if is_p:
+                    # macroblock_type, Table B.2b prefix walk
+                    if r.read(1):
+                        raise NotImplementedError(
+                            "mpeg1: residual-coded inter macroblock (type "
+                            "'1', MC+coded) — CBP/non-intra dequant is the "
+                            "documented stub; this stream is outside the "
+                            "zero-motion P subset"
+                        )
+                    if r.read(1):
+                        raise NotImplementedError(
+                            "mpeg1: coded no-MC inter macroblock (type '01') "
+                            "— residual decoding is the documented stub"
+                        )
+                    if r.read(1):  # '001' = MC, not coded: pure prediction
+                        for _axis in range(2):  # motion codes, zero only
+                            if r.read(1) != 1:
+                                raise NotImplementedError(
+                                    "mpeg1: nonzero motion vector — only the "
+                                    "zero-motion P subset is implemented"
+                                )
+                        preds = [128, 128, 128]  # non-intra MB resets preds
+                        col += 1
+                        continue  # reference pixels already in place
+                    if r.read(1) != 1 or r.read(1) != 1:
+                        raise NotImplementedError(
+                            "mpeg1: unimplemented P macroblock_type prefix "
+                            "(quant variants of the inter types)"
+                        )
+                    # '00011' = intra refresh: falls through to block decode
+                elif r.read(1) != 1:
                     if r.read(1) != 1:
                         raise ValueError(
                             "mpeg1: non-intra macroblock_type in I-picture"
                         )
                     qscale = r.read(5)  # '01' = intra + new quantizer_scale
-                by, bx = row * 16, col * 16
                 for sub in range(4):
                     coefs, preds[0] = _decode_block(r, qscale, preds[0], True)
                     sy, sx = by + (sub // 2) * 8, bx + (sub % 2) * 8
@@ -392,10 +483,12 @@ def decode_m1v(data: bytes) -> tuple[np.ndarray, dict]:
                     coefs, preds[1 + c] = _decode_block(
                         r, qscale, preds[1 + c], False
                     )
-                    cbcr[row * 8:row * 8 + 8, col * 8:col * 8 + 8, c] = (
-                        _idct_block(coefs)
-                    )
+                    cbcr[
+                        row * 8:row * 8 + 8, col * 8:col * 8 + 8, c
+                    ] = _idct_block(coefs)
+                col += 1
             code = next_code()
+        ref_y, ref_cbcr = y, cbcr  # reference for a following P-picture
         up = cbcr.repeat(2, axis=0).repeat(2, axis=1)  # 4:2:0 → 4:4:4
         ycc = np.concatenate([y[..., None], up], axis=-1)
         frames.append(_ycbcr_to_rgb(ycc)[:h, :w0])

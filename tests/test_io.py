@@ -583,3 +583,54 @@ def test_compact_batches_marker_protocol(spark, tmp_path):
     assert os.path.isdir(os.path.join(croot, "_commits"))
     assert not os.path.exists(os.path.join(croot, "_CURRENT"))
     assert {r.id for r in sio.read_batch_state(spark, path).collect()} == {0, 1}
+
+
+def test_randomized_fold_with_arbitrary_compactions_matches_batch(spark, tmp_path):
+    """Randomized differential for the fold×compaction interaction: random
+    corpora split into random batches folded through
+    exact_dedup_incremental with the on-disk batch-log layout, a compaction
+    landing after RANDOM batches (sometimes several, sometimes none) —
+    survivors must always equal batch exact_dedup of the concatenation.
+    Seeded, three corpora."""
+    import os
+    import random
+
+    import switchback_test_dag_spark.io as sio
+    import switchback_test_dag_spark.text.dedup as TD
+
+    schema = "doc_id long, text string"
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for seed in (11, 22, 33):
+        rng = random.Random(seed)
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(1, 3))))
+            for i in range(rng.randint(8, 20))
+        ]
+        # random batch split, ids increasing across batches (the canon)
+        cuts = sorted(rng.sample(range(1, len(rows)), rng.randint(1, 3)))
+        batches = [
+            rows[a:b] for a, b in zip([0] + cuts, cuts + [len(rows)])
+        ]
+        idx = str(tmp_path / f"idx{seed}")
+        out = str(tmp_path / f"out{seed}")
+        for bid, batch_rows in enumerate(batches):
+            bdf = spark.createDataFrame(batch_rows, schema)
+            index = sio.read_batch_state(spark, idx, before_batch=bid)
+            if index is not None:
+                index = index.select("fingerprint")
+            survivors, new_fps = TD.exact_dedup_incremental(
+                bdf, "doc_id", "text", index
+            )
+            survivors.write.parquet(os.path.join(out, f"batch={bid}"))
+            new_fps.write.parquet(os.path.join(idx, f"batch={bid}"))
+            if rng.random() < 0.5:  # compaction lands at arbitrary points
+                sio.compact_batches(spark, idx)
+                sio.compact_batches(spark, out)
+        got = {
+            r.doc_id for r in sio.read_batch_state(spark, out).collect()
+        }
+        full = spark.createDataFrame(rows, schema)
+        expect = {
+            r.doc_id for r in TD.exact_dedup(full, "doc_id", "text").collect()
+        }
+        assert got == expect, f"seed {seed}: {got} != {expect}"

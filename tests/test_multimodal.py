@@ -990,16 +990,59 @@ def test_mpeg1_intra_roundtrip_fidelity_and_vlc_paths():
     d2, _ = M.decode_m1v(M.encode_m1v(bars, qscale=1))
     assert np.abs(d2.astype(int) - bars.astype(int)).max() <= 24
 
-    # P/B pictures are the documented stub: flip picture_coding_type bits
+    # B/D pictures are the documented stub: flip picture_coding_type bits
     # (I='001' sits 4 bits after the 10-bit temporal ref in the picture
     # header; the header is byte-aligned right after the 32-bit start code)
     p = bytearray(es)
     i = p.find(b"\x00\x00\x01\x00")
     # byte layout: [tr(10) type(3) vbv(16) ...] -> type bits are bits 10..12
     # of the post-code payload: second byte bits 2..4 (mask 0b00111000)
-    p[i + 5] = (p[i + 5] & 0b11000111) | (0b010 << 3)  # type = P
-    with pytest.raises(NotImplementedError, match="motion"):
+    p[i + 5] = (p[i + 5] & 0b11000111) | (0b011 << 3)  # type = B
+    with pytest.raises(NotImplementedError, match="bidirectional"):
         M.decode_m1v(bytes(p))
+    # a P-picture with no preceding I reference is malformed, not a crash
+    p[i + 5] = (p[i + 5] & 0b11000111) | (0b010 << 3)  # type = P (first!)
+    with pytest.raises(ValueError, match="no reference frame"):
+        M.decode_m1v(bytes(p))
+
+
+def test_mpeg1_zero_motion_p_frames():
+    """The zero-motion P subset (conditional replenishment): static
+    macroblocks ride '001' MC-not-coded prediction — decoded BIT-IDENTICAL
+    to the previous frame, so error never accumulates — changed macroblocks
+    intra-refresh, the stream is materially smaller than all-intra, and
+    overall fidelity matches the intra path's bounds."""
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal import mpeg1 as M
+
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    bg = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    frames = []
+    for t in range(4):
+        f = np.stack([bg, bg, bg], axis=-1).copy()
+        x = 16 * t % (w - 16)
+        f[8:24, x:x + 16] = [200, 30, 90]  # moving 16x16 sprite
+        frames.append(f)
+    frames = np.stack(frames)
+
+    es_i = M.encode_m1v(frames, qscale=2)
+    es_p = M.encode_m1v(frames, qscale=2, p_frames=True)
+    assert len(es_p) < 0.7 * len(es_i)  # prediction must actually pay
+
+    dec, meta = M.decode_m1v(es_p)
+    assert meta["n_frames"] == 4 and dec.shape == frames.shape
+    err = np.abs(dec.astype(int) - frames.astype(int))
+    assert err.max() <= 12 and err.mean() < 2.0
+    # static macroblocks: bit-identical across P frames — the prediction
+    # path is a copy, not a re-code. The sprite position is 16·t mod 32 =
+    # 0, 16, 0, 16, so the MB column x ∈ [32, 48) never holds the sprite
+    # and is pred-coded in every P frame. (Bands that merely LOOK static
+    # can still move by ±1 via a refreshed neighbor MB's 4:2:0 chroma
+    # upsample — only whole static MBs carry the bit-exact guarantee.)
+    assert np.array_equal(dec[2][:, 32:], dec[1][:, 32:])
+    assert np.array_equal(dec[3][:, 32:], dec[2][:, 32:])
 
 
 def test_mpeg1_program_stream_demux_and_dispatch():
