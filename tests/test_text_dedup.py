@@ -1190,6 +1190,20 @@ def test_incremental_twins_plan_sanity(spark):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_pq_plan_sanity(emb):
+    """The IVF-PQ path keeps the same keyed-join discipline as the
+    unquantized index: candidate generation is a cell-keyed equi-join
+    (broadcast query side), ADC is a grouped applyInPandas, the re-rank
+    joins on ids — no CartesianProduct, no BroadcastNestedLoopJoin."""
+    queries_df = emb.filter(F.col("vec_id") < 3)
+    out = VS.ivf_pq_topk(
+        emb, queries_df, "vec_id", "embedding", k=5, n_cells=8, n_probe=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bucketed_fingerprint_index_joins_without_exchange(spark):
     """The daily-ops layout upgrade the incremental docstring names: a
     fingerprint index maintained as a BUCKETED catalog table joins into

@@ -812,7 +812,11 @@ def measure_compaction(spark, sf_dir: str) -> dict:
             read_batch_state(spark, log)
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.xxhash64("doc_id", "fingerprint")).alias("chk"),
+                # 40-bit per-row hash keeps the 50k-row sum far from long
+                # overflow under ANSI (the repo's checksum-sum convention)
+                F.sum(
+                    F.pmod(F.xxhash64("doc_id", "fingerprint"), F.lit(1 << 40))
+                ).alias("chk"),
             )
             .collect()[0]
         )
