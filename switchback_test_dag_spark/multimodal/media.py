@@ -177,7 +177,7 @@ def decode_features(media: DataFrame, dim: int = 16) -> DataFrame:
         import numpy as np
 
         from switchback_test_dag_spark.multimodal.avi import decode_avi_dib
-        from switchback_test_dag_spark.multimodal.wav import decode_wav_pcm16
+        from switchback_test_dag_spark.multimodal.wav import decode_wav_any
 
         for pdf in batches:
             ids, nbs, feats = [], [], []
@@ -187,7 +187,8 @@ def decode_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 if fmt in ("bmp", "png", "jpeg"):
                     vals = _decode_image(raw, fmt).astype(np.float64).ravel() / 255.0
                 elif fmt == "wav":
-                    _rate, _ch, s = decode_wav_pcm16(raw)
+                    # fmt-tag dispatch: PCM16 or IMA ADPCM (adpcm.py)
+                    _rate, _ch, s = decode_wav_any(raw)
                     vals = (s.astype(np.float64) + 32768.0) / 65535.0
                 elif fmt == "mpeg1":
                     from switchback_test_dag_spark.multimodal.mpeg1 import (

@@ -85,3 +85,31 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, int, np.ndarray]:
     if sample_rate is None or data is None:
         raise ValueError("missing fmt or data chunk")
     return sample_rate, channels, np.frombuffer(data, dtype="<i2")
+
+
+def decode_wav_any(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Route a WAV payload by its fmt tag — PCM16 (0x0001) through
+    :func:`decode_wav_pcm16`, IMA ADPCM (0x0011) through
+    ``adpcm.decode_wav_ima_adpcm`` — the container-level codec dispatch,
+    same pattern as ``avi.decode_avi_any``. Returns
+    (sample_rate, channels, int16 samples); other tags raise."""
+    if len(payload) < 12 or payload[:4] != _RIFF or payload[8:12] != _WAVE:
+        raise ValueError("not a RIFF/WAVE container")
+    pos = 12
+    while pos + 8 <= len(payload):
+        name, size = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        if name == _FMT:
+            tag = struct.unpack_from("<H", payload, pos)[0]
+            if tag == _PCM:
+                return decode_wav_pcm16(payload)
+            if tag == 0x0011:
+                from switchback_test_dag_spark.multimodal.adpcm import (
+                    decode_wav_ima_adpcm,
+                )
+
+                rate, samples = decode_wav_ima_adpcm(payload)
+                return rate, 1, samples
+            raise ValueError(f"unsupported WAV format tag 0x{tag:04X}")
+        pos += size + (size & 1)
+    raise ValueError("missing fmt chunk")

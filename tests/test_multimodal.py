@@ -1111,3 +1111,106 @@ def test_mpeg1_spark_pipeline_decodes_real_bytes(spark):
     sampled = sample_frames(media, every_n=1, max_frames=3).collect()
     got = {(r["media_id"], r["frame_idx"]) for r in sampled}
     assert all((mid, 0) in got for mid in range(30, 34))
+
+
+def test_ima_adpcm_roundtrip_and_wav_dispatch():
+    """The compressed-audio path: IMA ADPCM encode→decode reproduces a
+    speech-shaped signal within the quantizer's envelope (SNR ≥ 25 dB) at
+    ~4:1 bytes, exact sample count/rate (fact-chunk trim of the tail pad
+    nibble included), and decode_wav_any routes PCM16 and ADPCM by fmt tag
+    while raising on unknown tags."""
+    import struct
+
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal import adpcm as A
+    from switchback_test_dag_spark.multimodal.wav import (
+        decode_wav_any,
+        encode_wav_pcm16,
+    )
+
+    t = np.arange(7919)  # prime length: exercises the short tail block
+    x = (
+        6000 * np.sin(2 * np.pi * 220 * t / 8000)
+        + 3000 * np.sin(2 * np.pi * 440 * t / 8000)
+        + np.random.default_rng(3).normal(0, 300, len(t))
+    ).astype(np.int16)
+    wav = A.encode_wav_ima_adpcm(x, 8000)
+    sr, y = A.decode_wav_ima_adpcm(wav)
+    assert sr == 8000 and len(y) == len(x)
+    err = y.astype(np.int64) - x.astype(np.int64)
+    snr = 10 * np.log10((x.astype(np.int64) ** 2).mean() / (err**2).mean())
+    assert snr >= 25.0, snr
+    assert len(wav) < 0.3 * (2 * len(x))  # ~4:1 vs PCM16
+
+    # fmt-tag dispatch: both containers route; samples agree with the
+    # dedicated decoders
+    rate, ch, s = decode_wav_any(wav)
+    assert (rate, ch) == (8000, 1) and np.array_equal(s, y)
+    pcm = encode_wav_pcm16(x, 8000)
+    rate, ch, s = decode_wav_any(pcm)
+    assert np.array_equal(s, x)
+    # unknown tag raises with the tag named
+    bad = bytearray(pcm)
+    i = bad.find(b"fmt ") + 8
+    struct.pack_into("<H", bad, i, 0x0055)  # MP3 tag
+    with pytest.raises(ValueError, match="0x0055"):
+        decode_wav_any(bytes(bad))
+
+
+def test_ima_adpcm_blocks_decode_independently(spark):
+    """Every ADPCM block carries its own (predictor, index) header — a
+    decoder starting at any block boundary reproduces that block exactly
+    (the seekability property); and the generic Spark decode path pools an
+    ADPCM payload end-to-end through the magic-bytes + fmt-tag dispatch."""
+    import numpy as np
+
+    from switchback_test_dag_spark.multimodal import adpcm as A
+    from switchback_test_dag_spark.multimodal.media import decode_features
+
+    x = (
+        2000 * np.sin(2 * np.pi * np.arange(2021) * 0.07)
+    ).astype(np.int16)
+    wav = A.encode_wav_ima_adpcm(x, 16000, samples_per_block=505)
+    sr, full = A.decode_wav_ima_adpcm(wav)
+    # chop the data chunk to blocks 2..end and decode: identical samples
+    import struct as _s
+
+    pos, data_off, data_len = 12, None, None
+    while pos + 8 <= len(wav):
+        name, size = _s.unpack_from("<4sI", wav, pos)
+        pos += 8
+        if name == b"data":
+            data_off, data_len = pos, size
+        pos += size + (size & 1)
+    block_align = 4 + (505 - 1) // 2
+    tail = wav[data_off + block_align: data_off + data_len]
+    # decode the tail blocks alone by rebuilding a container around them
+    # (fact count shrunk by the dropped block's samples)
+    shell = (
+        wav[:data_off - 8]
+        .replace(_s.pack("<I", len(x)), _s.pack("<I", len(x) - 505), 1)
+    )
+    minimal = shell + _s.pack("<4sI", b"data", len(tail)) + tail
+    _sr2, tail_samples = A.decode_wav_ima_adpcm(minimal)
+    assert np.array_equal(tail_samples, full[505:])
+
+    # Spark end-to-end: the wav branch of decode_features routes ADPCM
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    rows = [(1, "audio", bytearray(wav), "audio/wav", None, None, 0)]
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ])
+    media = spark.createDataFrame(rows, schema)
+    feats = decode_features(media, dim=4).collect()
+    assert len(feats) == 1 and len(feats[0]["feature"]) == 4
+    assert feats[0]["n_bytes"] == len(wav)
