@@ -22,6 +22,10 @@ exercising any new math.
 Scale shape: both directions are numpy state loops over one block at a time
 inside Arrow-batched ``mapInPandas`` (media.py's discipline) — payload
 bytes never leave the executor.
+
+Reference scope parity: the reference repo has no media pipeline; this
+module belongs to the driver-mandated multimodal extension
+(``multimodal/media.py``), routed by ``wav.decode_wav_any``.
 """
 
 from __future__ import annotations
