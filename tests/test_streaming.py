@@ -421,8 +421,10 @@ def test_stream_corpus_near_dedup_matches_batch_on_tight_clusters(spark, tmp_pat
         stream, "doc_id", "text",
         sig_index_path=str(idx), out_path=str(out),
         checkpoint_dir=str(tmp_path / "ckpt"),
-        threshold=0.7, exact_verify=True,
+        threshold=0.7, exact_verify=True, compact_every=2,
     )
+
+    import switchback_test_dag_spark.io as _sio
 
     all_docs = spark.read.parquet(str(landing / "*"))
     expect = {
@@ -431,13 +433,18 @@ def test_stream_corpus_near_dedup_matches_batch_on_tight_clusters(spark, tmp_pat
             all_docs, "doc_id", "text", threshold=0.7
         ).collect()
     }
-    got = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    got = {r["doc_id"] for r in _sio.read_batch_state(spark, str(out)).collect()}
     assert got == expect == {1, 2, 11}
     # index holds exactly the survivors' signatures, one row each
-    sig_docs = [r["doc"] for r in spark.read.parquet(str(idx)).collect()]
+    sig_docs = [
+        r["doc"] for r in _sio.read_batch_state(spark, str(idx)).collect()
+    ]
     assert sorted(sig_docs) == sorted(expect)
+    # compact_every=2 folded batches 0-1 mid-stream (the exact-verify path
+    # read prior survivors' TEXT through the snapshot for batch 2)
+    assert _sio.compacted_watermark(str(idx)) == 1
     batches = [n for n in os.listdir(str(idx)) if n.startswith("batch=")]
-    assert len(batches) == 3, batches
+    assert batches == ["batch=2"], batches
 
 
 def test_corpus_dedup_batch_replay_preserves_data(spark, tmp_path):
