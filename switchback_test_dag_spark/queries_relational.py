@@ -816,15 +816,25 @@ def keep_drop_flag_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("combos")
     )
+    # the LIKE verdict depends only on the row's combo STRING, and orders
+    # holds ~priorities×400 distinct combos vs 100k+ rows: aggregate to
+    # (combo, count) first and run the O(|combos-string|) substring scan
+    # once per DISTINCT combo, not once per row (guide §1.1 first-principles
+    # pass count) — the weighted re-sum reproduces the per-row counts
+    # exactly, including the hack's substring false-positives
+    combo_counts = orders.groupBy(combo.alias("_combo")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
     return (
-        orders.crossJoin(broadcast(valid))
+        combo_counts.crossJoin(broadcast(valid))
         .select(
-            F.when(F.col("combos").contains(combo), F.lit("Keep"))
+            F.when(F.col("combos").contains(F.col("_combo")), F.lit("Keep"))
             .otherwise(F.lit("Drop"))
-            .alias("keep_drop_flag")
+            .alias("keep_drop_flag"),
+            "_n",
         )
         .groupBy("keep_drop_flag")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .agg(F.sum("_n").alias("n_orders"))
     )
 
 

@@ -36,6 +36,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-size exchanges INSIDE persisted plans too: the dedup
+        # operators pin small intermediates (shingle/posting frames) whose
+        # materialized partition count otherwise freezes at the pre-AQE
+        # width — every downstream aggregate/join task pays a fixed
+        # buffer-setup cost, so a tiny corpus cached at full width burns
+        # ~30x the executor CPU of the AQE-coalesced layout (measured; see
+        # OPTIMIZATION_r13.md). Scale-neutral: large inputs keep their
+        # width (coalescePartitions.parallelismFirst).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # the events fixture stores TIMESTAMP(NANOS) which Spark cannot represent;
         # read as long (ns since epoch) and convert in io.load_table

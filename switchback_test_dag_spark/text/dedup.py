@@ -79,7 +79,7 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _shingle_hash_frame(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int, par: int
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int, par: int = 0
 ) -> DataFrame:
     """(doc, int-hashed positional-distinct shingles) with the tokenization
     materialized FIRST, behind the repartition Exchange: the token
@@ -88,7 +88,18 @@ def _shingle_hash_frame(
     times per row) — measured ~25% of the whole LSH pipeline. Post-exchange,
     the n-gram slices reference a plain column (cheap reads, no recompute).
     Int-hashed shingles: Jaccard-identical sets (collisions ~|sh|²/2⁶⁴),
-    8-byte join keys instead of variable-length text."""
+    8-byte join keys instead of variable-length text.
+
+    The repartition names only the key, never a partition COUNT: a
+    REPARTITION_BY_COL shuffle lets AQE size the exchange from the data
+    (``coalescePartitions`` with ``parallelismFirst``), so a small corpus
+    collapses to a few partitions while a large one keeps the full width —
+    pinning ``defaultParallelism`` here fanned tiny inputs into dozens of
+    near-empty tasks, and every downstream hash-aggregate/join task pays a
+    fixed buffer-allocation cost (measured: a 32-task partial aggregate
+    over 100k rows burned ~9 s executor CPU vs 0.3 s on 4 tasks; guide
+    §2.2's fewer-larger-partitions rule). ``par`` is retained for call
+    compatibility and ignored."""
     from switchback_test_dag_spark.text.analysis import (
         TOKEN_SPLIT_RE,
         _array_ngrams_sql,
@@ -98,7 +109,7 @@ def _shingle_hash_frame(
     return (
         df.select(F.col(id_col).alias("doc"), F.expr(toks).alias("tk"))
         .filter(F.size("tk") >= shingle_n)
-        .repartition(par, "doc")
+        .repartition("doc")
         .select("doc", F.expr(_array_ngrams_sql("tk", shingle_n)).alias("sh_str"))
         .select("doc", hashed_shingles("sh_str").alias("sh"))
     )
@@ -368,11 +379,13 @@ def _simhash_sig_frame(
     shifts."""
     from switchback_test_dag_spark.text.analysis import tokens
 
-    par = df.sparkSession.sparkContext.defaultParallelism
     th_rows = (
         df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__toks"))
         .filter(F.size("__toks") > 0)
-        .repartition(par, "doc")
+        # key-only repartition: AQE sizes the exchange from the data
+        # (see _shingle_hash_frame — pinning a count fans tiny corpora
+        # into near-empty tasks whose aggregate-buffer setup dominates)
+        .repartition("doc")
         .select(
             "doc",
             F.explode(
@@ -504,7 +517,6 @@ def winnow_fingerprints(
     # positional n-grams: order kept, duplicates kept (distinct=False) —
     # the shared bind-once builder, unlike the Jaccard shingle SET
     acc = _array_ngrams_sql("tk", shingle_n, " ", distinct=False)
-    par = df.sparkSession.sparkContext.defaultParallelism
     hashed = (
         df.select(F.col(id_col).alias("doc"), F.expr(toks).alias("tk"))
         .filter(F.size("tk") >= shingle_n + window - 1)
@@ -513,7 +525,9 @@ def winnow_fingerprints(
             "doc",
             F.expr("transform(sh, s -> substring(md5(s), 1, 16))").alias("h"),
         )
-        .repartition(par, "doc")  # Exchange: blocks CollapseProject inlining
+        # Exchange: blocks CollapseProject inlining; key-only so AQE sizes
+        # the partition count from the data (see _shingle_hash_frame)
+        .repartition("doc")
     )
     # window minimum as least(element_at(...)) over the fixed window width:
     # the per-position lambda body is allocation-free O(1) lookups instead
