@@ -154,8 +154,23 @@ def exact_quantiles(
     if wide_groups is None:
         wide_groups = not by
     vals = df.filter(F.col(value_col).isNotNull()).select(*by, value_col)
-    counts = vals.groupBy(*by, value_col).agg(F.count(F.lit(1)).alias("_c"))
     if not wide_groups:
+        # ONE full-data exchange for the whole pipeline (guide §2.4): hash-
+        # partition by the GROUP keys up front, so the distinct-count
+        # aggregate (grouping keys ⊇ the partition keys), both windows
+        # (same keys) and the final neighbor aggregate (same keys) all
+        # reuse this single Exchange. The previous shape let groupBy pick
+        # its own (by, value) exchange and then paid a SECOND full-data
+        # shuffle to reach the window's (by) partitioning (measured at
+        # sf0.1: 6.8 MB + 5.5 MB back to back for the same 594k rows).
+        # Map-side tie-collapse moves behind the exchange — shuffle bytes
+        # are identical for near-unique doubles (the KPI case) and executor
+        # memory stays bounded either way, because the collapse still
+        # happens before the window buffers anything. Empty ``by`` (callers
+        # forcing wide_groups=False) keeps the degenerate single-partition
+        # window and needs no repartition.
+        src = vals.repartition(*by) if by else vals
+        counts = src.groupBy(*by, value_col).agg(F.count(F.lit(1)).alias("_c"))
         w = Window.partitionBy(*by).orderBy(value_col)
         cum = counts.withColumn("_cum", F.sum("_c").over(w))
         # _n per group is the group's LAST cumulative count — a second
@@ -173,6 +188,16 @@ def exact_quantiles(
         # offset window orders the per-(pid, group) subtotal frame by _pid —
         # a single task per group, but over ≤ #partitions rows, not data.
         #
+        # The distinct-count aggregate runs ON TOP of the range exchange
+        # (grouping by (_pid, by, value): RangePartitioning(by, value) is a
+        # valid clustering for it, and equal values share a _pid by the
+        # range invariant) — one full-data exchange instead of the previous
+        # groupBy-then-repartitionByRange pair (guide §2.4). _pid is stamped
+        # below the aggregate, so the reconstruction stays correct even if a
+        # planner change ever re-partitioned the aggregate: the math needs
+        # only "_pid buckets are value-ascending and disjoint per group",
+        # not physical row placement.
+        #
         # pin() is CORRECTNESS-load-bearing: the local-cumsum branch and the
         # subtotal branch both consume this frame, and RangePartitioner
         # samples fresh boundaries per execution — two independent executions
@@ -184,9 +209,10 @@ def exact_quantiles(
         from switchback_test_dag_spark.caching import pin
 
         parts = pin(
-            counts.repartitionByRange(
-                *[F.col(c) for c in by], F.col(value_col)
-            ).withColumn("_pid", F.spark_partition_id())
+            vals.repartitionByRange(*[F.col(c) for c in by], F.col(value_col))
+            .withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid", *by, value_col)
+            .agg(F.count(F.lit(1)).alias("_c"))
         )
         local_w = Window.partitionBy("_pid", *by).orderBy(value_col)
         local = parts.withColumn("_lcum", F.sum("_c").over(local_w))
@@ -220,11 +246,25 @@ def exact_quantiles(
         )
     v = F.col(value_col).cast("double")
     prev = F.col("_cum") - F.col("_c")
+    # Only a row whose (prev, _cum] position span contains some requested
+    # neighbor position can contribute a non-NULL value to the conditional
+    # aggregates below — every other distinct value feeds NULL into every
+    # max() and only inflates the aggregate's input (measured at sf0.1: the
+    # final aggregate scanned all 594k cumsum rows and shuffled 5.5 MB for
+    # ≤4 useful rows per group). The predicate is row-local over
+    # _cum/_c/_n, so it evaluates inside the window stage and the final
+    # exchange carries only the neighbor rows; results are identical. Each
+    # group keeps ≥1 row (every neighbor position lies in [1, n]), so
+    # min(_n) and the per-prob maxes see exactly the rows they used to
+    # match.
+    keep = F.lit(False)
     aggs = [F.min("_n").alias("_n")]
     for i, p in enumerate(probs):
         rank = F.lit(float(p)) * (F.col("_n") - 1)  # 0-indexed, builtin's def
         lo_pos = F.floor(rank) + 1  # 1-indexed multiset positions
         hi_pos = F.ceil(rank) + 1
+        keep = keep | ((prev < lo_pos) & (lo_pos <= F.col("_cum")))
+        keep = keep | ((prev < hi_pos) & (hi_pos <= F.col("_cum")))
         aggs.append(
             F.max(F.when((prev < lo_pos) & (lo_pos <= F.col("_cum")), v)).alias(
                 f"_lo{i}"
@@ -235,7 +275,7 @@ def exact_quantiles(
                 f"_hi{i}"
             )
         )
-    gb = joined.groupBy(*by).agg(*aggs)
+    gb = joined.filter(keep).groupBy(*by).agg(*aggs)
     out = []
     for i, p in enumerate(probs):
         rank = F.lit(float(p)) * (F.col("_n") - 1)
