@@ -60,11 +60,19 @@ def _gram_buckets(text_col: str, n_buckets: int, portable: bool):
     """Array of bucket ids, one per word unigram AND bigram occurrence (NOT
     distinct — the model is a count model)."""
     toks = f"filter(split(lower({text_col}), '{TOKEN_SPLIT_RE}'), x -> x != '')"
+    # bind-once wrapper: the bigram lambda's BODY references the token array
+    # twice, and a lambda-body reference to a composite expression is
+    # re-evaluated PER ELEMENT (the O(len²) blowup documented at
+    # text/analysis._array_ngrams_sql) — so the document would be
+    # re-tokenized ~2×|tokens| times. transform(array(e), tk -> ...) binds
+    # the tokenizer result once per row; the nested lambda is safe because
+    # no Python UDF consumes this column.
     grams = (
-        f"concat({toks}, CASE WHEN size({toks}) >= 2 THEN "
-        f"transform(sequence(1, size({toks}) - 1), "
-        f"i -> concat_ws(' ', element_at({toks}, i), element_at({toks}, i + 1))) "
-        f"ELSE array() END)"
+        f"element_at(transform(array({toks}), tk -> "
+        f"concat(tk, CASE WHEN size(tk) >= 2 THEN "
+        f"transform(sequence(1, size(tk) - 1), "
+        f"i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1))) "
+        f"ELSE array() END)), 1)"
     )
     if portable:
         # conv() yields a string; the 15-hex-digit prefix fits BIGINT exactly
