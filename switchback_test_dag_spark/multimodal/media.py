@@ -162,17 +162,33 @@ def _pooled(values, dim: int) -> list[float]:
     return out
 
 
-def decode_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """Generic decode: payload → fixed-dim feature vector via ``mapInPandas``,
-    dispatching on magic bytes to the REAL pure-Python codecs
-    (:func:`detect_media_format`). Images (BMP/PNG/JPEG) pool normalized
-    pixels, audio (WAV) pools normalized PCM16 samples, video (AVI and
-    intra-only MPEG-1) pools normalized pixels across all frames — each via
-    :func:`_pooled`, so one schema serves every modality. Unknown payloads
-    raise ``ValueError`` per row (callers pre-filter or let the task fail
-    loudly); H.26x-class video raises the documented
-    ``NotImplementedError``."""
+def _fuse_synth_decode(
+    df: DataFrame, id_col: str, synth_run, decode_run, schema: StructType
+) -> DataFrame:
+    """ONE Python eval node for a synthesize→decode pair (guide §4): chaining
+    the two public ``mapInPandas`` stages makes every payload byte cross the
+    JVM↔Python boundary twice back-to-back — Arrow-serialized out of the
+    synthesizer's worker, deserialized by the JVM, re-serialized into the
+    decoder's worker — when the only columns the query ever reads JVM-side
+    are the small decoded features. Composing the SAME batch closures inside
+    a single worker keeps the bytes where they are born: input is the 8-byte
+    id sliver, output is the feature rows, and the payload never exists
+    JVM-side at all (measured on the suite: executor 'run' time per branch
+    was 2–3× the raw single-core codec cost before fusion). The per-stage
+    public functions share these closures, so the fused path cannot drift
+    from them."""
 
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from decode_run(
+            m[["media_id", "payload"]] for m in synth_run(batches)
+        )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        run, schema=schema
+    )
+
+
+def _dispatch_decode_run(dim: int):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -205,7 +221,32 @@ def decode_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 feats.append(_pooled(vals, dim))
             yield pd.DataFrame({"media_id": ids, "n_bytes": nbs, "feature": feats})
 
-    return media.select("media_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+    return run
+
+
+def decode_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Generic decode: payload → fixed-dim feature vector via ``mapInPandas``,
+    dispatching on magic bytes to the REAL pure-Python codecs
+    (:func:`detect_media_format`). Images (BMP/PNG/JPEG) pool normalized
+    pixels, audio (WAV) pools normalized PCM16 samples, video (AVI and
+    intra-only MPEG-1) pools normalized pixels across all frames — each via
+    :func:`_pooled`, so one schema serves every modality. Unknown payloads
+    raise ``ValueError`` per row (callers pre-filter or let the task fail
+    loudly); H.26x-class video raises the documented
+    ``NotImplementedError``."""
+    return media.select("media_id", "payload").mapInPandas(
+        _dispatch_decode_run(dim), schema=FEATURE_SCHEMA
+    )
+
+
+def synth_decode_mixed_features(
+    df: DataFrame, id_col: str, dim: int = 16
+) -> DataFrame:
+    """Fused :func:`synthesize_mixed_media` → :func:`decode_features`
+    (same closures, one Python eval node — see :func:`_fuse_synth_decode`)."""
+    return _fuse_synth_decode(
+        df, id_col, _mixed_synth_run(), _dispatch_decode_run(dim), FEATURE_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, every_n: int = 2, max_frames: int = 8) -> DataFrame:
@@ -266,12 +307,7 @@ def repartition_by_bytes(
     return media.repartition(n, "media_id")
 
 
-def synthesize_mixed_media(df: DataFrame, id_col: str) -> DataFrame:
-    """One MEDIA_SCHEMA table spanning ALL FIVE real codecs — the dispatch
-    fixture: format is ``id % 5`` (bmp, png, jpeg, wav, avi), every payload
-    built by the corresponding real encoder over the closed-form test
-    patterns used by the per-format synthesizers, with matching kind/mime
-    metadata. Exercises :func:`detect_media_format` on every branch."""
+def _mixed_synth_run():
     from switchback_test_dag_spark.multimodal.avi import encode_avi_dib
     from switchback_test_dag_spark.multimodal.bmp import encode_bmp24
     from switchback_test_dag_spark.multimodal.jpeg import encode_jpeg
@@ -326,8 +362,17 @@ def synthesize_mixed_media(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
+    return run
+
+
+def synthesize_mixed_media(df: DataFrame, id_col: str) -> DataFrame:
+    """One MEDIA_SCHEMA table spanning ALL FIVE real codecs — the dispatch
+    fixture: format is ``id % 5`` (bmp, png, jpeg, wav, avi), every payload
+    built by the corresponding real encoder over the closed-form test
+    patterns used by the per-format synthesizers, with matching kind/mime
+    metadata. Exercises :func:`detect_media_format` on every branch."""
     return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
-        run, schema=MEDIA_SCHEMA
+        _mixed_synth_run(), schema=MEDIA_SCHEMA
     )
 
 
@@ -349,13 +394,7 @@ VIDEO_FEATURE_SCHEMA = StructType(
 )
 
 
-def synthesize_avi_videos(
-    df: DataFrame, id_col: str, n_frames: int = 6, width: int = 8, height: int = 6
-) -> DataFrame:
-    """MEDIA_SCHEMA video rows with REAL AVI payloads: per id, ``n_frames``
-    deterministic RGB frames (frame ``j`` uses the BMP test pattern seeded by
-    ``id·1009 + j`` — closed-form for tests) through the uncompressed-DIB
-    writer (``avi.py``)."""
+def _avi_synth_run(n_frames: int, width: int, height: int):
     from switchback_test_dag_spark.multimodal.avi import encode_avi_dib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -383,18 +422,22 @@ def synthesize_avi_videos(
                 }
             )
 
+    return run
+
+
+def synthesize_avi_videos(
+    df: DataFrame, id_col: str, n_frames: int = 6, width: int = 8, height: int = 6
+) -> DataFrame:
+    """MEDIA_SCHEMA video rows with REAL AVI payloads: per id, ``n_frames``
+    deterministic RGB frames (frame ``j`` uses the BMP test pattern seeded by
+    ``id·1009 + j`` — closed-form for tests) through the uncompressed-DIB
+    writer (``avi.py``)."""
     return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
-        run, schema=MEDIA_SCHEMA
+        _avi_synth_run(n_frames, width, height), schema=MEDIA_SCHEMA
     )
 
 
-def decode_avi_features(media: DataFrame) -> DataFrame:
-    """Parse REAL AVI bytes → integer-exact video features: frame count, fps,
-    geometry, container byte size (closed-form for uncompressed DIB:
-    ``224 + n·(8 + stride·h)`` — oracle-replayable byte accounting), total
-    pixel sum across all frames, and the first frame's position-weighted
-    checksum (row/channel/stride bug detector, as in
-    :func:`decode_bmp_features`). The working video codec path."""
+def _avi_decode_run():
     from switchback_test_dag_spark.multimodal.avi import decode_avi_dib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -430,8 +473,32 @@ def decode_avi_features(media: DataFrame) -> DataFrame:
                 }
             )
 
+    return run
+
+
+def decode_avi_features(media: DataFrame) -> DataFrame:
+    """Parse REAL AVI bytes → integer-exact video features: frame count, fps,
+    geometry, container byte size (closed-form for uncompressed DIB:
+    ``224 + n·(8 + stride·h)`` — oracle-replayable byte accounting), total
+    pixel sum across all frames, and the first frame's position-weighted
+    checksum (row/channel/stride bug detector, as in
+    :func:`decode_bmp_features`). The working video codec path."""
     return media.select("media_id", "payload").mapInPandas(
-        run, schema=VIDEO_FEATURE_SCHEMA
+        _avi_decode_run(), schema=VIDEO_FEATURE_SCHEMA
+    )
+
+
+def synth_decode_avi_features(
+    df: DataFrame, id_col: str, n_frames: int = 6, width: int = 8, height: int = 6
+) -> DataFrame:
+    """Fused :func:`synthesize_avi_videos` → :func:`decode_avi_features`
+    (same closures, one Python eval node — see :func:`_fuse_synth_decode`)."""
+    return _fuse_synth_decode(
+        df,
+        id_col,
+        _avi_synth_run(n_frames, width, height),
+        _avi_decode_run(),
+        VIDEO_FEATURE_SCHEMA,
     )
 
 
@@ -442,11 +509,16 @@ def synthesize_mjpeg_avi_videos(df: DataFrame, id_col: str, quality: int = 90) -
     frames of geometry ``(6 + id % 7) × (6 + id % 5)`` (closed-form for the
     oracle), frame ``j`` the BMP test pattern seeded by ``id·1009 + j``,
     each frame JPEG-encoded then boxed as a ``00dc`` chunk, fps 12."""
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        _mjpg_synth_run(quality), schema=MEDIA_SCHEMA
+    )
+
+
+def _mjpg_synth_run(quality: int):
     from switchback_test_dag_spark.multimodal.avi import encode_avi_mjpg
     from switchback_test_dag_spark.multimodal.jpeg import encode_jpeg
 
-    return _synthesize_compressed_avi(
-        df, id_col,
+    return _compressed_avi_synth_run(
         frame_encoder=lambda px: encode_jpeg(px, quality)[0],
         avi_encoder=encode_avi_mjpg,
         geom=lambda mid: (6 + mid % 7, 6 + mid % 5, 2 + mid % 3),
@@ -464,11 +536,16 @@ def synthesize_mjpegb_avi_videos(df: DataFrame, id_col: str, quality: int = 90) 
     (closed-form for the oracle, deliberately different formulas from the
     MJPG path so a branch swap breaks the hash), frame ``j`` seeded by
     ``id·2027 + j``, fps 10."""
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        _mjpb_synth_run(quality), schema=MEDIA_SCHEMA
+    )
+
+
+def _mjpb_synth_run(quality: int):
     from switchback_test_dag_spark.multimodal.avi import encode_avi_mjpb
     from switchback_test_dag_spark.multimodal.mjpegb import encode_mjpegb
 
-    return _synthesize_compressed_avi(
-        df, id_col,
+    return _compressed_avi_synth_run(
         frame_encoder=lambda px: encode_mjpegb(px, quality)[0],
         avi_encoder=encode_avi_mjpb,
         geom=lambda mid: (7 + mid % 6, 5 + mid % 4, 1 + mid % 4),
@@ -477,13 +554,12 @@ def synthesize_mjpegb_avi_videos(df: DataFrame, id_col: str, quality: int = 90) 
     )
 
 
-def _synthesize_compressed_avi(
-    df: DataFrame, id_col: str, frame_encoder, avi_encoder, geom, seed_mult: int,
-    fps: int,
-) -> DataFrame:
-    """Shared compressed-video synthesizer: per id, ``geom(mid) -> (w, h, n)``
-    frames of the BMP test pattern, each encoded by ``frame_encoder`` and
-    boxed into an AVI by ``avi_encoder``."""
+def _compressed_avi_synth_run(
+    frame_encoder, avi_encoder, geom, seed_mult: int, fps: int
+):
+    """Shared compressed-video synthesizer closure: per id,
+    ``geom(mid) -> (w, h, n)`` frames of the BMP test pattern, each encoded
+    by ``frame_encoder`` and boxed into an AVI by ``avi_encoder``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -511,9 +587,7 @@ def _synthesize_compressed_avi(
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
-        run, schema=MEDIA_SCHEMA
-    )
+    return run
 
 
 def synthesize_mpeg1_videos(df: DataFrame, id_col: str, qscale: int = 2) -> DataFrame:
@@ -527,6 +601,12 @@ def synthesize_mpeg1_videos(df: DataFrame, id_col: str, qscale: int = 2) -> Data
     25 fps (picture_rate_code 3). EVEN ids additionally wrap the elementary
     stream in a minimal MPEG-1 PROGRAM STREAM (``mux_mpeg_ps``) so both the
     ES and the PS demux branches ride the suite hash."""
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        _mpeg1_synth_run(qscale), schema=MEDIA_SCHEMA
+    )
+
+
+def _mpeg1_synth_run(qscale: int):
     from switchback_test_dag_spark.multimodal.mpeg1 import encode_m1v, mux_mpeg_ps
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -559,18 +639,10 @@ def synthesize_mpeg1_videos(df: DataFrame, id_col: str, qscale: int = 2) -> Data
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
-        run, schema=MEDIA_SCHEMA
-    )
+    return run
 
 
-def decode_mpeg1_features(media: DataFrame) -> DataFrame:
-    """Parse REAL MPEG-1 bytes (video ES or program stream — the decoder
-    dispatches on the start code, demuxing PES packets for PS) → the same
-    video features as the AVI paths. Frame count, fps, and decoder-reported
-    geometry are closed-form per id (oracle-replayable); byte size and
-    reconstructed pixels are quantization-dependent and pytest-gated — the
-    MJPG/MJPB policy."""
+def _mpeg1_decode_run():
     from switchback_test_dag_spark.multimodal.mpeg1 import decode_mpeg1
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -606,8 +678,29 @@ def decode_mpeg1_features(media: DataFrame) -> DataFrame:
                 }
             )
 
+    return run
+
+
+def decode_mpeg1_features(media: DataFrame) -> DataFrame:
+    """Parse REAL MPEG-1 bytes (video ES or program stream — the decoder
+    dispatches on the start code, demuxing PES packets for PS) → the same
+    video features as the AVI paths. Frame count, fps, and decoder-reported
+    geometry are closed-form per id (oracle-replayable); byte size and
+    reconstructed pixels are quantization-dependent and pytest-gated — the
+    MJPG/MJPB policy."""
     return media.select("media_id", "payload").mapInPandas(
-        run, schema=VIDEO_FEATURE_SCHEMA
+        _mpeg1_decode_run(), schema=VIDEO_FEATURE_SCHEMA
+    )
+
+
+def synth_decode_mpeg1_features(
+    df: DataFrame, id_col: str, qscale: int = 2
+) -> DataFrame:
+    """Fused :func:`synthesize_mpeg1_videos` → :func:`decode_mpeg1_features`
+    (same closures, one Python eval node — see :func:`_fuse_synth_decode`)."""
+    return _fuse_synth_decode(
+        df, id_col, _mpeg1_synth_run(qscale), _mpeg1_decode_run(),
+        VIDEO_FEATURE_SCHEMA,
     )
 
 
@@ -635,6 +728,40 @@ def decode_mjpegb_avi_features(media: DataFrame) -> DataFrame:
 
 
 def _decode_compressed_avi_features(media: DataFrame, avi_decoder) -> DataFrame:
+    return media.select("media_id", "payload").mapInPandas(
+        _compressed_video_decode_run(avi_decoder), schema=VIDEO_FEATURE_SCHEMA
+    )
+
+
+def synth_decode_mjpeg_avi_features(
+    df: DataFrame, id_col: str, quality: int = 90
+) -> DataFrame:
+    """Fused :func:`synthesize_mjpeg_avi_videos` →
+    :func:`decode_mjpeg_avi_features` (same closures, one Python eval node —
+    see :func:`_fuse_synth_decode`)."""
+    from switchback_test_dag_spark.multimodal.avi import decode_avi_mjpg
+
+    return _fuse_synth_decode(
+        df, id_col, _mjpg_synth_run(quality),
+        _compressed_video_decode_run(decode_avi_mjpg), VIDEO_FEATURE_SCHEMA,
+    )
+
+
+def synth_decode_mjpegb_avi_features(
+    df: DataFrame, id_col: str, quality: int = 90
+) -> DataFrame:
+    """Fused :func:`synthesize_mjpegb_avi_videos` →
+    :func:`decode_mjpegb_avi_features` (same closures, one Python eval node —
+    see :func:`_fuse_synth_decode`)."""
+    from switchback_test_dag_spark.multimodal.avi import decode_avi_mjpb
+
+    return _fuse_synth_decode(
+        df, id_col, _mjpb_synth_run(quality),
+        _compressed_video_decode_run(decode_avi_mjpb), VIDEO_FEATURE_SCHEMA,
+    )
+
+
+def _compressed_video_decode_run(avi_decoder):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -668,9 +795,7 @@ def _decode_compressed_avi_features(media: DataFrame, avi_decoder) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(
-        run, schema=VIDEO_FEATURE_SCHEMA
-    )
+    return run
 
 
 def sample_avi_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
@@ -721,6 +846,12 @@ def synthesize_wav_audio(
     waveform per id (``((id*31 + i*17) % 65536) - 32768``) encoded through the
     RIFF PCM16 writer. Deterministic by construction, so downstream decodes
     are oracle-checkable against the closed-form generator."""
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        _wav_synth_run(n_samples, sample_rate), schema=MEDIA_SCHEMA
+    )
+
+
+def _wav_synth_run(n_samples: int, sample_rate: int):
     from switchback_test_dag_spark.multimodal.wav import encode_wav_pcm16
 
     duration_ms = n_samples * 1000 // sample_rate
@@ -750,9 +881,7 @@ def synthesize_wav_audio(
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
-        run, schema=MEDIA_SCHEMA
-    )
+    return run
 
 
 # --------------------------------------------------------------------------- #
@@ -791,6 +920,12 @@ def synthesize_bmp_images(df: DataFrame, id_col: str) -> DataFrame:
     canonical 24-bit bottom-up writer (``bmp.py``). Varying dimensions make
     the row-stride padding and container-size arithmetic part of the
     contract, not a constant."""
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        _bmp_synth_run(), schema=MEDIA_SCHEMA
+    )
+
+
+def _bmp_synth_run():
     from switchback_test_dag_spark.multimodal.bmp import encode_bmp24
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -814,9 +949,7 @@ def synthesize_bmp_images(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
-        run, schema=MEDIA_SCHEMA
-    )
+    return run
 
 
 def synthesize_png_images(df: DataFrame, id_col: str) -> DataFrame:
@@ -826,6 +959,12 @@ def synthesize_png_images(df: DataFrame, id_col: str) -> DataFrame:
     all five scanline filter types (the encoder cycles ``row % 5``) and the
     decoder's filter inversion is exercised by every single row of the
     fixture, not just a lucky subset."""
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        _png_synth_run(), schema=MEDIA_SCHEMA
+    )
+
+
+def _png_synth_run():
     from switchback_test_dag_spark.multimodal.png import encode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -849,17 +988,12 @@ def synthesize_png_images(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
-        run, schema=MEDIA_SCHEMA
-    )
+    return run
 
 
-def decode_png_features(media: DataFrame) -> DataFrame:
-    """Parse REAL PNG bytes → the same integer-exact image features as
-    :func:`decode_bmp_features` (dimensions, payload size, channel sums,
-    position-weighted checksum), via the chunk-walking zlib codec
-    (``png.py``). The working entropy-coded image path."""
-    from switchback_test_dag_spark.multimodal.png import decode_png
+def _image_decode_run(decoder):
+    """Shared image-feature closure for the BMP/PNG/JPEG decoders — the
+    three bodies were line-identical except for the parser entry point."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -868,7 +1002,7 @@ def decode_png_features(media: DataFrame) -> DataFrame:
             ws, hs, nb, srs, sgs, sbs, wsums = [], [], [], [], [], [], []
             for payload in pdf["payload"]:
                 raw = bytes(payload)
-                arr = decode_png(raw).astype(np.int64)
+                arr = decoder(raw).astype(np.int64)
                 h, w, _ = arr.shape
                 weights = np.arange(1, h * w * 3 + 1, dtype=np.int64).reshape(
                     h, w, 3
@@ -893,8 +1027,29 @@ def decode_png_features(media: DataFrame) -> DataFrame:
                 }
             )
 
+    return run
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """Parse REAL PNG bytes → the same integer-exact image features as
+    :func:`decode_bmp_features` (dimensions, payload size, channel sums,
+    position-weighted checksum), via the chunk-walking zlib codec
+    (``png.py``). The working entropy-coded image path."""
+    from switchback_test_dag_spark.multimodal.png import decode_png
+
     return media.select("media_id", "payload").mapInPandas(
-        run, schema=IMAGE_FEATURE_SCHEMA
+        _image_decode_run(decode_png), schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
+def synth_decode_png_features(df: DataFrame, id_col: str) -> DataFrame:
+    """Fused :func:`synthesize_png_images` → :func:`decode_png_features`
+    (same closures, one Python eval node — see :func:`_fuse_synth_decode`)."""
+    from switchback_test_dag_spark.multimodal.png import decode_png
+
+    return _fuse_synth_decode(
+        df, id_col, _png_synth_run(), _image_decode_run(decode_png),
+        IMAGE_FEATURE_SCHEMA,
     )
 
 
@@ -904,6 +1059,12 @@ def synthesize_jpeg_images(df: DataFrame, id_col: str, quality: int = 90) -> Dat
     Huffman baseline encoder (``jpeg.py``). Dimensions are chosen so most
     images need edge padding to the 8×8 MCU grid (width 8–16, height 8–12),
     making pad-and-crop part of the exercised path."""
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        _jpeg_synth_run(quality), schema=MEDIA_SCHEMA
+    )
+
+
+def _jpeg_synth_run(quality: int):
     from switchback_test_dag_spark.multimodal.jpeg import encode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -927,9 +1088,7 @@ def synthesize_jpeg_images(df: DataFrame, id_col: str, quality: int = 90) -> Dat
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
-        run, schema=MEDIA_SCHEMA
-    )
+    return run
 
 
 def decode_jpeg_features(media: DataFrame) -> DataFrame:
@@ -942,40 +1101,21 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
     reference reconstruction; quality-bounded error vs the source)."""
     from switchback_test_dag_spark.multimodal.jpeg import decode_jpeg
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            ws, hs, nb, srs, sgs, sbs, wsums = [], [], [], [], [], [], []
-            for payload in pdf["payload"]:
-                raw = bytes(payload)
-                arr = decode_jpeg(raw).astype(np.int64)
-                h, w, _ = arr.shape
-                weights = np.arange(1, h * w * 3 + 1, dtype=np.int64).reshape(
-                    h, w, 3
-                )
-                ws.append(w)
-                hs.append(h)
-                nb.append(len(raw))
-                srs.append(int(arr[:, :, 0].sum()))
-                sgs.append(int(arr[:, :, 1].sum()))
-                sbs.append(int(arr[:, :, 2].sum()))
-                wsums.append(int((arr * weights).sum()))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": ws,
-                    "height": hs,
-                    "n_bytes": nb,
-                    "sum_r": srs,
-                    "sum_g": sgs,
-                    "sum_b": sbs,
-                    "wsum": wsums,
-                }
-            )
-
     return media.select("media_id", "payload").mapInPandas(
-        run, schema=IMAGE_FEATURE_SCHEMA
+        _image_decode_run(decode_jpeg), schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
+def synth_decode_jpeg_features(
+    df: DataFrame, id_col: str, quality: int = 90
+) -> DataFrame:
+    """Fused :func:`synthesize_jpeg_images` → :func:`decode_jpeg_features`
+    (same closures, one Python eval node — see :func:`_fuse_synth_decode`)."""
+    from switchback_test_dag_spark.multimodal.jpeg import decode_jpeg
+
+    return _fuse_synth_decode(
+        df, id_col, _jpeg_synth_run(quality), _image_decode_run(decode_jpeg),
+        IMAGE_FEATURE_SCHEMA,
     )
 
 
@@ -988,49 +1128,23 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
     order-independent. The working uncompressed image codec path."""
     from switchback_test_dag_spark.multimodal.bmp import decode_bmp
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            ws, hs, nb, srs, sgs, sbs, wsums = [], [], [], [], [], [], []
-            for payload in pdf["payload"]:
-                raw = bytes(payload)
-                arr = decode_bmp(raw).astype(np.int64)
-                h, w, _ = arr.shape
-                weights = np.arange(1, h * w * 3 + 1, dtype=np.int64).reshape(
-                    h, w, 3
-                )
-                ws.append(w)
-                hs.append(h)
-                nb.append(len(raw))
-                srs.append(int(arr[:, :, 0].sum()))
-                sgs.append(int(arr[:, :, 1].sum()))
-                sbs.append(int(arr[:, :, 2].sum()))
-                wsums.append(int((arr * weights).sum()))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": ws,
-                    "height": hs,
-                    "n_bytes": nb,
-                    "sum_r": srs,
-                    "sum_g": sgs,
-                    "sum_b": sbs,
-                    "wsum": wsums,
-                }
-            )
-
     return media.select("media_id", "payload").mapInPandas(
-        run, schema=IMAGE_FEATURE_SCHEMA
+        _image_decode_run(decode_bmp), schema=IMAGE_FEATURE_SCHEMA
     )
 
 
-def decode_wav_features(media: DataFrame) -> DataFrame:
-    """Parse REAL WAV bytes → integer-exact audio features per payload:
-    sample count (from the data chunk), rate (from fmt), energy ``sum_sq``
-    and ``peak`` as exact integers so any downstream aggregate is
-    order-independent (no float-sum parity hazards). The working audio
-    codec path of the multimodal component."""
+def synth_decode_bmp_features(df: DataFrame, id_col: str) -> DataFrame:
+    """Fused :func:`synthesize_bmp_images` → :func:`decode_bmp_features`
+    (same closures, one Python eval node — see :func:`_fuse_synth_decode`)."""
+    from switchback_test_dag_spark.multimodal.bmp import decode_bmp
+
+    return _fuse_synth_decode(
+        df, id_col, _bmp_synth_run(), _image_decode_run(decode_bmp),
+        IMAGE_FEATURE_SCHEMA,
+    )
+
+
+def _wav_decode_run():
     from switchback_test_dag_spark.multimodal.wav import decode_wav_pcm16
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1055,6 +1169,26 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
                 }
             )
 
+    return run
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """Parse REAL WAV bytes → integer-exact audio features per payload:
+    sample count (from the data chunk), rate (from fmt), energy ``sum_sq``
+    and ``peak`` as exact integers so any downstream aggregate is
+    order-independent (no float-sum parity hazards). The working audio
+    codec path of the multimodal component."""
     return media.select("media_id", "payload").mapInPandas(
-        run, schema=AUDIO_FEATURE_SCHEMA
+        _wav_decode_run(), schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def synth_decode_wav_features(
+    df: DataFrame, id_col: str, n_samples: int = 256, sample_rate: int = 8000
+) -> DataFrame:
+    """Fused :func:`synthesize_wav_audio` → :func:`decode_wav_features`
+    (same closures, one Python eval node — see :func:`_fuse_synth_decode`)."""
+    return _fuse_synth_decode(
+        df, id_col, _wav_synth_run(n_samples, sample_rate), _wav_decode_run(),
+        AUDIO_FEATURE_SCHEMA,
     )

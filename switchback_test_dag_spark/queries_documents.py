@@ -918,15 +918,13 @@ def _media_bmp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     All features are exact integers until the final mean, so shuffle order
     cannot move any value."""
     from switchback_test_dag_spark.multimodal.media import (
-        decode_bmp_features,
-        synthesize_bmp_images,
+        synth_decode_bmp_features,
     )
 
     docs = _fanout_docs(
         spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
     )
-    media = synthesize_bmp_images(docs, "doc_id")
-    feats = decode_bmp_features(media)
+    feats = synth_decode_bmp_features(docs, "doc_id")
     joined = feats.join(docs, feats.media_id == docs.doc_id)
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_media"),
@@ -979,15 +977,15 @@ def _media_wav_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Features are exact integers until the final rms sqrt, so shuffle order
     cannot move any value."""
     from switchback_test_dag_spark.multimodal.media import (
-        decode_wav_features,
-        synthesize_wav_audio,
+        synth_decode_wav_features,
     )
 
     docs = _fanout_docs(
         spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
     )
-    media = synthesize_wav_audio(docs, "doc_id", n_samples=256, sample_rate=8000)
-    feats = decode_wav_features(media)
+    feats = synth_decode_wav_features(
+        docs, "doc_id", n_samples=256, sample_rate=8000
+    )
     joined = feats.join(docs, feats.media_id == docs.doc_id)
     total_n = F.sum("n_samples")
     return joined.groupBy("source").agg(
@@ -1050,15 +1048,13 @@ def _media_png_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     of this contract (pixel math is). All features are exact integers until
     the final mean, so shuffle order cannot move any value."""
     from switchback_test_dag_spark.multimodal.media import (
-        decode_png_features,
-        synthesize_png_images,
+        synth_decode_png_features,
     )
 
     docs = _fanout_docs(
         spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
     )
-    media = synthesize_png_images(docs, "doc_id")
-    feats = decode_png_features(media)
+    feats = synth_decode_png_features(docs, "doc_id")
     joined = feats.join(docs, feats.media_id == docs.doc_id)
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_media"),
@@ -1120,15 +1116,15 @@ def _media_avi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``224 + n·(8 + stride·h)``, so any header/chunk layout drift in the
     writer or a short read in the walker breaks the match)."""
     from switchback_test_dag_spark.multimodal.media import (
-        decode_avi_features,
-        synthesize_avi_videos,
+        synth_decode_avi_features,
     )
 
     docs = _fanout_docs(
         spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
     )
-    media = synthesize_avi_videos(docs, "doc_id", n_frames=6, width=8, height=6)
-    feats = decode_avi_features(media)
+    feats = synth_decode_avi_features(
+        docs, "doc_id", n_frames=6, width=8, height=6
+    )
     joined = feats.join(docs, feats.media_id == docs.doc_id)
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_media"),
@@ -1181,15 +1177,13 @@ def _media_m1v_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     every other video branch; pixel fidelity is pytest-gated (lossy-path
     policy)."""
     from switchback_test_dag_spark.multimodal.media import (
-        decode_mpeg1_features,
-        synthesize_mpeg1_videos,
+        synth_decode_mpeg1_features,
     )
 
     docs = _fanout_docs(
         spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
     )
-    media = synthesize_mpeg1_videos(docs, "doc_id", qscale=2)
-    feats = decode_mpeg1_features(media)
+    feats = synth_decode_mpeg1_features(docs, "doc_id", qscale=2)
     joined = feats.join(docs, feats.media_id == docs.doc_id)
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_media"),
@@ -1211,15 +1205,13 @@ def _media_mjpb_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap breaks the hash; pixel fidelity is pytest-gated like every lossy
     path."""
     from switchback_test_dag_spark.multimodal.media import (
-        decode_mjpegb_avi_features,
-        synthesize_mjpegb_avi_videos,
+        synth_decode_mjpegb_avi_features,
     )
 
     docs = _fanout_docs(
         spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
     )
-    media = synthesize_mjpegb_avi_videos(docs, "doc_id", quality=90)
-    feats = decode_mjpegb_avi_features(media)
+    feats = synth_decode_mjpegb_avi_features(docs, "doc_id", quality=90)
     joined = feats.join(docs, feats.media_id == docs.doc_id)
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_media"),
@@ -1243,15 +1235,13 @@ def _media_mjpg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     every payload. Reconstructed pixel fidelity is pytest-gated
     (tests/test_multimodal.py), the same policy as the still-JPEG branch."""
     from switchback_test_dag_spark.multimodal.media import (
-        decode_mjpeg_avi_features,
-        synthesize_mjpeg_avi_videos,
+        synth_decode_mjpeg_avi_features,
     )
 
     docs = _fanout_docs(
         spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
     )
-    media = synthesize_mjpeg_avi_videos(docs, "doc_id", quality=90)
-    feats = decode_mjpeg_avi_features(media)
+    feats = synth_decode_mjpeg_avi_features(docs, "doc_id", quality=90)
     joined = feats.join(docs, feats.media_id == docs.doc_id)
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_media"),
@@ -1289,15 +1279,13 @@ def _media_jpeg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, so the driver hash still certifies the decoder RUNS end-to-end on
     every payload."""
     from switchback_test_dag_spark.multimodal.media import (
-        decode_jpeg_features,
-        synthesize_jpeg_images,
+        synth_decode_jpeg_features,
     )
 
     docs = _fanout_docs(
         spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
     )
-    media = synthesize_jpeg_images(docs, "doc_id", quality=90)
-    feats = decode_jpeg_features(media)
+    feats = synth_decode_jpeg_features(docs, "doc_id", quality=90)
     joined = feats.join(docs, feats.media_id == docs.doc_id)
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_media"),
@@ -1392,14 +1380,12 @@ def _media_dispatch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``media_decode_suite``'s tall schema instead of spilling past the
     window."""
     from switchback_test_dag_spark.multimodal.media import (
-        decode_features,
-        synthesize_mixed_media,
+        synth_decode_mixed_features,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     replayable = _fanout_docs(spark, docs.filter(F.col("doc_id") % 5 != 2))
-    media = synthesize_mixed_media(replayable, "doc_id")
-    feats = decode_features(media, dim=8)
+    feats = synth_decode_mixed_features(replayable, "doc_id", dim=8)
     tall = feats.select(
         "media_id", F.posexplode("feature").alias("dim_idx", "value")
     )
@@ -1880,10 +1866,18 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+    # bind-once wrapper: the chunk lambda's BODY references the token array,
+    # and a lambda-body reference to a composite expression is re-evaluated
+    # PER ELEMENT (text/analysis._array_ngrams_sql documents the O(len²)
+    # blowup — measured here as 6.4 s executor CPU at sf0.1, re-tokenizing
+    # every document once per 2-token chunk). transform(array(e), tk -> ...)
+    # evaluates the tokenizer once per row and binds it to ``tk``; nested
+    # lambdas are safe here because no Python UDF consumes this column.
     segs = (
-        f"CASE WHEN size({toks}) = 0 THEN CAST(array() AS ARRAY<STRING>) ELSE "
-        f"transform(sequence(1, size({toks}), {_SEG_CHUNK}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {_SEG_CHUNK}))) END"
+        f"element_at(transform(array({toks}), tk -> "
+        f"CASE WHEN size(tk) = 0 THEN CAST(array() AS ARRAY<STRING>) ELSE "
+        f"transform(sequence(1, size(tk), {_SEG_CHUNK}), "
+        f"i -> concat_ws(' ', slice(tk, i, {_SEG_CHUNK}))) END), 1)"
     )
     eval_df = docs.filter(F.col("doc_id") % 13 == 0)
     # the chain is the PUBLIC API (text/pipeline.clean_corpus) — CCNet order

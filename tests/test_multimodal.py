@@ -317,6 +317,57 @@ def test_bmp_spark_pipeline_decodes_real_bytes(spark):
         assert r["wsum"] == int((arr * weights).sum())
 
 
+def test_fused_synth_decode_matches_staged_pipeline(spark):
+    """The fused single-worker paths (one Python eval node, payload never
+    crosses the JVM boundary — media._fuse_synth_decode) must return exactly
+    the per-stage synthesize→decode composition, row for row. Covers one
+    representative of each decode family: image (bmp), video (mjpeg avi),
+    audio (wav), and the magic-bytes dispatch."""
+    from switchback_test_dag_spark.multimodal.media import (
+        decode_bmp_features,
+        decode_features,
+        decode_mjpeg_avi_features,
+        decode_wav_features,
+        synth_decode_bmp_features,
+        synth_decode_mixed_features,
+        synth_decode_mjpeg_avi_features,
+        synth_decode_wav_features,
+        synthesize_bmp_images,
+        synthesize_mixed_media,
+        synthesize_mjpeg_avi_videos,
+        synthesize_wav_audio,
+    )
+
+    df = spark.range(10, 17).withColumnRenamed("id", "doc_id")
+    pairs = [
+        (
+            synth_decode_bmp_features(df, "doc_id"),
+            decode_bmp_features(synthesize_bmp_images(df, "doc_id")),
+        ),
+        (
+            synth_decode_mjpeg_avi_features(df, "doc_id", quality=85),
+            decode_mjpeg_avi_features(
+                synthesize_mjpeg_avi_videos(df, "doc_id", quality=85)
+            ),
+        ),
+        (
+            synth_decode_wav_features(df, "doc_id", n_samples=64),
+            decode_wav_features(synthesize_wav_audio(df, "doc_id", n_samples=64)),
+        ),
+        (
+            synth_decode_mixed_features(df, "doc_id", dim=4),
+            decode_features(synthesize_mixed_media(df, "doc_id"), dim=4),
+        ),
+    ]
+    for fused, staged in pairs:
+        f = sorted(map(tuple, fused.collect()))
+        s = sorted(map(tuple, staged.collect()))
+        assert f == s
+        # the fused plan must contain exactly ONE Python eval node
+        plan = fused._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1
+
+
 # --------------------------------------------------------------------------- #
 # real AVI codec path
 # --------------------------------------------------------------------------- #
