@@ -144,9 +144,15 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation sn ON s_nationkey = sn.n_nationkey;
 
 -- Stage 6b: scheme variant (LEFT join keeps unknown schemes for stage 8),
--- test-window filter, TG filter
+-- test-window filter, TG filter. BROADCAST hints: the config-derived sides
+-- are a handful of rows at ANY scale (#tests × #schemes), but they reach
+-- the planner through explode/regexp chains whose size estimates default
+-- pessimistic, so without the hint each of these joins plans as a
+-- sort-merge that shuffles the ENTIRE fact by test_name — a 2-distinct-
+-- value, maximally skewed key (measured at sf0.1: 4 such exchanges; AQE's
+-- runtime SMJ→BHJ rescue still pays the fact-side shuffle write).
 CREATE OR REPLACE TABLE elt_orders AS
-SELECT f.*, sc.variant
+SELECT /*+ BROADCAST(v), BROADCAST(sc) */ f.*, sc.variant
 FROM elt_fact f
 JOIN elt_valid_exp v ON f.test_name = v.test_name
 LEFT JOIN elt_schemes sc ON f.test_name = sc.test_name AND f.scheme_id = sc.scheme_id
@@ -171,8 +177,10 @@ JOIN elt_vendor_loc vl ON f.supp_key = vl.s_suppkey
 JOIN elt_geo_zones z ON vl.cx = z.cx AND vl.cy = z.cy;
 
 -- Stage 8: zone-exclusion anti-join + combos-LIKE keep/drop flag + clean
+-- (same BROADCAST rationale as stage 6b: per-test combo strings and the
+-- exploded exclusion list are config-sized at any scale)
 CREATE OR REPLACE TABLE elt_cleaned AS
-SELECT a.*,
+SELECT /*+ BROADCAST(cb), BROADCAST(e) */ a.*,
        CASE WHEN cb.combos LIKE concat('%', a.variant, '#', CAST(a.scheme_id AS STRING), '%')
             THEN 'Keep' ELSE 'Drop' END AS keep_drop_flag
 FROM elt_augmented a

@@ -39,8 +39,12 @@ _CREATE_RE = re.compile(
 
 def strip_comments(sql: str) -> str:
     """Remove ``--`` line comments and ``/* */`` block comments (quote-naive on
-    purpose: the reference's scripts never embed comment markers in literals)."""
-    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.DOTALL)
+    purpose: the reference's scripts never embed comment markers in literals).
+    ``/*+ ... */`` optimizer HINTS are kept — they are instructions to the
+    planner (join strategy, broadcast), not commentary, and scripts rely on
+    them to broadcast config-derived sides whose size estimates are
+    pessimistic (see queries_elt's stage 6b/8)."""
+    sql = re.sub(r"/\*(?!\+).*?\*/", " ", sql, flags=re.DOTALL)
     return re.sub(r"--[^\n]*", "", sql)
 
 

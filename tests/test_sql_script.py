@@ -22,6 +22,17 @@ def test_strip_comments():
     assert "trailing" not in cleaned and "block" not in cleaned
 
 
+def test_strip_comments_preserves_optimizer_hints():
+    """``/*+ ... */`` is a planner instruction, not commentary: scripts use
+    BROADCAST hints on config-derived join sides whose size estimates are
+    pessimistic (queries_elt stages 6b/8), so stripping them would silently
+    reintroduce four full-fact sort-merge shuffles on a 2-value key."""
+    sql = "SELECT /*+ BROADCAST(v) */ a /* gone */ FROM t v -- note"
+    cleaned = strip_comments(sql)
+    assert "/*+ BROADCAST(v) */" in cleaned
+    assert "gone" not in cleaned and "note" not in cleaned
+
+
 def test_render_literal():
     assert render_literal(["a", "b"]) == "('a', 'b')"
     assert render_literal("o'hare") == "'o''hare'"
