@@ -312,14 +312,24 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     query_id_col: str | None = None,
+    centroids=None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-centroid
     cell; each query scans only its ``n_probe`` nearest cells. Exact cosine +
     window top-k within the candidate set (same ranking contract as the brute
     force). Recall rises toward 1 as n_probe → n_cells; pytest pins it against
-    :func:`cosine_topk_bruteforce`."""
+    :func:`cosine_topk_bruteforce`.
+
+    ``centroids``: pass a matrix from :func:`train_ivf_centroids` to reuse a
+    coarse quantizer across sibling indexes (training is deterministic in
+    (corpus, n_cells, seed), so sharing changes nothing — it only skips the
+    duplicate sample-and-train job)."""
     query_id_col = query_id_col or id_col
-    cents = train_ivf_centroids(corpus, id_col, vec_col, n_cells=n_cells)
+    cents = (
+        train_ivf_centroids(corpus, id_col, vec_col, n_cells=n_cells)
+        if centroids is None
+        else centroids
+    )
     assign1 = _cell_assigner(cents, 1)
     probe = _cell_assigner(cents, n_probe)
     c = corpus.select(
@@ -451,6 +461,7 @@ def ivf_pq_topk(
     nbits: int = 8,
     refine: int = 4,
     query_id_col: str | None = None,
+    centroids=None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — :func:`ivf_topk` with the scan side
     quantized to ``m`` bytes/vector and an EXACT re-rank:
@@ -472,7 +483,11 @@ def ivf_pq_topk(
     broadcast semi-join. Same output contract as
     :func:`cosine_topk_bruteforce`."""
     query_id_col = query_id_col or id_col
-    cents = train_ivf_centroids(corpus, id_col, vec_col, n_cells=n_cells)
+    cents = (
+        train_ivf_centroids(corpus, id_col, vec_col, n_cells=n_cells)
+        if centroids is None
+        else centroids
+    )
     books = train_pq_codebooks(corpus, id_col, vec_col, m=m, nbits=nbits)
     assign1 = _cell_assigner(cents, 1)
     probe = _cell_assigner(cents, n_probe)
