@@ -847,7 +847,12 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_gate = VS.recall_gate(pq, exact, k=10, bound=_IVF_RECALL_BOUND).select(
         "query_id", F.col("recall_floor").alias("pq_recall_floor")
     )
-    return ivf_gate.join(pq_gate, "query_id").select(
+    # broadcast: one row per query (5 at any scale — the query set is the
+    # fixed vec_id < 5 slice), but the gate sides sit behind window/agg
+    # chains whose size estimates keep the planner on a sort-merge join
+    from pyspark.sql.functions import broadcast as _bc
+
+    return ivf_gate.join(_bc(pq_gate), "query_id").select(
         "query_id", "k", "recall_floor", "pq_recall_floor"
     )
 
