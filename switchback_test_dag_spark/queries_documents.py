@@ -915,7 +915,20 @@ def _fanout_docs(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df.repartition(int(target)) if target > 1 else df
 
 
-def _media_bmp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _suite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, source) sliver every per-format branch fans out over.
+    ``media_decode_suite`` builds it ONCE and passes it to all eight
+    branches: the row-count job inside ``_fanout_docs`` and the documents
+    scan otherwise re-ran once per branch — nine near-identical count jobs
+    per suite evaluation for the same number (guide §1.2: don't compute
+    things you throw away). Branch helpers keep the ``docs=None`` default so
+    they stay independently callable."""
+    return _fanout_docs(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    )
+
+
+def _media_bmp_agg(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """The multimodal component's REAL image codec path (superseding the
     payload-byte-accounting query, whose octet_length aggregates it absorbs):
     per-document BMP payloads (canonical 24-bit bottom-up BI_RGB bytes with
@@ -932,9 +945,7 @@ def _media_bmp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode_bmp_features,
     )
 
-    docs = _fanout_docs(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    )
+    docs = _suite_docs(spark, sf_dir) if docs is None else docs
     feats = synth_decode_bmp_features(docs, "doc_id")
     joined = feats.join(docs, feats.media_id == docs.doc_id)
     return joined.groupBy("source").agg(
@@ -977,7 +988,7 @@ _DUCK_WAV_AGG = """
        FROM wav_per GROUP BY source"""
 
 
-def _media_wav_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _media_wav_agg(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """The multimodal component's REAL codec path: per-document WAV payloads
     (spec-conformant RIFF PCM16 bytes, stdlib-``wave``-readable — see
     multimodal/wav.py) are decoded by the chunk-walking parser inside
@@ -991,9 +1002,7 @@ def _media_wav_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode_wav_features,
     )
 
-    docs = _fanout_docs(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    )
+    docs = _suite_docs(spark, sf_dir) if docs is None else docs
     feats = synth_decode_wav_features(
         docs, "doc_id", n_samples=256, sample_rate=8000
     )
@@ -1044,7 +1053,7 @@ _DUCK_PNG_AGG = """
        FROM png_per GROUP BY source"""
 
 
-def _media_png_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _media_png_agg(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """The multimodal component's entropy-coded image path: per-document PNG
     payloads (real 8-bit truecolor files, stdlib-zlib DEFLATE, scanline
     filters cycling through all five types — multimodal/png.py) are decoded
@@ -1062,9 +1071,7 @@ def _media_png_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode_png_features,
     )
 
-    docs = _fanout_docs(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    )
+    docs = _suite_docs(spark, sf_dir) if docs is None else docs
     feats = synth_decode_png_features(docs, "doc_id")
     joined = feats.join(docs, feats.media_id == docs.doc_id)
     return joined.groupBy("source").agg(
@@ -1116,7 +1123,7 @@ _DUCK_AVI_AGG = """
        FROM avi_per GROUP BY source"""
 
 
-def _media_avi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _media_avi_agg(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """The multimodal component's REAL video path in the driver-oracled suite:
     per-document AVI payloads (6 deterministic 8×6 RGB frames through the
     uncompressed-DIB writer — multimodal/avi.py) are decoded by the real
@@ -1130,9 +1137,7 @@ def _media_avi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode_avi_features,
     )
 
-    docs = _fanout_docs(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    )
+    docs = _suite_docs(spark, sf_dir) if docs is None else docs
     feats = synth_decode_avi_features(
         docs, "doc_id", n_frames=6, width=8, height=6
     )
@@ -1178,7 +1183,7 @@ _DUCK_M1V_AGG = """
        FROM documents GROUP BY source"""
 
 
-def _media_m1v_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _media_m1v_agg(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """Intra-only MPEG-1 (round 13, ``multimodal/mpeg1.py``) in the
     driver-oracled suite: per-document payloads — raw video elementary
     streams on odd ids, minimal MPEG-1 PROGRAM STREAMS on even ids, so the
@@ -1191,9 +1196,7 @@ def _media_m1v_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode_mpeg1_features,
     )
 
-    docs = _fanout_docs(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    )
+    docs = _suite_docs(spark, sf_dir) if docs is None else docs
     feats = synth_decode_mpeg1_features(docs, "doc_id", qscale=2)
     joined = feats.join(docs, feats.media_id == docs.doc_id)
     return joined.groupBy("source").agg(
@@ -1206,7 +1209,7 @@ def _media_m1v_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _media_mjpb_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _media_mjpb_agg(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """Motion-JPEG-B (QuickTime's MARKER-LESS MJPEG layout, fourcc 'mjpb')
     in the driver-oracled suite: per-document AVI payloads whose every frame
     is an offset-table-headed, UNSTUFFED-scan MJPEG-B field
@@ -1219,9 +1222,7 @@ def _media_mjpb_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode_mjpegb_avi_features,
     )
 
-    docs = _fanout_docs(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    )
+    docs = _suite_docs(spark, sf_dir) if docs is None else docs
     feats = synth_decode_mjpegb_avi_features(docs, "doc_id", quality=90)
     joined = feats.join(docs, feats.media_id == docs.doc_id)
     return joined.groupBy("source").agg(
@@ -1234,7 +1235,7 @@ def _media_mjpb_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _media_mjpg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _media_mjpg_agg(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """COMPRESSED video in the driver-oracled suite: per-document MJPEG AVI
     payloads (variable geometry and frame count, closed-form per doc_id;
     each frame a real baseline JPEG inside a real RIFF container —
@@ -1249,9 +1250,7 @@ def _media_mjpg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode_mjpeg_avi_features,
     )
 
-    docs = _fanout_docs(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    )
+    docs = _suite_docs(spark, sf_dir) if docs is None else docs
     feats = synth_decode_mjpeg_avi_features(docs, "doc_id", quality=90)
     joined = feats.join(docs, feats.media_id == docs.doc_id)
     return joined.groupBy("source").agg(
@@ -1277,7 +1276,7 @@ _DUCK_JPEG_AGG = """
        FROM jpeg_dims GROUP BY source"""
 
 
-def _media_jpeg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _media_jpeg_agg(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """The lossy-codec path's driver-oracled slice: per-document baseline JPEG
     payloads (optimal-Huffman encoder, multimodal/jpeg.py) are decoded by the
     FULL entropy-decode + dequantize + IDCT parser inside ``mapInPandas``;
@@ -1293,9 +1292,7 @@ def _media_jpeg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode_jpeg_features,
     )
 
-    docs = _fanout_docs(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    )
+    docs = _suite_docs(spark, sf_dir) if docs is None else docs
     feats = synth_decode_jpeg_features(docs, "doc_id", quality=90)
     joined = feats.join(docs, feats.media_id == docs.doc_id)
     return joined.groupBy("source").agg(
@@ -1571,6 +1568,7 @@ def media_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real) runs once per consumer
     from switchback_test_dag_spark.caching import pin as _pin
 
+    docs = _suite_docs(spark, sf_dir)
     disp = _pin(_media_dispatch_agg(spark, sf_dir))
     disp_dims = disp.select(
         F.concat(F.lit("dispatch_"), F.col("fmt")).alias("fmt"),
@@ -1591,14 +1589,14 @@ def media_decode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        _unpivot_metrics(_media_bmp_agg(spark, sf_dir), "bmp")
-        .unionByName(_unpivot_metrics(_media_wav_agg(spark, sf_dir), "wav"))
-        .unionByName(_unpivot_metrics(_media_png_agg(spark, sf_dir), "png"))
-        .unionByName(_unpivot_metrics(_media_avi_agg(spark, sf_dir), "avi"))
-        .unionByName(_unpivot_metrics(_media_jpeg_agg(spark, sf_dir), "jpeg"))
-        .unionByName(_unpivot_metrics(_media_mjpg_agg(spark, sf_dir), "mjpg"))
-        .unionByName(_unpivot_metrics(_media_mjpb_agg(spark, sf_dir), "mjpb"))
-        .unionByName(_unpivot_metrics(_media_m1v_agg(spark, sf_dir), "m1v"))
+        _unpivot_metrics(_media_bmp_agg(spark, sf_dir, docs), "bmp")
+        .unionByName(_unpivot_metrics(_media_wav_agg(spark, sf_dir, docs), "wav"))
+        .unionByName(_unpivot_metrics(_media_png_agg(spark, sf_dir, docs), "png"))
+        .unionByName(_unpivot_metrics(_media_avi_agg(spark, sf_dir, docs), "avi"))
+        .unionByName(_unpivot_metrics(_media_jpeg_agg(spark, sf_dir, docs), "jpeg"))
+        .unionByName(_unpivot_metrics(_media_mjpg_agg(spark, sf_dir, docs), "mjpg"))
+        .unionByName(_unpivot_metrics(_media_mjpb_agg(spark, sf_dir, docs), "mjpb"))
+        .unionByName(_unpivot_metrics(_media_m1v_agg(spark, sf_dir, docs), "m1v"))
         .unionByName(disp_dims)
         .unionByName(disp_n)
     )
