@@ -79,7 +79,8 @@ def _with_stratum_rank(
     their own stratum (groupBy semantics): the offset join is null-safe.
     """
     hashed = df.withColumn(_H, _permutation_hash(id_col, seed, portable))
-    return _with_key_rank(hashed, strata, id_col, rank_col).drop(_H)
+    # _with_key_rank already projects _H away — no trailing drop needed
+    return _with_key_rank(hashed, strata, id_col, rank_col)
 
 
 def _with_key_rank(
@@ -126,19 +127,22 @@ def _with_key_rank(
         .orderBy(_PID)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offs = ptot.withColumn(_OFF, F.coalesce(F.sum("_pc").over(off_w), F.lit(0)))
-    offs = offs.select(
+    # single-select fusions (here and in the return): every DataFrame
+    # transformation is an eagerly-analyzed Dataset creation, and on a deep
+    # upstream tree each analysis pass re-walks (and, at joins of branches
+    # sharing a relation, re-copies) that whole tree — fused selects halve
+    # the number of passes without changing the plan Catalyst ends up with
+    offs = ptot.select(
         F.col(_PID).alias(_OPID),
         *[F.col(c).alias(f"_sgs_s{i}") for i, c in enumerate(strata)],
-        _OFF,
+        F.coalesce(F.sum("_pc").over(off_w), F.lit(0)).alias(_OFF),
     )
     cond = F.col(_PID) == F.col(_OPID)
     for i, c in enumerate(strata):
         cond = cond & F.col(c).eqNullSafe(F.col(f"_sgs_s{i}"))
-    return (
-        local.join(broadcast(offs), cond)
-        .withColumn(rank_col, (F.col(_LRK) + F.col(_OFF)).cast("int"))
-        .drop(_H, _PID, _LRK, _OPID, _OFF, *[f"_sgs_s{i}" for i in range(len(strata))])
+    keep = [c for c in hashed.columns if c != _H]
+    return local.join(broadcast(offs), cond).select(
+        *keep, (F.col(_LRK) + F.col(_OFF)).cast("int").alias(rank_col)
     )
 
 
@@ -226,17 +230,18 @@ def weighted_priority_sample(
         f"CAST(_wps_w div _wps_a AS DECIMAL(38,0)) * {_PRI_SCALE}"
         f" + CAST(_wps_w % _wps_a AS DECIMAL(38,0)) * {_PRI_SCALE} div _wps_a"
     )
+    # fused: two selects instead of three withColumns + a drop — each saved
+    # transformation is one fewer analyzer pass over the caller's (often
+    # deep) upstream tree; _wps_w/_wps_a exist only inside the inner select
     eligible = (
         df.filter(w.isNotNull() & (w > 0))
-        .withColumn("_wps_w", w)
-        .withColumn("_wps_a", a)
-        .withColumn(_H, -pri)
-        .drop("_wps_w", "_wps_a")
+        .select("*", w.alias("_wps_w"), a.alias("_wps_a"))
+        .select(*df.columns, (-pri).alias(_H))
     )
     return (
         _with_key_rank(eligible, strata, id_col)
         .filter(F.col("_rk") <= k)
-        .drop("_rk", _H)
+        .drop("_rk")
     )
 
 
@@ -268,9 +273,9 @@ def stratified_fraction_sample(
             frac = F.when(F.col(strata[0]) == key, F.lit(float(f))).otherwise(frac)
     else:
         frac = F.lit(float(fractions))
-    targets = counts.withColumn(
-        "_target", F.floor(F.col("_n") * frac + 0.5).cast("long")
-    ).drop("_n")
+    targets = counts.select(
+        *strata, F.floor(F.col("_n") * frac + 0.5).cast("long").alias("_target")
+    )
     with_target = df.join(broadcast(targets), on=list(strata))
     return (
         _with_stratum_rank(with_target, strata, id_col, seed, portable)

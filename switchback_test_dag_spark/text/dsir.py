@@ -391,9 +391,7 @@ def dsir_select(
         cond = F.lit(True)
         for i, c in enumerate(strata):
             cond = cond & F.col(c).eqNullSafe(F.col(f"_dsir_s{i}"))
-        shifted = weights.join(broadcast(mx), cond).drop(
-            *[f"_dsir_s{i}" for i in range(len(strata))]
-        )
+        shifted = weights.join(broadcast(mx), cond)
         mx_col = F.col("_dsir_mx")
     else:
         row = weights.agg(F.max("log_weight_fp").alias("m")).collect()[0]
@@ -409,7 +407,9 @@ def dsir_select(
         ).cast("long")
         + 1
     )
-    eligible = shifted.withColumn("weight", w).drop("_dsir_mx")
+    # fused single select (vs join-side drop + withColumn + drop): three
+    # fewer analyzer passes over the corpus-weight tree
+    eligible = shifted.select(*weights.columns, w.alias("weight"))
     from switchback_test_dag_spark.plans.sampling import weighted_priority_sample
 
     return weighted_priority_sample(

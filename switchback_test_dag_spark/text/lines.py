@@ -108,14 +108,17 @@ def _reassembled(
             lambda s: s[_SEG],
         ).alias("_lseg_out")
     )
+    # fused single select (vs withColumn + drop): one fewer analyzer pass
+    # over the caller's upstream tree per reassembly
     return (
         docs.drop(segs_col)
         .join(rebuilt, id_col, "left")
-        .withColumn(
-            segs_col,
-            F.coalesce("_lseg_out", F.array().cast("array<string>")),
+        .select(
+            *[c for c in docs.columns if c != segs_col],
+            F.coalesce(
+                "_lseg_out", F.array().cast("array<string>")
+            ).alias(segs_col),
         )
-        .drop("_lseg_out")
     )
 
 
