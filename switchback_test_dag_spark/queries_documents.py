@@ -1869,7 +1869,7 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       (k=5 per source, seed 29), membership pinned as (count, id-hash) with
       the quantization AND the sampler's integer priority replayed in the
       oracle's dssel window."""
-    from switchback_test_dag_spark.caching import pin
+    from switchback_test_dag_spark.caching import barrier as pin
     from switchback_test_dag_spark.text import lines as LN
     from switchback_test_dag_spark.text.pipeline import clean_corpus
 
@@ -2028,13 +2028,32 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(id_hash40).cast("long").alias("dsir_sel_id_hash"),
     )
 
+    # the n_wsample coalesce rides the final select instead of a mid-chain
+    # withColumn — one fewer analyzer pass over the full-pipeline tree
     return (
         stats.join(F.broadcast(wagg), "source", "left")
-        .withColumn("n_wsample", F.coalesce("n_wsample", F.lit(0)).cast("long"))
         .join(F.broadcast(seg_tot), "source", "left")
         .join(F.broadcast(seg_first), "source", "left")
         .join(F.broadcast(seg_boiler), "source", "left")
         .join(F.broadcast(dsagg), "source", "left")
         .join(F.broadcast(selagg), "source", "left")
+        .select(
+            "source",
+            "n_kept",
+            "avg_quality",
+            "n_contam",
+            F.coalesce("n_wsample", F.lit(0)).cast("long").alias("n_wsample"),
+            "wsample_id_hash",
+            "n_seg_occurrences",
+            "n_kept_first",
+            "first_text_hash",
+            "n_kept_boiler",
+            "boiler_text_hash",
+            "n_dsir_scored",
+            "avg_dsir_log_weight",
+            "dsir_top_id_hash",
+            "n_dsir_selected",
+            "dsir_sel_id_hash",
+        )
     )
 

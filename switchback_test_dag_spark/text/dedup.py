@@ -37,7 +37,16 @@ from switchback_test_dag_spark.text.analysis import content_fingerprint, word_sh
 # releasable: repeated invocations (benchmark loops, long-lived services)
 # would otherwise accumulate cached blocks for the session's lifetime. Pins
 # live in the session-wide registry (caching.py).
-from switchback_test_dag_spark.caching import pin as _persist  # noqa: E402
+# barrier (localCheckpoint), not persist: every _persist site here feeds a
+# SELF-join or several consumers, and a persisted frame still embeds its full
+# logical lineage once per reference — the analyzer then deep-copies one side
+# of each such join (DeduplicateRelations), so plan size and per-
+# transformation analysis cost compound multiplicatively down a pipeline
+# (doc_ngram_jaccard_pairs alone reached 742 plan operators / 48 leaf scans
+# of `documents`). The barrier truncates the plan at the pinned frame; the
+# materialized data and release discipline are unchanged (caching.barrier
+# docstring records the fault-tolerance trade).
+from switchback_test_dag_spark.caching import barrier as _persist  # noqa: E402
 from switchback_test_dag_spark.caching import release_all as release_caches  # noqa: E402,F401
 
 
@@ -1544,7 +1553,13 @@ def minhash_pairs_vs_index(
         cand_texts = texts.join(
             ids.withColumnRenamed("doc", id_col), on=id_col, how="left_semi"
         )
-        shingled = _persist(
+        # plain persist, NOT the plan-truncating barrier: the pushed IN
+        # filter on the texts parquet scan is a plan-pinned scale contract
+        # (tests assert it from the RETURNED plan), and the candidate-texts
+        # tree is small — no re-reference blowup to truncate here
+        from switchback_test_dag_spark.caching import pin as _cache_pin
+
+        shingled = _cache_pin(
             _shingle_hash_frame(cand_texts, id_col, text_col, shingle_n, par)
         )
         sh_a = shingled.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))

@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from switchback_test_dag_spark.caching import pin
+# barrier, not persist: each pinned frame here is consumed by several
+# downstream branches (and the dedup stage self-joins), so a lazy persist
+# keeps the full lineage in every reference and the analyzer's duplicate-
+# relation copies compound down the chain — the barrier truncates the plan
+# at each stage boundary (see caching.barrier)
+from switchback_test_dag_spark.caching import barrier as pin
 from switchback_test_dag_spark.text import analysis as TA
 from switchback_test_dag_spark.text import decontaminate as DC
 from switchback_test_dag_spark.text import dedup as TD
@@ -140,10 +145,10 @@ def clean_corpus(
             else LN.dedup_segments(seg, id_col, "_cc_segs")
         )
         scrubbed = pin(
-            kept_segs
-            .withColumn(text_col, F.concat_ws(rejoin_sep, "_cc_segs"))
-            .drop("_cc_segs")
-            .filter(F.col(text_col) != "")
+            kept_segs.select(
+                *[c for c in kept_segs.columns if c != "_cc_segs"],
+                F.concat_ws(rejoin_sep, "_cc_segs").alias(text_col),
+            ).filter(F.col(text_col) != "")
         )
     if span_policy == "remove":
         scrubbed = pin(
@@ -174,8 +179,11 @@ def clean_corpus(
     )
     # pinned: survivor stats and any downstream selection each evaluate this
     # frame, and every evaluation would replay the Jaccard/decon subtrees
+    # fused single select (vs withColumn + drop): the join output's tree is
+    # the entire pipeline — every extra transformation re-walks it
     return pin(
-        kept2.join(bad, id_col, "left").withColumn(
-            "contaminated", F.coalesce("_cc_contam", F.lit(False))
-        ).drop("_cc_contam")
+        kept2.join(bad, id_col, "left").select(
+            *kept2.columns,
+            F.coalesce("_cc_contam", F.lit(False)).alias("contaminated"),
+        )
     )

@@ -226,15 +226,13 @@ def test_winnow_plan_shares_fingerprint_scan(spark, sf_dir):
     # all-JVM arrays, no cartesian
     try:
         plan = _plan(spark, "doc_winnow_pairs", sf_dir)
-        # the pair self-join reads the PERSISTED capped-postings frame on
-        # both sides (the df-cap stage — postings scan + rare-fingerprint
-        # count + join — used to re-run once per side). The printed text
-        # repeats each cached relation's child description, so the count is
-        # 6: 2 top-level capped reads, each printing its 2 inner fps-cache
-        # reads. What matters at runtime: md5/winnowing and the documents
-        # scan run once, at fps materialization; the cap stage once, at
-        # capped-frame materialization.
-        assert plan.count("InMemoryTableScan") == 6
+        # the pair self-join reads the BARRIERED capped-postings frame on
+        # both sides (caching.barrier: the frame is materialized once and
+        # the returned plan is rooted at the checkpointed RDD, so the
+        # md5/winnowing work, the documents scan, and the df-cap stage can
+        # never replay per side — they are not even IN this plan anymore)
+        assert plan.count("Scan ExistingRDD") >= 2
+        assert "Scan parquet" not in plan  # documents scanned only at the barrier
         assert "CartesianProduct" not in plan
         assert "EvalPython" not in plan
     finally:
@@ -530,3 +528,42 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert z_x <= 8 and z_y <= 8, (z_x, z_y)
     # and nothing was lost in the re-layout
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_barrier_truncates_plan_and_releases_rdd(spark):
+    """caching.barrier — the plan-size primitive behind the dedup/pipeline
+    pins: (1) rows match the plain-pin path exactly; (2) the returned frame
+    is rooted at a LogicalRDD LEAF, so a self-join of the barriered frame
+    analyzes O(1) nodes instead of copying the upstream lineage per side;
+    (3) release_all unpersists the checkpointed RDD (a checkpointed frame is
+    invisible to the CacheManager — DataFrame.unpersist alone would leak)."""
+    from switchback_test_dag_spark.caching import barrier, pin, release_all
+
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 3).alias("v")
+    )
+    chained = base.filter(F.col("v") % 2 == 0).groupBy("k").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    expected = {(r["k"], r["s"], r["n"]) for r in pin(chained).collect()}
+    release_all()
+
+    b = barrier(chained)
+    plan = b._jdf.queryExecution().logical()
+    assert plan.getClass().getSimpleName() == "LogicalRDD"
+    assert plan.children().size() == 0  # a leaf: downstream ops walk O(1)
+    # self-join of the barriered frame: no upstream copy, no parquet/range
+    # re-scan in the final plan
+    joined = b.alias("a").join(b.alias("b"), "k").where("a.s = b.s")
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in jplan and "Range (" not in jplan
+    assert {(r["k"], r["s"], r["n"]) for r in b.collect()} == expected
+
+    jrdd = plan.rdd()
+    b.count()  # materialize the checkpoint
+    assert jrdd.getStorageLevel().useMemory() or jrdd.getStorageLevel().useDisk()
+    release_all()
+    lvl = jrdd.getStorageLevel()
+    assert not (lvl.useMemory() or lvl.useDisk()), (
+        "release_all must unpersist the checkpointed RDD"
+    )
