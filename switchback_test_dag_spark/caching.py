@@ -22,10 +22,11 @@ def pin(df: DataFrame) -> DataFrame:
 
 
 def barrier(df: DataFrame) -> DataFrame:
-    """Pin ``df`` AND truncate its logical plan: ``localCheckpoint`` returns a
-    frame rooted at a ``LogicalRDD`` (a leaf), so downstream transformations
-    analyze an O(1) tree instead of re-walking — and, at self-joins, re-copying
-    — the whole upstream lineage.
+    """Pin ``df`` AND truncate its logical plan: persist as usual, then
+    return a frame rooted directly at the CacheManager's
+    ``InMemoryRelation`` — a LEAF — so downstream transformations analyze an
+    O(1) tree instead of re-walking — and, at self-joins, re-copying —
+    the whole upstream lineage.
 
     Why this exists next to :func:`pin`: persist() keeps the full logical
     plan, so a frame consumed by several branches (shingle postings feeding a
@@ -36,33 +37,39 @@ def barrier(df: DataFrame) -> DataFrame:
     (measured: the composed cleaning query reached 5,459 plan operators and
     369 leaf scans, ~10 s of driver-side construction at sf0.1; with barriers
     at the multiplication points it is a few hundred operators). The barrier
-    is evaluated per invocation — nothing survives across runs — and with
-    ``eager=False`` map-only subtrees stay fully lazy (AQE materializes only
-    the exchange stages of the subtree at construction).
+    is evaluated per invocation — nothing survives across runs.
 
-    Trade-off (documented, deliberate): a localCheckpoint is not fault-
-    tolerant — on a cluster, losing an executor that holds checkpointed
-    partitions fails the job instead of recomputing the lineage. Use
-    :func:`pin` for frames where recompute-on-loss or CacheManager plan
-    matching matters; use ``barrier`` for bounded intermediates whose
-    re-reference blowup dominates.
+    Unlike a ``localCheckpoint`` barrier (the first-cut implementation,
+    re-measured and rejected: +4 s executor CPU across the sf0.1 battery
+    from its per-row defensive copies and serial eager subtree jobs), the
+    re-rooted frame keeps persist()'s execution path bit-for-bit: nothing
+    runs at construction, the cache materializes inside the one downstream
+    action with normal stage pipelining, storage stays the columnar
+    compressed cache, fault tolerance stays recompute-on-loss, and release
+    is the ordinary ``unpersist`` — the registry holds the ORIGINAL
+    persisted frame.
 
-    Release: ``release_all``/``release_since`` unpersist the checkpointed
-    RDD directly (a checkpointed frame is invisible to the CacheManager, so
-    ``DataFrame.unpersist`` alone would leak it until GC)."""
-    out = df.localCheckpoint(eager=False)
-    _PINNED.append(out)
-    return out
+    The re-rooting reaches through py4j to ``CacheManager.lookupCachedData``
+    and ``Dataset.ofRows`` (stable-in-practice internals): if the running
+    Spark refuses, the plain persisted frame is returned — identical
+    semantics, only the plan-size optimization is lost."""
+    p = df.persist()
+    _PINNED.append(p)
+    try:
+        spark = df.sparkSession
+        jspark = spark._jsparkSession
+        cached = jspark.sharedState().cacheManager().lookupCachedData(p._jdf)
+        if cached.isDefined():
+            jout = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                jspark, cached.get().cachedRepresentation()
+            )
+            return DataFrame(jout, spark)
+    except Exception:  # noqa: BLE001 - fall back to the un-truncated pin
+        pass
+    return p
 
 
 def _release(df: DataFrame, blocking: bool) -> None:
-    try:
-        plan = df._jdf.queryExecution().logical()
-        if plan.getClass().getSimpleName() == "LogicalRDD":
-            plan.rdd().unpersist(blocking)
-            return
-    except Exception:  # noqa: BLE001 - fall through to the cache-manager path
-        pass
     df.unpersist(blocking)
 
 

@@ -37,15 +37,16 @@ from switchback_test_dag_spark.text.analysis import content_fingerprint, word_sh
 # releasable: repeated invocations (benchmark loops, long-lived services)
 # would otherwise accumulate cached blocks for the session's lifetime. Pins
 # live in the session-wide registry (caching.py).
-# barrier (localCheckpoint), not persist: every _persist site here feeds a
+# barrier (persist re-rooted at its InMemoryRelation), not plain persist:
+# every _persist site here feeds a
 # SELF-join or several consumers, and a persisted frame still embeds its full
 # logical lineage once per reference — the analyzer then deep-copies one side
 # of each such join (DeduplicateRelations), so plan size and per-
 # transformation analysis cost compound multiplicatively down a pipeline
 # (doc_ngram_jaccard_pairs alone reached 742 plan operators / 48 leaf scans
 # of `documents`). The barrier truncates the plan at the pinned frame; the
-# materialized data and release discipline are unchanged (caching.barrier
-# docstring records the fault-tolerance trade).
+# materialized data, execution path, and release discipline are persist()'s,
+# bit-for-bit (see caching.barrier).
 from switchback_test_dag_spark.caching import barrier as _persist  # noqa: E402
 from switchback_test_dag_spark.caching import release_all as release_caches  # noqa: E402,F401
 

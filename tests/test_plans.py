@@ -227,12 +227,12 @@ def test_winnow_plan_shares_fingerprint_scan(spark, sf_dir):
     try:
         plan = _plan(spark, "doc_winnow_pairs", sf_dir)
         # the pair self-join reads the BARRIERED capped-postings frame on
-        # both sides (caching.barrier: the frame is materialized once and
-        # the returned plan is rooted at the checkpointed RDD, so the
-        # md5/winnowing work, the documents scan, and the df-cap stage can
-        # never replay per side — they are not even IN this plan anymore)
-        assert plan.count("Scan ExistingRDD") >= 2
-        assert "Scan parquet" not in plan  # documents scanned only at the barrier
+        # both sides (caching.barrier: the frame is rooted directly at its
+        # InMemoryRelation, so the md5/winnowing work, the documents scan,
+        # and the df-cap stage materialize once and are served from cache
+        # per side; the parquet text below appears only inside the cached
+        # subtree's printed description)
+        assert plan.count("InMemoryTableScan") >= 2
         assert "CartesianProduct" not in plan
         assert "EvalPython" not in plan
     finally:
@@ -530,13 +530,13 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert spark.read.parquet(zpath).count() == n
 
 
-def test_barrier_truncates_plan_and_releases_rdd(spark):
+def test_barrier_truncates_plan_and_releases_cache(spark):
     """caching.barrier — the plan-size primitive behind the dedup/pipeline
     pins: (1) rows match the plain-pin path exactly; (2) the returned frame
-    is rooted at a LogicalRDD LEAF, so a self-join of the barriered frame
-    analyzes O(1) nodes instead of copying the upstream lineage per side;
-    (3) release_all unpersists the checkpointed RDD (a checkpointed frame is
-    invisible to the CacheManager — DataFrame.unpersist alone would leak)."""
+    is rooted directly at the CacheManager's InMemoryRelation LEAF, so a
+    self-join of the barriered frame analyzes O(1) nodes instead of copying
+    the upstream lineage per side; (3) release_all unpersists the underlying
+    cache entry (the registry holds the ORIGINAL persisted frame)."""
     from switchback_test_dag_spark.caching import barrier, pin, release_all
 
     base = spark.range(100).select(
@@ -550,20 +550,23 @@ def test_barrier_truncates_plan_and_releases_rdd(spark):
 
     b = barrier(chained)
     plan = b._jdf.queryExecution().logical()
-    assert plan.getClass().getSimpleName() == "LogicalRDD"
+    assert plan.getClass().getSimpleName() == "InMemoryRelation"
     assert plan.children().size() == 0  # a leaf: downstream ops walk O(1)
-    # self-join of the barriered frame: no upstream copy, no parquet/range
-    # re-scan in the final plan
+    # self-join of the barriered frame: the analyzed tree holds exactly the
+    # two cache leaves — the upstream lineage (range/filter/aggregate) is
+    # not IN this plan, so DeduplicateRelations has nothing to deep-copy
     joined = b.alias("a").join(b.alias("b"), "k").where("a.s = b.s")
+    leaves = joined._jdf.queryExecution().analyzed().collectLeaves()
+    assert leaves.size() == 2
+    for i in range(2):
+        assert leaves.apply(i).getClass().getSimpleName() == "InMemoryRelation"
     jplan = joined._jdf.queryExecution().executedPlan().toString()
-    assert "Scan ExistingRDD" in jplan and "Range (" not in jplan
+    assert jplan.count("InMemoryTableScan") == 2
     assert {(r["k"], r["s"], r["n"]) for r in b.collect()} == expected
 
-    jrdd = plan.rdd()
-    b.count()  # materialize the checkpoint
-    assert jrdd.getStorageLevel().useMemory() or jrdd.getStorageLevel().useDisk()
+    # the cache is registered (and therefore releasable) through the
+    # CacheManager; release_all must leave it empty, not leak the entry
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert not cm.isEmpty()
     release_all()
-    lvl = jrdd.getStorageLevel()
-    assert not (lvl.useMemory() or lvl.useDisk()), (
-        "release_all must unpersist the checkpointed RDD"
-    )
+    assert cm.isEmpty(), "release_all must unpersist the barriered cache entry"
