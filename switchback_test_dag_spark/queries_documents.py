@@ -826,11 +826,16 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     50-query correctness window — the same-grain-suite pattern."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    # ONE coarse-quantizer training shared by both indexes: the trainer is
-    # deterministic in (corpus, n_cells, seed), so the IVF and IVF-PQ cells
-    # are identical either way — sharing only removes the duplicate
-    # sample-and-train job (a corpus-wide TakeOrdered + driver k-means)
-    cents = VS.train_ivf_centroids(emb, "vec_id", "embedding", n_cells=8)
+    # ONE training-sample fetch and ONE coarse-quantizer training shared by
+    # both indexes: the trainers are deterministic in (corpus, params, seed)
+    # and define their sample identically, so sharing changes nothing — it
+    # removes the duplicate corpus-wide TakeOrdered + driver transfer (the
+    # PQ codebooks previously re-fetched the same 4096-vector sample) and
+    # the duplicate driver k-means
+    smp = VS.train_sample_matrix(emb, "vec_id", "embedding")
+    cents = VS.train_ivf_centroids(
+        emb, "vec_id", "embedding", n_cells=8, sample=smp
+    )
     approx = VS.ivf_topk(
         emb, queries_df, "vec_id", "embedding", k=10, n_cells=8, n_probe=5,
         centroids=cents,
@@ -838,6 +843,7 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = VS.ivf_pq_topk(
         emb, queries_df, "vec_id", "embedding",
         k=10, n_cells=8, n_probe=6, m=16, refine=8, centroids=cents,
+        sample=smp,
     )
     exact = VS.cosine_topk_bruteforce(emb, queries_df, "vec_id", "embedding", k=10)
     from switchback_test_dag_spark.caching import pin as _pin

@@ -232,6 +232,38 @@ def recall_gate(
     )
 
 
+def train_sample_matrix(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_size: int = 4096,
+    seed: int = 0,
+):
+    """The deterministic hash-ordered, unit-normalized training sample shared
+    by :func:`train_ivf_centroids` and :func:`train_pq_codebooks` — both
+    trainers define their sample identically (lowest ``xxhash64(id, seed)``
+    ids, ties by id, L2-normalized), so a caller building sibling indexes
+    (IVF + IVF-PQ over the same corpus) can fetch it ONCE and pass it to
+    each via ``sample=`` instead of paying a duplicate corpus-wide
+    TakeOrdered + driver transfer per trainer. Returns an
+    (n, dim) float64 unit-norm matrix."""
+    pdf = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
+        .limit(sample_size)
+        .toPandas()
+    )
+    if pdf.empty:
+        raise ValueError(
+            "IVF coarse quantizer cannot train on an empty corpus — "
+            "the index contract requires at least one vector"
+        )
+    x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0] = 1.0
+    return x / norms[:, None]
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -240,6 +272,7 @@ def train_ivf_centroids(
     sample_size: int = 4096,
     iters: int = 10,
     seed: int = 0,
+    sample=None,
 ):
     """Spherical k-means coarse quantizer trained on a deterministic sample.
 
@@ -255,22 +288,16 @@ def train_ivf_centroids(
     by max cosine and re-normalize means. Training is driver-side numpy on a
     *bounded* sample — identical to how faiss/ScaNN train IVF lists — so it
     stays O(sample · cells · iters) regardless of corpus size. Returns an
-    (n_cells, dim) float64 unit-norm matrix."""
-    pdf = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
-        .limit(sample_size)
-        .toPandas()
+    (n_cells, dim) float64 unit-norm matrix.
+
+    ``sample``: a precomputed :func:`train_sample_matrix` (same
+    sample_size/seed) to share the one sample fetch across sibling
+    trainers — bit-identical results, one fewer corpus job."""
+    x = (
+        train_sample_matrix(corpus, id_col, vec_col, sample_size, seed)
+        if sample is None
+        else sample
     )
-    if pdf.empty:
-        raise ValueError(
-            "IVF coarse quantizer cannot train on an empty corpus — "
-            "the index contract requires at least one vector"
-        )
-    x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(x, axis=1)
-    norms[norms == 0] = 1.0
-    x = x / norms[:, None]
     cents = x[: min(n_cells, len(x))].copy()
     for _ in range(iters):
         assign = (x @ cents.T).argmax(axis=1)
@@ -364,6 +391,7 @@ def train_pq_codebooks(
     sample_size: int = 4096,
     iters: int = 10,
     seed: int = 0,
+    sample=None,
 ):
     """Product-quantization codebooks (Jégou et al. 2011): split the
     unit-normalized vector into ``m`` contiguous subspaces and k-means each
@@ -385,25 +413,24 @@ def train_pq_codebooks(
     too weak for residuals to pay, and the exact re-rank in
     :func:`ivf_pq_topk` removes the approximation from reported scores
     either way. Returns an (m, 2**nbits, dim//m) float64 array; requires
-    dim % m == 0."""
-    pdf = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
-        .limit(sample_size)
-        .toPandas()
-    )
-    if pdf.empty:
-        raise ValueError(
-            "PQ codebooks cannot train on an empty corpus — the index "
-            "contract requires at least one vector"
-        )
-    x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    dim % m == 0.
+
+    ``sample``: a precomputed :func:`train_sample_matrix` (same
+    sample_size/seed) to share the one sample fetch with the coarse
+    quantizer — bit-identical results, one fewer corpus job."""
+    if sample is None:
+        try:
+            x = train_sample_matrix(corpus, id_col, vec_col, sample_size, seed)
+        except ValueError:
+            raise ValueError(
+                "PQ codebooks cannot train on an empty corpus — the index "
+                "contract requires at least one vector"
+            ) from None
+    else:
+        x = sample
     dim = x.shape[1]
     if dim % m != 0:
         raise ValueError(f"train_pq_codebooks: dim={dim} not divisible by m={m}")
-    norms = np.linalg.norm(x, axis=1)
-    norms[norms == 0] = 1.0
-    x = x / norms[:, None]
     dsub, ncent = dim // m, 1 << nbits
     books = np.zeros((m, ncent, dsub))
     for s in range(m):
@@ -462,6 +489,7 @@ def ivf_pq_topk(
     refine: int = 4,
     query_id_col: str | None = None,
     centroids=None,
+    sample=None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — :func:`ivf_topk` with the scan side
     quantized to ``m`` bytes/vector and an EXACT re-rank:
@@ -484,11 +512,15 @@ def ivf_pq_topk(
     :func:`cosine_topk_bruteforce`."""
     query_id_col = query_id_col or id_col
     cents = (
-        train_ivf_centroids(corpus, id_col, vec_col, n_cells=n_cells)
+        train_ivf_centroids(
+            corpus, id_col, vec_col, n_cells=n_cells, sample=sample
+        )
         if centroids is None
         else centroids
     )
-    books = train_pq_codebooks(corpus, id_col, vec_col, m=m, nbits=nbits)
+    books = train_pq_codebooks(
+        corpus, id_col, vec_col, m=m, nbits=nbits, sample=sample
+    )
     assign1 = _cell_assigner(cents, 1)
     probe = _cell_assigner(cents, n_probe)
     encode = _pq_encoder(books)
