@@ -367,16 +367,25 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal) is its own scan subtree — Catalyst does not dedupe common
     subtrees, and the span operators additionally explode the text to token
     grain internally (and pin a starts frame, so InMemoryTableScans appear in
-    the printed plan). All branches derive from the single loaded frame below
-    with column-pruned selects, so every extra scan reads only (doc_id,
-    source, text) — acceptable for an audit/profiling query; a production
-    pipeline would persist the pruned base once."""
-    docs = load_table(spark, sf_dir, "documents")
-    sample_base = docs.select("doc_id", "source")  # pruned scan for samplers
-    text_base = docs.select("doc_id", "text")  # pruned scan for span/rep ops
-    pk_base = docs.select(
+    the printed plan). All branches derive from ONE pinned pruned base —
+    ``caching.barrier`` persists the (doc_id, source, text) sliver and
+    re-roots every branch at the cache's ``InMemoryRelation`` leaf, so the
+    corpus parquet is scanned once (not once per branch) AND the analyzer
+    walks O(1) trees instead of re-copying the shared scan at each of the
+    seven branch joins (the DeduplicateRelations compounding measured in
+    OPTIMIZATION_r13.md §9; this query's assembly was ~1.8 s of driver-side
+    construction at sf0.1 before the barrier, ~0.5 s after)."""
+    from switchback_test_dag_spark.caching import barrier as _barrier
+
+    base = _barrier(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    docs = base
+    sample_base = base.select("doc_id", "source")  # pruned sliver for samplers
+    text_base = base.select("doc_id", "text")  # pruned sliver for span/rep ops
+    pk_base = base.select(
         "doc_id", "source", TA.token_count("text").cast("long").alias("_toks")
-    )  # pruned scan for the packing contract
+    )  # pruned sliver for the packing contract
     qs = TA.quality_score("text")
     lang = TA.lang_id("text")
     aug = F.when(
