@@ -442,10 +442,19 @@ def train_pq_codebooks(
             # min-L2 assignment via the expanded form (‖c‖² − 2⟨v,c⟩)
             d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (sub @ cents.T)
             assign = d2.argmin(axis=1)
+            # group rows by cluster once (stable sort keeps each cluster's
+            # rows in original order, so every slice below holds exactly the
+            # rows `sub[assign == c]` would — same values, same order, same
+            # np.mean → bit-identical centroids) instead of one O(n) boolean
+            # mask per centroid: the mask form cost ncent·n per iteration
+            # and dominated the trainer's driver CPU at m=16/ncent=256
+            order = np.argsort(assign, kind="stable")
+            sorted_sub = sub[order]
+            bounds = np.searchsorted(assign[order], np.arange(ncent + 1))
             for c in range(ncent):
-                members = sub[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
+                lo, hi = bounds[c], bounds[c + 1]
+                if hi > lo:
+                    cents[c] = sorted_sub[lo:hi].mean(axis=0)
         books[s] = cents
     return books
 
