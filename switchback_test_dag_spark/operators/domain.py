@@ -101,83 +101,70 @@ def synthesize_orders_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    secs = (
-        (F.col("l_orderkey") % 86400) * F.lit(2654435761)
-        + F.col("l_linenumber") * F.lit(97)
-    ) % F.lit(86400)
-    hr = F.floor(secs / F.lit(3600))
-    is_on_hour = (hr % 2) == 0
-    test_idx = F.col("o_custkey") % 2
-    gfv = F.col("l_extendedprice")
+    return df.selectExpr(*_FACT_EXPRS)
 
-    return df.select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("order_id"),
-        F.concat(F.lit("sb_test_"), test_idx.cast("string")).alias("test_name"),
-        F.when(F.col("o_custkey") % 10 == 0, F.lit("Non_TG"))
-        .otherwise(F.concat(F.lit("TG"), ((F.col("o_custkey") % 3) + 1).cast("string")))
-        .alias("target_group"),
-        F.timestamp_seconds(
-            (F.unix_timestamp("o_orderdate") + secs).cast("long")
-        ).alias("order_placed_at_local"),
-        F.col("sn_name").alias("zone_name_vendor"),
-        F.col("cn_name").alias("zone_name_customer"),
-        F.when(F.col("l_orderkey") % 97 == 0, F.lit(999))
-        .when(
-            test_idx == 0,
-            F.when(is_on_hour, F.lit(110) + (F.col("l_orderkey") % 2)).otherwise(
-                F.lit(120)
-            ),
-        )
-        .otherwise(
-            F.when(is_on_hour, F.lit(210)).otherwise(
-                F.lit(220) + (F.col("l_orderkey") % 2)
-            )
-        )
-        .cast("int")
-        .alias("scheme_id"),
-        (F.lit(2.5) + F.col("l_quantity") * F.lit(0.1)).alias(
-            "actual_df_paid_by_customer"
-        ),
-        gfv.alias("gfv_local"),
-        (gfv * (F.lit(1.0) + F.col("l_tax"))).alias("gmv_local"),
-        (gfv * F.col("l_discount")).alias("commission_local"),
-        F.when(F.col("l_orderkey") % 5 == 0, F.lit(1.5))
-        .otherwise(F.lit(0.0))
-        .alias("joker_vendor_fee_local"),
-        F.when(gfv >= 1000, F.lit(0.0)).otherwise(F.lit(1000.0) - gfv).alias(
-            "sof_local"
-        ),
-        F.lit(0.99).alias("service_fee_local"),
-        (F.lit(3.0) + F.col("l_quantity") * F.lit(0.15)).alias("delivery_costs_local"),
-        (
-            (F.lit(2.5) + F.col("l_quantity") * F.lit(0.1))
-            + gfv * F.col("l_discount")
-            + F.when(F.col("l_orderkey") % 5 == 0, F.lit(1.5)).otherwise(F.lit(0.0))
-            + F.lit(0.99)
-            + F.when(gfv >= 1000, F.lit(0.0)).otherwise(F.lit(1000.0) - gfv)
-        ).alias("revenue_local"),
-        (
-            (F.lit(2.5) + F.col("l_quantity") * F.lit(0.1))
-            + gfv * F.col("l_discount")
-            + F.when(F.col("l_orderkey") % 5 == 0, F.lit(1.5)).otherwise(F.lit(0.0))
-            + F.lit(0.99)
-            + F.when(gfv >= 1000, F.lit(0.0)).otherwise(F.lit(1000.0) - gfv)
-            - (F.lit(3.0) + F.col("l_quantity") * F.lit(0.15))
-        ).alias("gross_profit_local"),
-        F.when(F.col("l_linenumber") == 7, F.lit(None).cast("double"))
-        .otherwise(F.lit(5.0) + (F.col("l_partkey") % 100) * F.lit(0.3))
-        .alias("dps_mean_delay"),
-        F.when(F.col("l_partkey") % 11 == 0, F.lit(None).cast("double"))
-        .otherwise((F.col("l_partkey") % 5000).cast("double") + F.lit(200.0))
-        .alias("delivery_distance_m"),
-        F.when(F.col("l_suppkey") % 13 == 0, F.lit(None).cast("double"))
-        .otherwise(
-            F.lit(10.0)
-            + (F.col("l_orderkey") % 40).cast("double") * F.lit(0.7)
-            + F.col("l_linenumber").cast("double")
-        )
-        .alias("actual_DT"),
-    )
+
+# The wide projection as ONE selectExpr: the Column-by-Column build above it
+# replaced cost ~300 py4j round-trips PER QUERY BUILD (every F.col/F.lit/
+# operator/alias is a JVM call; the fact is rebuilt by each flagship-family
+# query evaluation — measured 1.5 s of driver-side construction inside
+# sb_mwu_pvalues at sf0.1). These strings parse JVM-side in one call into
+# the SAME expression trees: double literals carry the D suffix (a bare
+# `2.5` parses as DECIMAL in Spark SQL, but F.lit(2.5) was a double),
+# integer literals keep Python's int32/int64 split naturally (2654435761
+# exceeds int32 → BIGINT, matching F.lit), operator associativity is
+# left-to-right in both forms, and every CAST mirrors the old .cast().
+# Expression order continues to mirror ORACLE_FACT_CTE below so IEEE
+# doubles agree bit-for-bit with the DuckDB oracle (hash-verified).
+_FACT_SECS = (
+    "(((l_orderkey % 86400) * 2654435761 + l_linenumber * 97) % 86400)"
+)
+_FACT_ON_HOUR = f"(FLOOR({_FACT_SECS} / 3600) % 2) = 0"
+_FACT_REVENUE = (
+    "(2.5D + l_quantity * 0.1D)"
+    " + l_extendedprice * l_discount"
+    " + (CASE WHEN l_orderkey % 5 = 0 THEN 1.5D ELSE 0.0D END)"
+    " + 0.99D"
+    " + (CASE WHEN l_extendedprice >= 1000 THEN 0.0D"
+    "    ELSE 1000.0D - l_extendedprice END)"
+)
+_FACT_EXPRS = (
+    "l_orderkey * 10 + l_linenumber AS order_id",
+    "concat('sb_test_', CAST(o_custkey % 2 AS STRING)) AS test_name",
+    "CASE WHEN o_custkey % 10 = 0 THEN 'Non_TG'"
+    " ELSE concat('TG', CAST((o_custkey % 3) + 1 AS STRING)) END"
+    " AS target_group",
+    "timestamp_seconds(CAST(unix_timestamp(o_orderdate)"
+    f" + {_FACT_SECS} AS BIGINT)) AS order_placed_at_local",
+    "sn_name AS zone_name_vendor",
+    "cn_name AS zone_name_customer",
+    "CAST(CASE WHEN l_orderkey % 97 = 0 THEN 999"
+    f" WHEN o_custkey % 2 = 0 THEN (CASE WHEN {_FACT_ON_HOUR}"
+    "  THEN 110 + (l_orderkey % 2) ELSE 120 END)"
+    f" ELSE (CASE WHEN {_FACT_ON_HOUR}"
+    "  THEN 210 ELSE 220 + (l_orderkey % 2) END)"
+    " END AS INT) AS scheme_id",
+    "2.5D + l_quantity * 0.1D AS actual_df_paid_by_customer",
+    "l_extendedprice AS gfv_local",
+    "l_extendedprice * (1.0D + l_tax) AS gmv_local",
+    "l_extendedprice * l_discount AS commission_local",
+    "CASE WHEN l_orderkey % 5 = 0 THEN 1.5D ELSE 0.0D END"
+    " AS joker_vendor_fee_local",
+    "CASE WHEN l_extendedprice >= 1000 THEN 0.0D"
+    " ELSE 1000.0D - l_extendedprice END AS sof_local",
+    "0.99D AS service_fee_local",
+    "3.0D + l_quantity * 0.15D AS delivery_costs_local",
+    f"{_FACT_REVENUE} AS revenue_local",
+    f"{_FACT_REVENUE} - (3.0D + l_quantity * 0.15D) AS gross_profit_local",
+    "CASE WHEN l_linenumber = 7 THEN CAST(NULL AS DOUBLE)"
+    " ELSE 5.0D + (l_partkey % 100) * 0.3D END AS dps_mean_delay",
+    "CASE WHEN l_partkey % 11 = 0 THEN CAST(NULL AS DOUBLE)"
+    " ELSE CAST(l_partkey % 5000 AS DOUBLE) + 200.0D END"
+    " AS delivery_distance_m",
+    "CASE WHEN l_suppkey % 13 = 0 THEN CAST(NULL AS DOUBLE)"
+    " ELSE 10.0D + CAST(l_orderkey % 40 AS DOUBLE) * 0.7D"
+    " + CAST(l_linenumber AS DOUBLE) END AS actual_DT",
+)
 
 
 # The same synthesis as a DuckDB CTE (oracle side). Expression order mirrors the
