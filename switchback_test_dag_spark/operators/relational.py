@@ -155,22 +155,20 @@ def exact_quantiles(
         wide_groups = not by
     vals = df.filter(F.col(value_col).isNotNull()).select(*by, value_col)
     if not wide_groups:
-        # ONE full-data exchange for the whole pipeline (guide §2.4): hash-
-        # partition by the GROUP keys up front, so the distinct-count
-        # aggregate (grouping keys ⊇ the partition keys), both windows
-        # (same keys) and the final neighbor aggregate (same keys) all
-        # reuse this single Exchange. The previous shape let groupBy pick
-        # its own (by, value) exchange and then paid a SECOND full-data
-        # shuffle to reach the window's (by) partitioning (measured at
-        # sf0.1: 6.8 MB + 5.5 MB back to back for the same 594k rows).
-        # Map-side tie-collapse moves behind the exchange — shuffle bytes
-        # are identical for near-unique doubles (the KPI case) and executor
-        # memory stays bounded either way, because the collapse still
-        # happens before the window buffers anything. Empty ``by`` (callers
-        # forcing wide_groups=False) keeps the degenerate single-partition
-        # window and needs no repartition.
-        src = vals.repartition(*by) if by else vals
-        counts = src.groupBy(*by, value_col).agg(F.count(F.lit(1)).alias("_c"))
+        # Two exchanges, deliberately. The distinct-count aggregate keys on
+        # (by, value) — HIGH cardinality — so its hash exchange spreads the
+        # raw-row scan over every core with map-side tie-collapse; the
+        # window's (by) exchange then moves only the already-distinct rows.
+        # A shared single exchange on the GROUP keys alone (hash-partition
+        # first, reuse for aggregate + windows + final agg) was tried and
+        # REVERTED: with low-cardinality ``by`` it lands all raw rows on
+        # ≤|groups| tasks, so the heavy aggregate loses its parallelism and
+        # its partial (map-side) reduction — measured at 100× scale
+        # (sf10, back-to-back same-window A/B): executor CPU 78 → 112 s,
+        # wall 14 → 24 s for the IQR query. The second exchange is the
+        # cheap one (distinct rows only); the aggregate's width is what
+        # scales.
+        counts = vals.groupBy(*by, value_col).agg(F.count(F.lit(1)).alias("_c"))
         w = Window.partitionBy(*by).orderBy(value_col)
         cum = counts.withColumn("_cum", F.sum("_c").over(w))
         # _n per group is the group's LAST cumulative count — a second
