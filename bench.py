@@ -183,6 +183,19 @@ def _wait_for_healthy_host(budget_s: float) -> dict:
     return probe
 
 
+def _stdout_payload(out: dict) -> dict:
+    """The one-line JSON printed to stdout: the full artifact minus the raw
+    best-of-N arrays ("runs"/"cpu_runs" — ~10 KB at 50 queries). The
+    round-13 driver's bounded stdout capture kept only the last 2000 chars
+    of the full line, so PERF_r13 could parse no prev-round bench and
+    computed no round-over-round speedups. The per-query minima
+    ("queries"/"cpu"), totals, host probes and error map all stay on stdout
+    (same headline contract, same keys the driver reads); the raw arrays
+    remain in the FULL artifact file — nothing is dropped from the durable
+    record, only from the bounded pipe."""
+    return {k: v for k, v in out.items() if k not in ("runs", "cpu_runs")}
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
 
@@ -364,7 +377,7 @@ def main() -> None:
     # "headline" key of the full line below — either way the totals survive
     print(json.dumps({"metric": "headline_first", **out["headline"]},
                      separators=(",", ":")))
-    print(json.dumps(out, separators=(",", ":")))
+    print(json.dumps(_stdout_payload(out), separators=(",", ":")))
 
 
 if __name__ == "__main__":

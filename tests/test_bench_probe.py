@@ -87,3 +87,43 @@ def test_cpu_reader_none_when_ui_off_and_delta_semantics():
     after = {(2, 0): 50, (3, 0): 700, (4, 1): 300}  # stage 1 evicted; 3,4 new
     delta = sum(v for k, v in after.items() if k not in before)
     assert delta == 1000
+
+
+def test_stdout_payload_slims_raw_arrays_only():
+    """The stdout JSON line must parse whole inside the driver's bounded
+    capture: the raw best-of-N arrays are file-only, every contract key
+    (metric/value/unit/queries/sf + the cpu series and headline) survives."""
+    b = _bench()
+    out = {
+        "metric": "registry_queries_total",
+        "value": 1.0,
+        "unit": "sec",
+        "n_queries": 2,
+        "partial": False,
+        "n_errors": 0,
+        "queries": {"a": 0.4, "b": 0.6},
+        "runs": {"a": [0.5, 0.4], "b": [0.7, 0.6]},
+        "cpu": {"a": 0.1, "b": 0.2},
+        "cpu_runs": {"a": [0.2, 0.1], "b": [0.3, 0.2]},
+        "cpu_total": 0.3,
+        "cpu_complete": True,
+        "sf": 0.1,
+        "host": {"start": {}, "end": {}},
+        "degraded": False,
+        "headline": {"value": 1.0},
+    }
+    slim = b._stdout_payload(out)
+    assert "runs" not in slim and "cpu_runs" not in slim
+    assert set(out) - set(slim) == {"runs", "cpu_runs"}
+    # the full artifact is untouched (file keeps the arrays)
+    assert "runs" in out and "cpu_runs" in out
+    # size sanity at 50 queries: a slim line stays within a bounded capture
+    import json
+
+    big = dict(out)
+    big["queries"] = {f"q{i:02d}_some_query_name": 1.234 for i in range(50)}
+    big["cpu"] = {f"q{i:02d}_some_query_name": 0.123 for i in range(50)}
+    big["runs"] = {k: [1.3, 1.25, 1.234] for k in big["queries"]}
+    big["cpu_runs"] = {k: [0.14, 0.13, 0.123] for k in big["queries"]}
+    line = json.dumps(b._stdout_payload(big), separators=(",", ":"))
+    assert len(line) < 4000

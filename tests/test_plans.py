@@ -570,3 +570,29 @@ def test_barrier_truncates_plan_and_releases_cache(spark):
     assert not cm.isEmpty()
     release_all()
     assert cm.isEmpty(), "release_all must unpersist the barriered cache entry"
+
+
+def test_barrier_reroot_canary_fails_loud_on_fallback(spark):
+    """CANARY, not a skip: caching.barrier's plan re-root reaches Spark
+    internals (``sql.classic.Dataset.ofRows`` + ``CacheManager
+    .lookupCachedData``), and its fallback silently returns the un-truncated
+    pin — semantics identical, but the corpus pipeline's driver-side plan
+    build re-inflates by ~10 s with no other test going red. This test FAILS
+    the moment the internal path stops resolving (e.g. a Spark upgrade moving
+    the package), naming the exact mechanism, so the regression is loud."""
+    from switchback_test_dag_spark.caching import barrier, release_all
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    try:
+        b = barrier(df.groupBy("k").count())
+        root = b._jdf.queryExecution().logical()
+        assert root.getClass().getSimpleName() == "InMemoryRelation", (
+            "caching.barrier FELL BACK to the plain pin: the re-root through "
+            "org.apache.spark.sql.classic.Dataset.ofRows / "
+            "CacheManager.lookupCachedData no longer resolves on this Spark "
+            "version — the plan-size truncation is silently lost (see "
+            "OPTIMIZATION_r13.md §9); update caching.barrier for the new "
+            "internal API instead of relying on the fallback"
+        )
+    finally:
+        release_all()
