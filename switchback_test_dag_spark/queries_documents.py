@@ -231,6 +231,36 @@ rtc AS (
 # of tokens inside any duplicated window (the interval union the Spark side
 # computes with a fold). Averaged per source with every doc kept.
 _SPAN_L = 4
+
+# doc_text_profile text-pin size gate (see the query's docstring): below this
+# many bytes of documents parquet, the (doc_id, source, text) base is pinned
+# into the columnar cache (one text decode, O(1) branch trees — measured win
+# at sf0.1's 0.6 MB); above it, text stays on per-branch pruned parquet scans
+# (the cache build of the text bytes was the measured 6× sf10 cpu regression
+# at ~60 MB, r13 §11). 16 MiB places the crossover inside the bracketed
+# range; it is data-size-adaptive, not a core-count tune.
+_TEXT_PIN_MAX_BYTES = 16 << 20
+
+
+def _local_parquet_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a fixture table's parquet (file or directory), or a
+    value above every pin gate when the path is not local/stat-able — remote
+    storage means a real corpus, where the scan path is the right default."""
+    import os as _os
+
+    path = _os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if _os.path.isdir(path):
+            return sum(
+                _os.path.getsize(_os.path.join(root, f))
+                for root, _dirs, files in _os.walk(path)
+                for f in files
+            )
+        return _os.path.getsize(path)
+    except OSError:
+        return 1 << 62
+
+
 _DUCK_SPANS = f"""
 soc AS MATERIALIZED (
   SELECT doc_id, unnest(
@@ -367,25 +397,69 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal) is its own scan subtree — Catalyst does not dedupe common
     subtrees, and the span operators additionally explode the text to token
     grain internally (and pin a starts frame, so InMemoryTableScans appear in
-    the printed plan). All branches derive from ONE pinned pruned base —
-    ``caching.barrier`` persists the (doc_id, source, text) sliver and
-    re-roots every branch at the cache's ``InMemoryRelation`` leaf, so the
-    corpus parquet is scanned once (not once per branch) AND the analyzer
-    walks O(1) trees instead of re-copying the shared scan at each of the
-    seven branch joins (the DeduplicateRelations compounding measured in
-    OPTIMIZATION_r13.md §9; this query's assembly was ~1.8 s of driver-side
-    construction at sf0.1 before the barrier, ~0.5 s after)."""
+    the printed plan). The branches that only need METADATA — both samplers,
+    the packing walk, and every branch's source re-attach join — derive from
+    ONE barriered (doc_id, source, token-count) sliver: ``caching.barrier``
+    persists it and re-roots each consumer at the cache's
+    ``InMemoryRelation`` leaf, so the analyzer walks O(1) trees instead of
+    re-copying a shared scan at each of the seven branch joins (the
+    DeduplicateRelations compounding measured in OPTIMIZATION_r13.md §9;
+    this query's assembly was ~1.8 s of driver-side construction at sf0.1
+    before any pin, ~0.5 s with one). Whether the heavy ``text`` column
+    enters that cache is SIZE-GATED (``_TEXT_PIN_MAX_BYTES``): the cache
+    build re-encodes every text byte into the columnar cache ONCE, and its
+    payoff is the ~4 parquet text decodes the other branches then skip —
+    a trade that was measured to win at sf0.1 (0.6 MB of documents parquet:
+    construction −1.3 s, cpu +0.02 s) and to LOSE 6× at sf10 (~60 MB:
+    0.31 → 1.91 s cpu, the r13 §11 worktree A/B), so small inputs pin
+    text and large inputs keep per-branch pruned parquet scans (each branch
+    its OWN relation — nothing for DeduplicateRelations to copy, no text
+    bytes in the cache). Unknown sizes (non-local storage — the 100 TB
+    case by definition) take the scan path, the conservative-at-scale
+    default."""
     from switchback_test_dag_spark.caching import barrier as _barrier
 
-    base = _barrier(
-        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    )
-    docs = base
-    sample_base = base.select("doc_id", "source")  # pruned sliver for samplers
-    text_base = base.select("doc_id", "text")  # pruned sliver for span/rep ops
-    pk_base = base.select(
-        "doc_id", "source", TA.token_count("text").cast("long").alias("_toks")
-    )  # pruned sliver for the packing contract
+    if _local_parquet_bytes(sf_dir, "documents") <= _TEXT_PIN_MAX_BYTES:
+        # small input: ONE pinned (doc_id, source, text) base, every branch
+        # rooted at the cache's InMemoryRelation leaf (the r13 §11 shape —
+        # the cache build is trivially cheap here and the barrier keeps
+        # driver-side construction O(1) per branch)
+        base = _barrier(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "source", "text"
+            )
+        )
+        docs = base
+        meta = base.select(
+            "doc_id",
+            "source",
+            TA.token_count("text").cast("long").alias("_toks"),
+        )
+
+        def text_scan() -> DataFrame:
+            return base.select("doc_id", "text")
+
+    else:
+        # large input: text stays on pruned parquet scans; only the
+        # metadata sliver (ids, source, token counts) is pinned
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        meta = _barrier(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id",
+                "source",
+                TA.token_count("text").cast("long").alias("_toks"),
+            )
+        )
+
+        def text_scan() -> DataFrame:
+            return load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+
+    sample_base = meta.select("doc_id", "source")  # pruned sliver for samplers
+    pk_base = meta  # (doc_id, source, _toks) — the packing contract's input
     qs = TA.quality_score("text")
     lang = TA.lang_id("text")
     aug = F.when(
@@ -475,7 +549,7 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repetition contract: the Gopher-style per-doc repetition signals
     # averaged per source (docs too short for a signal score 0.0 and stay in
     # the average — repetition_stats left-joins every input row back)
-    rep = TA.repetition_stats(text_base, "doc_id", "text", ngram_n=2)
+    rep = TA.repetition_stats(text_scan(), "doc_id", "text", ngram_n=2)
     ragg = rep.join(sample_base, "doc_id").groupBy("source").agg(
         F.round(F.avg("top_token_frac"), 6).alias("avg_top_token_frac"),
         F.round(F.avg("dup_ngram_frac"), 6).alias("avg_dup_2gram_frac"),
@@ -484,7 +558,7 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count of documents containing any duplicated fixed-L window, portable
     # keys so the oracle replays the exact grouping
     span = SP.duplicated_span_stats(
-        text_base, "doc_id", "text", span_len=_SPAN_L, portable=True
+        text_scan(), "doc_id", "text", span_len=_SPAN_L, portable=True
     )
     spagg = span.join(sample_base, "doc_id").groupBy("source").agg(
         F.round(F.avg("dup_token_frac"), 6).alias("avg_dup_span_frac"),
@@ -496,7 +570,7 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # itself (token rows of affected docs, running-max coverage, ordered
     # string_agg), so a single moved/kept token breaks the hash
     cut = SP.remove_duplicated_spans(
-        text_base, "doc_id", "text", span_len=_SPAN_L, portable=True
+        text_scan(), "doc_id", "text", span_len=_SPAN_L, portable=True
     )
     cut_text_hash = F.conv(
         F.substring(F.md5(F.col("text")), 1, 10), 16, 10
